@@ -1,13 +1,97 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the §7 extension set)
+  * has an entry in `queries`; those expressible in ANSI SQL have a DuckDB
+  * oracle in `oracleSql` with IDENTICAL output column names (the driver
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multiway star join: revenue per region (broadcast dims, single shuffle).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.joinMultiway(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference surface (hive.py Q1-Q4 over events) —
+    "q1_time_filter" -> (ReferenceQueries.q1TimeFilter _),
+    "q2_hourly_avg"  -> (ReferenceQueries.q2HourlyAvg _),
+    "q3_union_cube"  -> (ReferenceQueries.q3UnionCube _),
+    "q4_join_aggs"   -> (ReferenceQueries.q4JoinAggs _),
+    // — generalized relational surface (SURVEY.md §7.2 step 6) —
+    "q_agg_pricing"     -> (Relational.aggPricing _),
+    "q_filter_range"    -> (Relational.filterRange _),
+    "q_join_inner"      -> (Relational.joinInner _),
+    "q_join_left"       -> (Relational.joinLeft _),
+    "q_join_semi"       -> (Relational.joinSemi _),
+    "q_join_anti"       -> (Relational.joinAnti _),
+    "q_join_full"       -> (Relational.joinFull _),
+    "q_join_multiway"   -> (Relational.joinMultiway _),
+    "q_union_all"       -> (Relational.unionAll _),
+    "q_union_distinct"  -> (Relational.unionDistinct _),
+    "q_intersect"       -> (Relational.intersectKeys _),
+    "q_except"          -> (Relational.exceptKeys _),
+    "q_distinct"        -> (Relational.distinctOp _),
+    "q_topk"            -> (Relational.topK _),
+    "q_window_rank"     -> (Relational.windowRank _),
+    "q_window_running"  -> (Relational.windowRunning _),
+    "q_window_lag"      -> (Relational.windowLag _),
+    "q_rollup"          -> (Relational.rollupOp _),
+    "q_grouping_sets"   -> (Relational.groupingSetsOp _),
+    "q_having"          -> (Relational.havingOp _),
+    "q_case_when"       -> (Relational.caseWhen _),
+    "q_string_funcs"    -> (Relational.stringFuncs _),
+    "q_date_funcs"      -> (Relational.dateFuncs _),
+    "q_math_funcs"      -> (Relational.mathFuncs _),
+    "q_json_extract"    -> (Relational.jsonExtract _),
+    "q_count_distinct"  -> (Relational.countDistinctOp _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q_throttle_dedup"  -> (Relational.throttleDedup _),
+    "q_pivot"           -> (Relational.pivotOp _),
+    "q_sample_seeded"   -> (Relational.sampleSeeded _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_time_filter" -> ReferenceQueries.q1Sql,
+    "q2_hourly_avg"  -> ReferenceQueries.q2Sql,
+    "q3_union_cube"  -> ReferenceQueries.q3Sql,
+    "q4_join_aggs"   -> ReferenceQueries.q4Sql,
+    "q_agg_pricing"     -> Relational.aggPricingSql,
+    "q_filter_range"    -> Relational.filterRangeSql,
+    "q_join_inner"      -> Relational.joinInnerSql,
+    "q_join_left"       -> Relational.joinLeftSql,
+    "q_join_semi"       -> Relational.joinSemiSql,
+    "q_join_anti"       -> Relational.joinAntiSql,
+    "q_join_full"       -> Relational.joinFullSql,
+    "q_join_multiway"   -> Relational.joinMultiwaySql,
+    "q_union_all"       -> Relational.unionAllSql,
+    "q_union_distinct"  -> Relational.unionDistinctSql,
+    "q_intersect"       -> Relational.intersectKeysSql,
+    "q_except"          -> Relational.exceptKeysSql,
+    "q_distinct"        -> Relational.distinctOpSql,
+    "q_topk"            -> Relational.topKSql,
+    "q_window_rank"     -> Relational.windowRankSql,
+    "q_window_running"  -> Relational.windowRunningSql,
+    "q_window_lag"      -> Relational.windowLagSql,
+    "q_rollup"          -> Relational.rollupOpSql,
+    "q_grouping_sets"   -> Relational.groupingSetsOpSql,
+    "q_having"          -> Relational.havingOpSql,
+    "q_case_when"       -> Relational.caseWhenSql,
+    "q_string_funcs"    -> Relational.stringFuncsSql,
+    "q_date_funcs"      -> Relational.dateFuncsSql,
+    "q_math_funcs"      -> Relational.mathFuncsSql,
+    "q_json_extract"    -> Relational.jsonExtractSql,
+    "q_count_distinct"  -> Relational.countDistinctOpSql,
+    "q_scalar_subquery" -> Relational.scalarSubquerySql,
+    "q_throttle_dedup"  -> Relational.throttleDedupSql,
+    "q_pivot"           -> Relational.pivotOpSql,
+  )
 }

@@ -1,0 +1,568 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generalized relational operator surface (SURVEY.md §7.2 step 6).
+  *
+  * The reference declares its queries in HiveQL, so "same query
+  * capabilities" means everything HiveQL offered over those tables:
+  * filters, projections with scalar functions, all join types, set ops,
+  * cube/rollup/grouping sets, distinct, top-k, windows. Each operator
+  * here is one named query over the TPC-H-ish corpus with a DuckDB
+  * oracle (FIXTURES.md §B).
+  *
+  * Scale conventions used throughout:
+  *   - dimension tables (region/nation) are explicitly `broadcast()`;
+  *     fact-fact joins stay shuffle joins keyed on the join column;
+  *   - aggregations are expressed via groupBy/agg so Catalyst plans
+  *     partial (map-side) + final hash aggregation;
+  *   - floating aggregates are rounded (2 decimals for price sums, 4 for
+  *     averages/ratios) identically in Spark and the oracle so the hash
+  *     compare is immune to summation-order ulps;
+  *   - every query ends in a deterministic orderBy (ASC NULLS FIRST to
+  *     match the oracle's pinned NULLS FIRST).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- agg
+
+  /** TPC-H Q1-shaped pricing summary: multi-aggregate hash group-by. */
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Num.r4(avg(col("l_quantity"))).as("avg_qty"),
+        Num.r4(avg(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+      |       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------- filter
+
+  /** Range + conjunctive predicate filter, pushed to the parquet scan. */
+  def filterRange(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterRangeSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------- joins
+
+  /** Inner equi-join fact→dim. */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  val joinInnerSql: String =
+    """SELECT o_orderkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left outer join, preserving customers without matching orders in the
+    * filtered right side. */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** Left-semi join: customers holding at least one high-value order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no high-value order. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join of two aggregated sides (per-nation customer vs
+    * supplier counts over filtered subsets so each side has gaps). */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"))
+    val supp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supps"))
+    cust.join(supp, Seq("nationkey"), "full")
+      .orderBy(asc_nulls_first("nationkey"))
+  }
+
+  val joinFullSql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_custs, s.n_supps
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_custs
+      |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supps
+      |           FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+      |  USING (nationkey)
+      |ORDER BY nationkey ASC NULLS FIRST""".stripMargin
+
+  /** Star join: revenue per region. lineitem→orders→customer→nation→region
+    * with the two true dimension tables broadcast; the fact-side joins
+    * shuffle on their keys and AQE handles the rest. One final 5-row agg. */
+  def joinMultiway(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+
+  val joinMultiwaySql: String =
+    """SELECT r_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ------------------------------------------------------------ set ops
+
+  /** 2-way UNION ALL with tagged branches (reference U1 shape). */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(
+      lit("customer").as("src"), col("c_nationkey").as("nationkey"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val s = Tables.supplier(spark, sfDir).select(
+      lit("supplier").as("src"), col("s_nationkey").as("nationkey"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(s).orderBy("src", "nationkey", "name")
+  }
+
+  val unionAllSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS src, c_nationkey AS nationkey, c_name AS name, c_acctbal AS acctbal FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier', s_nationkey, s_name, s_acctbal FROM supplier)
+      |ORDER BY src, nationkey, name""".stripMargin
+
+  /** UNION DISTINCT of the two nationkey sets. */
+  def unionDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  val unionDistinctSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** INTERSECT (distinct) of nation keys present on both sides. */
+  def intersectKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, sfDir)
+        .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val intersectKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+      |ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT (distinct): nations with customers but no rich supplier. */
+  def exceptKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(spark, sfDir)
+        .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val exceptKeysSql: String =
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+      |ORDER BY nationkey""".stripMargin
+
+  // --------------------------------------------------- distinct / top-k
+
+  def distinctOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  val distinctOpSql: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** Global top-k: orderBy + limit plans as TakeOrderedAndProject — a
+    * per-partition heap + driver merge, no total sort. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(15)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin
+
+  // ------------------------------------------------------------ windows
+
+  /** Ranking window: first 3 orders per customer. */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Cumulative frame: running spend per customer. */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Offset window: days since the customer's previous order. */
+  def windowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"))
+      .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+  }
+
+  val windowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       datediff('day',
+      |         lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_orderdate, o_orderkey),
+      |         o_orderdate) AS days_since_prev
+      |FROM orders
+      |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------- rollup / grouping sets
+
+  def rollupOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val rollupOpSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  def groupingSetsOp(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsOpSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------- having / case-when
+
+  def havingOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  val havingOpSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_spend
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+      |ORDER BY o_custkey""".stripMargin
+
+  def caseWhen(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("large").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+
+  val caseWhenSql: String =
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+      |            WHEN o_totalprice < 300000 THEN 'mid'
+      |            ELSE 'large' END AS bucket,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ----------------------------------------------- scalar function sets
+
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg_nation"),
+        regexp_replace(col("c_name"), "0", "").as("name_nozero"))
+      .orderBy("c_custkey")
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |       upper(c_name) AS name_upper,
+      |       lower(c_mktsegment) AS seg_lower,
+      |       length(c_name) AS name_len,
+      |       substr(c_name, 1, 8) AS name_prefix,
+      |       concat_ws('-', c_mktsegment, c_nationkey) AS seg_nation,
+      |       regexp_replace(c_name, '0', '', 'g') AS name_nozero
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch"))
+      .orderBy("o_orderkey")
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |       year(o_orderdate) AS order_year,
+      |       month(o_orderdate) AS order_month,
+      |       day(o_orderdate) AS order_day,
+      |       date_trunc('month', o_orderdate) AS month_start,
+      |       strftime(o_orderdate, '%Y-%m') AS ym,
+      |       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val mathFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       round(abs(l_discount - 0.05), 4) AS disc_dev,
+      |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |       round(sqrt(l_quantity), 4) AS qty_sqrt,
+      |       round(ln(l_extendedprice), 4) AS price_ln,
+      |       round(pow(l_quantity, 2), 2) AS qty_sq
+      |FROM lineitem WHERE l_orderkey <= 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------- json / misc
+
+  /** JSON extraction from the events `props` column (semi-structured). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .groupBy(col("event_type"))
+      .agg(Num.r4(avg(col("k_val"))).as("avg_k"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact distinct count per group (expands to a two-phase aggregate). */
+  def countDistinctOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val countDistinctOpSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HyperLogLog++ approximate distinct — the 100 TB path where exact
+    * distinct would shuffle every key. No DuckDB oracle (sketch values are
+    * engine-specific); the driver records a rows-only check. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Scalar subquery: orders above the global average price. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Batch analog of the streaming per-entity throttle (SURVEY.md ST5):
+    * keep the first event per (user, minute). */
+  def throttleDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), date_trunc("minute", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy("event_id")
+  }
+
+  val throttleDedupSql: String =
+    """SELECT event_id, user_id, ts FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+      |                           ORDER BY ts, event_id) = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** Pivot: hourly average value per event type as columns. */
+  def pivotOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("hour_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(Num.r4(avg(col("value"))))
+      .orderBy("hour_bucket")
+
+  val pivotOpSql: String =
+    """SELECT hour(ts) AS hour_bucket,
+      |       round(avg(value) FILTER (WHERE event_type = 'click') + 1e-9, 4) AS click,
+      |       round(avg(value) FILTER (WHERE event_type = 'error') + 1e-9, 4) AS error,
+      |       round(avg(value) FILTER (WHERE event_type = 'purchase') + 1e-9, 4) AS purchase,
+      |       round(avg(value) FILTER (WHERE event_type = 'signup') + 1e-9, 4) AS signup,
+      |       round(avg(value) FILTER (WHERE event_type = 'view') + 1e-9, 4) AS view
+      |FROM events GROUP BY hour(ts) ORDER BY hour_bucket""".stripMargin
+
+  /** Seeded Bernoulli sample (reference T5, `insert.py:79-81`). RNG streams
+    * differ across engines — rows-only check, no oracle. */
+  def sampleSeeded(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .sample(withReplacement = false, 0.5, 42)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tooling only —
+NOT part of the engine). Runs graft.Verify output against DuckDB on the
+same parquet tables and diffs per query: row count, schema (column names
+sorted), and values.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+"""
+import sys, os, json, glob
+import duckdb
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        if only and name not in only:
+            continue
+        spark_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL-sql ] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+        if s_cols != d_cols:
+            ok = False
+            msgs.append(f"schema {s_cols} vs {d_cols}")
+        if len(spark_df) != len(duck_df):
+            ok = False
+            msgs.append(f"rows {len(spark_df)} vs {len(duck_df)}")
+        if ok:
+            a = spark_df[s_cols].sort_values(s_cols, kind="mergesort").reset_index(drop=True)
+            b = duck_df[d_cols].sort_values(d_cols, kind="mergesort").reset_index(drop=True)
+            for c in s_cols:
+                av, bv = a[c], b[c]
+                try:
+                    import pandas as pd
+                    if not av.astype(object).where(pd.notna(av), None).equals(
+                           bv.astype(object).where(pd.notna(bv), None)):
+                        neq = (av.astype(str) != bv.astype(str))
+                        idx = list(neq[neq].index[:3])
+                        if idx:
+                            ok = False
+                            msgs.append(f"col {c} differs at rows {idx}: "
+                                        f"{[ (av[i], bv[i]) for i in idx ]}")
+                except Exception as e:
+                    ok = False
+                    msgs.append(f"col {c} compare error: {e}")
+        if ok:
+            n_pass += 1
+            print(f"[PASS     ] {name}: {len(spark_df)} rows")
+        else:
+            n_fail += 1
+            print(f"[FAIL     ] {name}: {'; '.join(msgs)}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
