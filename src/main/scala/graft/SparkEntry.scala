@@ -55,6 +55,20 @@ object SparkEntry {
     "q_throttle_dedup"  -> (Relational.throttleDedup _),
     "q_pivot"           -> (Relational.pivotOp _),
     "q_sample_seeded"   -> (Relational.sampleSeeded _),
+    // — LLM-data-pipeline extensions (SURVEY.md §7.2 step 8) —
+    "d_text_stats"      -> (ext.TextAnalysis.textStats _),
+    "d_lang_id"         -> (ext.TextAnalysis.langId _),
+    "d_fingerprint"     -> (ext.TextAnalysis.fingerprint _),
+    "d_dedup_exact"     -> (ext.Dedup.dedupExact _),
+    "d_dedup_minhash"   -> (ext.Dedup.dedupMinhash _),
+    "d_dedup_simhash"   -> (ext.Dedup.dedupSimhash _),
+    "d_ngram_jaccard"   -> (ext.Dedup.ngramJaccard _),
+    "e_knn_brute"       -> (ext.Similarity.knnBrute _),
+    "e_knn_per_vec"     -> (ext.Similarity.knnPerVec _),
+    "e_emb_stats"       -> (ext.Similarity.embStats _),
+    "e_ann_lsh"         -> (ext.Similarity.annLsh _),
+    "m_payload_meta"    -> (ext.Multimodal.payloadMeta _),
+    "m_frame_sample"    -> (ext.Multimodal.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +107,14 @@ object SparkEntry {
     "q_scalar_subquery" -> Relational.scalarSubquerySql,
     "q_throttle_dedup"  -> Relational.throttleDedupSql,
     "q_pivot"           -> Relational.pivotOpSql,
+    "d_text_stats"      -> ext.TextAnalysis.textStatsSql,
+    "d_lang_id"         -> ext.TextAnalysis.langIdSql,
+    "d_fingerprint"     -> ext.TextAnalysis.fingerprintSql,
+    "d_dedup_exact"     -> ext.Dedup.dedupExactSql,
+    "d_ngram_jaccard"   -> ext.Dedup.ngramJaccardSql,
+    "e_knn_brute"       -> ext.Similarity.knnBruteSql,
+    "e_knn_per_vec"     -> ext.Similarity.knnPerVecSql,
+    "e_emb_stats"       -> ext.Similarity.embStatsSql,
+    "m_payload_meta"    -> ext.Multimodal.payloadMetaSql,
   )
 }

@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for an LLM training-data pipeline over the
+  * `documents` table (north-star extensions, SURVEY.md §7.2 step 8).
+  *
+  * Scale design: every variant reduces to a hash-shuffle on a FIXED-SIZE
+  * key (sha256 / minhash signature / simhash bucket), never a pairwise
+  * self-join of the corpus. The only O(candidate-pair) work is the exact
+  * n-gram Jaccard verifier, which at 100 TB runs AFTER LSH banding has cut
+  * the candidate set, not on the full corpus; here it is also exposed
+  * standalone (inverted-index join) so the small-scale oracle can check
+  * the exact similarity math.
+  */
+object Dedup {
+
+  /** Exact dedup keyed on a content fingerprint. GroupBy on sha256 — the
+    * 100 TB path shuffles 32-byte keys, not document bodies. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(sha2(col("text"), 256).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("fingerprint"), col("n_copies"))
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, sha256(text) AS fingerprint,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
+
+  /** MinHash signatures over 3-word shingles: 16 independent hash slots
+    * (xxhash64 seeded by slot index), banded 4×4 for LSH bucketing.
+    * Near-dup GROUPS come from a window over the full signature — a
+    * shuffle keyed on the 128-byte signature, not a pairwise join.
+    * Engine-specific hash values ⇒ no SQL oracle (rows-only check);
+    * the exact-Jaccard oracle below covers the similarity math.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // Shingles become ROWS, hashed once each; the 16 signature slots are
+    // then map-side partial `min` aggregates of cheap long re-hashes.
+    // (A per-row lambda formulation is tempting but CollapseProject
+    // inlines the whole shingle build into each of the 16 slot lambdas —
+    // 16× the string hashing — and giant per-row arrays don't scale to
+    // long documents anyway. Rows + partial agg do.)
+    val shingleHashes = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(tokens) - 3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val slots = (0 until 16).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    val sig = shingleHashes.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+    sig.select(
+        col("doc_id"),
+        xxhash64(col("m0"), col("m1"), col("m2"), col("m3")).as("band0"),
+        xxhash64(col("m4"), col("m5"), col("m6"), col("m7")).as("band1"),
+        xxhash64(col("m8"), col("m9"), col("m10"), col("m11")).as("band2"),
+        xxhash64(col("m12"), col("m13"), col("m14"), col("m15")).as("band3"),
+        concat_ws(",", (0 until 16).map(j => col(s"m$j")): _*).as("sig_key"))
+      .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"),
+        count(lit(1)).over(Window.partitionBy(col("sig_key"))).as("n_sig_mates"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash: 64-bit signature from per-token hash bit votes; documents
+    * sharing the top-16-bit bucket are near-dup candidates. Same
+    * fixed-key-shuffle scale profile as MinHash. No oracle (engine hash). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tokens", array_distinct(split(col("text"), " ")))
+      .withColumn("bitsums", expr(
+        """aggregate(tokens, array_repeat(cast(0 AS BIGINT), 64),
+          |  (acc, t) -> zip_with(acc,
+          |     transform(sequence(0, 63),
+          |       i -> IF(shiftright(xxhash64(t), i) % 2 != 0, 1, -1)),
+          |     (a, b) -> a + cast(b AS BIGINT)))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  zip_with(bitsums, sequence(0, 63),
+          |    (b, i) -> IF(b > 0, shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))),
+          |  cast(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("bucket", expr("shiftright(simhash, 48)"))
+      .select(col("doc_id"), col("simhash"), col("bucket"),
+        count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_bucket_mates"))
+      .orderBy("doc_id")
+
+  /** Exact n-gram (distinct unigram) Jaccard over candidate pairs via an
+    * inverted-index join — the verifier stage of near-dedup, oracle-checked.
+    * Token-postings join + pair-count aggregation; integer division is
+    * IEEE-exact so the ≥ threshold agrees bit-for-bit across engines. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val sizes = docs.select(col("doc_id"), size(col("toks")).as("n"))
+    val postings = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+    val inter = postings.as("a")
+      .join(postings.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard_raw",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |sz AS (
+      |  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n
+      |  FROM documents),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(i * 1.0 / (sa.n + sb.n - i) + 1e-9, 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extensions, SURVEY.md §7.2
+  * step 8): media treated as opaque `binary` payloads with typed metadata,
+  * plus a per-partition batch "decode" stage.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic fake (`fakeDecodeFrame`); everything
+  * around it — binary columns, schema, per-partition batch iteration,
+  * explode of variable-length frame output — is real Spark plumbing and
+  * is what carries over to a production decoder at 100 TB (the decode
+  * stage is embarrassingly parallel; partition count, not driver memory,
+  * bounds throughput).
+  */
+object Multimodal {
+
+  /** Metadata extraction over binary payloads — byte length, content
+    * fingerprint, and fake decoded dimensions derived arithmetically
+    * (oracle-checkable on both engines). */
+  def payloadMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text"), 256).as("fingerprint"),
+        (lit(64) + pmod(col("n_chars"), lit(512))).as("width"),
+        (lit(64) + pmod(col("n_chars") * 7, lit(512))).as("height"),
+        lit(3).as("channels"))
+      .orderBy("doc_id")
+
+  val payloadMetaSql: String =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       sha256(text) AS fingerprint,
+      |       64 + (n_chars % 512) AS width,
+      |       64 + ((n_chars * 7) % 512) AS height,
+      |       3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** STUB decode: a real codec would parse the container format here.
+    * This deterministic fake slices the payload into fixed-size "frames"
+    * and fingerprints each — stable across runs and partitionings. */
+  def fakeDecodeFrame(payload: Array[Byte], frameSize: Int): Iterator[(Int, Int, Long)] =
+    payload.grouped(frameSize).take(8).zipWithIndex.map { case (frame, idx) =>
+      var h = 1125899906842597L // deterministic FNV-ish fold, no JVM-hash reliance
+      frame.foreach(b => h = h * 31 + (b & 0xff))
+      (idx, frame.length, h)
+    }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", IntegerType, nullable = false),
+    StructField("frame_hash", LongType, nullable = false)))
+
+  /** Frame sampling: binary payload → per-partition batch decode →
+    * one row per sampled frame. The mapPartitions stage is where a
+    * production pipeline calls the codec library once per batch (the
+    * Scala analog of the Python `mapInPandas` pattern). No SQL oracle —
+    * covered by MultimodalSpec (deterministic frame hashes). */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rowEncoder = org.apache.spark.sql.Encoders.row(frameSchema)
+    payloads.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        fakeDecodeFrame(payload, 64).map { case (idx, len, h) =>
+          Row(docId, idx, len, h)
+        }
+      }
+    }(rowEncoder)
+      .orderBy("doc_id", "frame_idx")
+  }
+}

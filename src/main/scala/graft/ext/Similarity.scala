@@ -1,0 +1,151 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Num
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors,
+  * L2-normalized in the fixture but not assumed so — full cosine is
+  * computed). North-star extensions, SURVEY.md §7.2 step 8.
+  *
+  * Scale design: brute-force cosine top-k is the correctness baseline —
+  * one broadcast of the query vector(s), a codegen'd higher-order-function
+  * dot product per row, and a TakeOrderedAndProject (per-partition heap)
+  * instead of a global sort. The LSH variant is the 100 TB path: random
+  * hyperplane signatures turn the all-pairs problem into a bucket-keyed
+  * shuffle, and only within-bucket candidates get exact scoring.
+  */
+object Similarity {
+
+  /** cosine(a, b) in double precision via zip_with/aggregate folds —
+    * built-in higher-order functions, fully codegen'd, no UDF. */
+  private def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS DOUBLE) * cast(q AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Brute-force cosine top-10 for one query vector (vec_id 0),
+    * broadcast to every partition. */
+  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.join(broadcast(q))
+      .select(col("vec_id"), Num.r4(cosine("embedding", "qe")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val knnBruteSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id,
+      |         list_sum(list_transform(list_zip(e.embedding, q.qe),
+      |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dotqe,
+      |         sqrt(list_sum(list_transform(e.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_e,
+      |         sqrt(list_sum(list_transform(q.qe,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_q
+      |  FROM embeddings e CROSS JOIN q)
+      |SELECT vec_id, round(dotqe / norm_e / norm_q + 1e-9, 4) AS sim
+      |FROM d ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Brute-force top-3 neighbors for each of the first 20 query vectors:
+    * broadcast-nested-loop of a tiny query set against the corpus, then a
+    * per-query ranking window. The oracle checks the ranking semantics. */
+  def knnPerVec(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Num.r4(cosine("embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnPerVecSql: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |         round(
+      |           list_sum(list_transform(list_zip(e.embedding, q.embedding),
+      |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |           / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           + 1e-9, 4) AS sim
+      |  FROM embeddings q JOIN embeddings e
+      |    ON q.vec_id < 20 AND e.vec_id != q.vec_id)
+      |SELECT q_id, rank, neighbor_id, sim FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM sims)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Per-vector stats via higher-order folds (norms, extrema). */
+  def embStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"), col("label"),
+        Num.r4(sqrt(expr(
+          "aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE))")))
+          .as("l2_norm"),
+        Num.r4(expr("aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS DOUBLE))")
+          / size(col("embedding"))).as("mean_val"),
+        Num.r4(array_max(col("embedding")).cast("double")).as("max_val"))
+      .orderBy("vec_id")
+
+  val embStatsSql: String =
+    """SELECT vec_id, label,
+      |       round(sqrt(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 1e-9, 4) AS l2_norm,
+      |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |             / len(embedding) + 1e-9, 4) AS mean_val,
+      |       round(CAST(list_max(embedding) AS DOUBLE) + 1e-9, 4) AS max_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Random-hyperplane LSH — the approximate-NN scale path. 8 seeded
+    * hyperplanes give a 256-bucket signature; each vector's nearest
+    * neighbor is searched WITHIN its bucket only (candidate set ≈ n/256
+    * instead of n). Hyperplanes are deterministic (seed 42) but
+    * Spark-side, so no SQL oracle (rows-only check); the exactness
+    * trade-off is visible by diffing nn_sim against knnPerVec. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("planes", planesCol)
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  zip_with(planes, sequence(0, 7),
+          |    (p, j) -> IF(aggregate(zip_with(p, embedding,
+          |                   (x, y) -> x * cast(y AS DOUBLE)), 0D,
+          |                 (acc, v) -> acc + v) > 0D,
+          |              shiftleft(1, j), 0)),
+          |  0, (a, x) -> a + x)""".stripMargin))
+      .drop("planes")
+    val pairs = emb.select(col("vec_id"), col("bucket"), col("embedding"))
+      .as("a")
+      .join(emb.select(col("vec_id").as("nn_id"), col("bucket"),
+        col("embedding").as("ne")).as("b"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("bucket"), col("nn_id"),
+        Num.r4(cosine("embedding", "ne")).as("nn_sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("nn_sim"), asc("nn_id"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("nn_id"), col("nn_sim"))
+    val counts = emb.groupBy(col("bucket")).agg(count(lit(1)).as("n_bucket"))
+    // Left joins so singleton-bucket vectors stay in the output with a
+    // null neighbor rather than silently disappearing.
+    emb.select(col("vec_id"), col("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("n_bucket"), col("nn_id"), col("nn_sim"))
+      .orderBy("vec_id")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` table (north-star extensions, SURVEY.md §7.2 step 8):
+  * quality stats, token counting (whitespace + BPE-ish regex), language
+  * identification (stopword-profile + script heuristic), and document
+  * fingerprinting (polynomial rolling hash).
+  *
+  * All of these are narrow per-row projections — no shuffle at all except
+  * the final presentation orderBy, so they scale linearly with input
+  * splits at 100 TB. Everything stays inside whole-stage codegen
+  * (built-in + higher-order functions only; no UDFs).
+  */
+object TextAnalysis {
+
+  /** Per-document quality statistics. `avg_token_len` is derived
+    * arithmetically from char counts (not an array aggregate) so the same
+    * closed form runs on both engines. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_distinct"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ ]', 0)")).as("n_tokens_bpe"),
+        Num.r4(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("tokens")))
+          .as("avg_token_len"),
+        Num.r4(size(filter(col("tokens"), t => t.isin("the", "a", "and", "of", "to")))
+          .cast("double") / size(col("tokens"))).as("stopword_ratio"),
+        Num.r4(size(array_distinct(col("tokens"))).cast("double") / size(col("tokens")))
+          .as("ttr"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |       length(text) AS n_chars,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ ]')) AS n_tokens_bpe,
+      |       round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) + 1e-9, 4) AS avg_token_len,
+      |       round(len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+      |             / len(string_split(text, ' ')) + 1e-9, 4) AS stopword_ratio,
+      |       round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |             / len(string_split(text, ' ')) + 1e-9, 4) AS ttr
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language ID by stopword-profile counts + non-ASCII script detection.
+    * (The synthetic corpus is English-vocabulary throughout, so the point
+    * is the operator's deterministic argmax semantics, verified against
+    * the oracle, not label accuracy.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+    def hits(name: String, words: Seq[String]) =
+      size(filter(col("tokens"), t => t.isin(words: _*))).as(name)
+    docs.select(
+        col("doc_id"), col("lang"),
+        hits("en_hits", Seq("the", "a", "and", "of")),
+        hits("de_hits", Seq("der", "die", "und", "ein")),
+        hits("fr_hits", Seq("le", "la", "et", "un")),
+        hits("es_hits", Seq("el", "los", "y", "un")),
+        (octet_length(col("text")) > length(col("text"))).as("has_nonascii"))
+      .withColumn("pred_lang",
+        when(col("has_nonascii"), "zh")
+          .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits") &&
+            col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") > col("en_hits") && col("fr_hits") >= col("es_hits"), "fr")
+          .when(col("es_hits") > col("en_hits"), "es")
+          .when(col("en_hits") > 0, "en")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'and', 'of'))) AS en_hits,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und', 'ein'))) AS de_hits,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'un'))) AS fr_hits,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'y', 'un'))) AS es_hits,
+      |         octet_length(encode(text)) > length(text) AS has_nonascii
+      |  FROM documents)
+      |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, has_nonascii,
+      |       CASE WHEN has_nonascii THEN 'zh'
+      |            WHEN de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+      |            WHEN fr_hits > en_hits AND fr_hits >= es_hits THEN 'fr'
+      |            WHEN es_hits > en_hits THEN 'es'
+      |            WHEN en_hits > 0 THEN 'en'
+      |            ELSE 'und' END AS pred_lang
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over per-token codes
+    * (token length and leading byte), mod a Mersenne prime. A pure
+    * higher-order fold — codegen-friendly, shuffle-free. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '), t -> cast(length(t) * 31 + ascii(t) AS BIGINT)),
+            |  cast(0 AS BIGINT),
+            |  (acc, x) -> (acc * 131 + x) % 2147483647)""".stripMargin).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(text, ' '),
+      |             t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+      |         (a, b) -> (a * 131 + b) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

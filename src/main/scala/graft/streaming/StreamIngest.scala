@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One flattened sensor reading from an NGSI-LD notification. */
+case class SensorReading(
+    entityid: String,
+    room: String,
+    sensor: String,
+    value: Double,
+    event_ts: java.sql.Timestamp)
+
+/** Streaming ingestion of NGSI-LD notification envelopes with the
+  * reference subscriber's semantics (`/root/reference/subscriber.py`),
+  * re-expressed on Structured Streaming (SURVEY.md §2.8, §3.2):
+  *
+  *   - notification envelope `{"data":[entity…]}` parsed with an explicit
+  *     schema (`from_json` + `explode`) — `subscriber.py:104-123`;
+  *   - per-entity throttle: an update is kept only if ≥ `minGapMs` has
+  *     passed since the last KEPT update for that entity id
+  *     (`subscriber.py:21-23,112-118`) — implemented as keyed state via
+  *     `flatMapGroupsWithState` with a processing-time timeout so state
+  *     is evicted for idle entities (unbounded entity spaces at 100 TB);
+  *   - the engine keeps BOTH event time (`observedAt`) and ingest time,
+  *     where the reference discarded event time (ST6);
+  *   - exactly-once lands via checkpointed `writeStream`/`foreachBatch`
+  *     instead of the reference's at-least-once per-row puts (ST7).
+  *
+  * Every function here takes/returns DataFrames so the same logic runs on
+  * a `readStream` source in production and on a `MemoryStream` in tests.
+  */
+object StreamIngest {
+
+  private val attrSchema = StructType(Seq(
+    StructField("type", StringType),
+    StructField("value", DoubleType),
+    StructField("observedAt", StringType)))
+
+  /** NGSI-LD notification envelope (FIXTURES.md §A streaming fixture). */
+  val notificationSchema: StructType = StructType(Seq(
+    StructField("data", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("temperature", attrSchema),
+      StructField("humidity", attrSchema),
+      StructField("brightness", attrSchema)))))))
+
+  /** JSON envelope column → one row per (entity, present sensor).
+    * Sparse attributes (`subscriber.py:58-60`) become a stack+filter:
+    * absent sensors drop out, mirroring the reference's sparse puts. */
+  def parseNotifications(df: DataFrame, jsonCol: String = "json"): DataFrame =
+    df.select(from_json(col(jsonCol), notificationSchema).as("n"))
+      .select(explode(col("n.data")).as("e"))
+      .select(col("e.id").as("entityid"), col("e.type").as("room"),
+        expr(
+          """stack(3,
+            |  'temperature', e.temperature.value, e.temperature.observedAt,
+            |  'humidity',    e.humidity.value,    e.humidity.observedAt,
+            |  'brightness',  e.brightness.value,  e.brightness.observedAt)
+            |AS (sensor, value, observed_at)""".stripMargin))
+      .filter(col("value").isNotNull)
+      .select(col("entityid"), col("room"), col("sensor"), col("value"),
+        to_timestamp(col("observed_at")).as("event_ts"),
+        current_timestamp().as("ingest_ts"))
+
+  /** Per-entity throttle (reference ST5): keep a reading only if its
+    * event time is ≥ `minGapMs` after the last kept reading of the same
+    * entity. State is one timestamp per live entity, evicted after
+    * `stateTtlMs` of inactivity. Works identically over batch and
+    * streaming Datasets (Spark executes `flatMapGroupsWithState` in both
+    * modes). Within a micro-batch, readings are folded in event-time
+    * order for determinism.
+    */
+  def throttle(readings: Dataset[SensorReading], minGapMs: Long,
+               stateTtlMs: Option[Long] = None): Dataset[SensorReading] = {
+    import readings.sparkSession.implicits._
+    // TTL eviction is opt-in: with ProcessingTimeTimeout Spark schedules
+    // continuous empty micro-batches to evaluate timeouts, which a
+    // processAllAvailable-style drain never settles under — so tests (and
+    // bounded-entity deployments) run with NoTimeout, while unbounded
+    // entity spaces pass Some(ttl) to bound state size.
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    readings.groupByKey(_.entityid)
+      .flatMapGroupsWithState[Long, SensorReading](
+        OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[SensorReading], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            var lastKept = state.getOption.getOrElse(Long.MinValue)
+            val kept = rows.toSeq.sortBy(_.event_ts.getTime).filter { r =>
+              val t = r.event_ts.getTime
+              val keep = lastKept == Long.MinValue || t - lastKept >= minGapMs
+              if (keep) lastKept = t
+              keep
+            }
+            if (kept.nonEmpty) state.update(lastKept)
+            kept.iterator
+          }
+      }
+  }
+
+  /** Streaming analog of reference Q2: watermarked hourly average per
+    * room — the stateful-aggregation demo (SURVEY.md §7.2 step 7). */
+  def hourlyAvg(readings: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), "1 hour").as("hour_window"), col("room"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_readings"))
+
+  /** Checkpointed exactly-once sink into a room-partitioned parquet table
+    * (the engine's analog of the reference's HBase writer, ST7). */
+  def startSink(readings: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readings.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("room")
+      .format("parquet")
+      .option("path", outPath)
+      .start()
+}

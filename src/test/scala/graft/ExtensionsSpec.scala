@@ -1,0 +1,84 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("exact dedup covers every document exactly once") {
+    val df = Dedup.dedupExact(spark, sf001).cache()
+    val total = df.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf001).count())
+    assert(df.select("keep_id").distinct().count() == df.count())
+    df.unpersist()
+  }
+
+  test("minhash emits one signature row per document, mates >= 1") {
+    val df = Dedup.dedupMinhash(spark, sf001).cache()
+    assert(df.count() == Tables.documents(spark, sf001).count())
+    assert(df.filter(col("n_sig_mates") < 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("minhash signatures are stable across runs") {
+    val a = Dedup.dedupMinhash(spark, sf001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.dedupMinhash(spark, sf001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("jaccard values stay in (0, 1]") {
+    val bad = Dedup.ngramJaccard(spark, sf001)
+      .filter(col("jaccard") <= 0 || col("jaccard") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("simhash buckets partition all documents") {
+    val df = Dedup.dedupSimhash(spark, sf001)
+    assert(df.count() == Tables.documents(spark, sf001).count())
+  }
+
+  test("knn brute: query vector is its own nearest neighbor at sim 1") {
+    val rows = Similarity.knnBrute(spark, sf001).collect()
+    assert(rows.length == 10)
+    assert(rows(0).getLong(0) == 0L && rows(0).getDouble(1) == 1.0)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ann lsh keeps every vector, even singleton buckets") {
+    val df = Similarity.annLsh(spark, sf001).cache()
+    assert(df.count() == Tables.embeddings(spark, sf001).count())
+    // where a neighbor exists its similarity is a valid cosine
+    assert(df.filter(col("nn_sim") > 1.0 || col("nn_sim") < -1.0).count() == 0)
+    df.unpersist()
+  }
+
+  test("text stats ratios are sane") {
+    val df = TextAnalysis.textStats(spark, sf001).cache()
+    assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(df.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
+    assert(df.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+    df.unpersist()
+  }
+
+  test("fingerprint is deterministic and within modulus") {
+    val a = TextAnalysis.fingerprint(spark, sf001).collect()
+    val b = TextAnalysis.fingerprint(spark, sf001).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 2147483647L))
+  }
+
+  test("fake frame decode is deterministic and slices correctly") {
+    val payload = ("x" * 200).getBytes("UTF-8")
+    val frames = Multimodal.fakeDecodeFrame(payload, 64).toSeq
+    assert(frames.map(_._1) == Seq(0, 1, 2, 3))
+    assert(frames.map(_._2) == Seq(64, 64, 64, 8))
+    assert(frames == Multimodal.fakeDecodeFrame(payload, 64).toSeq)
+  }
+
+  test("frame sample emits rows for every document") {
+    val df = Multimodal.frameSample(spark, sf001)
+    assert(df.select("doc_id").distinct().count() ==
+      Tables.documents(spark, sf001).count())
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("semi + anti partition the customer table") {
+    val semi = Relational.joinSemi(spark, sf001).count()
+    val anti = Relational.joinAnti(spark, sf001).count()
+    val total = Tables.customer(spark, sf001).count()
+    assert(semi + anti == total)
+  }
+
+  test("union all preserves row counts; union distinct dedups") {
+    val c = Tables.customer(spark, sf001).count()
+    val s = Tables.supplier(spark, sf001).count()
+    assert(Relational.unionAll(spark, sf001).count() == c + s)
+    assert(Relational.unionDistinct(spark, sf001).count() <= 25)
+  }
+
+  test("intersect and except are disjoint and cover customer nations") {
+    val inter = Relational.intersectKeys(spark, sf001).collect().map(_.getInt(0)).toSet
+    val exc = Relational.exceptKeys(spark, sf001).collect().map(_.getInt(0)).toSet
+    assert(inter.intersect(exc).isEmpty)
+    val custNations = Tables.customer(spark, sf001)
+      .select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    assert(inter.union(exc) == custNations)
+  }
+
+  test("topk is sorted descending and bounded") {
+    val rows = Relational.topK(spark, sf001).collect()
+    assert(rows.length == 15)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("window rank keeps at most 3 rows per customer") {
+    val df = Relational.windowRank(spark, sf001)
+    val maxPer = df.groupBy("o_custkey").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("rollup has grand total equal to order count") {
+    val grand = Relational.rollupOp(spark, sf001)
+      .filter(col("o_orderstatus").isNull && col("o_orderpriority").isNull)
+      .collect()
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n_orders") == Tables.orders(spark, sf001).count())
+  }
+
+  test("throttle dedup keeps at most one row per user-minute") {
+    val df = Relational.throttleDedup(spark, sf001)
+    val dups = df
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")))
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
+  test("seeded sample is deterministic") {
+    val a = Relational.sampleSeeded(spark, sf001).count()
+    val b = Relational.sampleSeeded(spark, sf001).count()
+    assert(a == b && a > 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.{SensorReading, StreamIngest}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamIngestSpec extends SparkSpec {
+
+  def notif(room: String, temp: Double, at: String): String =
+    s"""{"data":[{"id":"urn:ngsi-ld:$room:$room","type":"$room",
+       |"temperature":{"type":"Property","value":$temp,"observedAt":"$at"}}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("notification parsing flattens sparse attributes") {
+    import spark.implicits._
+    val df = Seq(
+      notif("Kitchen", 17.5, "2017-03-08T23:58:47+00:00"),
+      // entity with two sensors present
+      """{"data":[{"id":"urn:ngsi-ld:Room1:Room1","type":"Room1",
+        |"temperature":{"type":"Property","value":20.1,"observedAt":"2017-03-08T23:58:48+00:00"},
+        |"humidity":{"type":"Property","value":55.0,"observedAt":"2017-03-08T23:58:48+00:00"}}]}"""
+        .stripMargin.replace("\n", "")
+    ).toDF("json")
+    val parsed = StreamIngest.parseNotifications(df).cache()
+    assert(parsed.count() == 3) // 1 + 2 sparse attributes
+    val kitchen = parsed.filter(col("room") === "Kitchen").collect()
+    assert(kitchen.length == 1 && kitchen(0).getAs[Double]("value") == 17.5)
+    assert(parsed.filter(col("event_ts").isNull).count() == 0)
+    parsed.unpersist()
+  }
+
+  test("throttle keeps first reading per entity per gap (batch mode)") {
+    import spark.implicits._
+    def r(e: String, ms: Long) =
+      SensorReading(e, e, "temperature", 1.0, new Timestamp(ms))
+    val in = Seq(
+      r("A", 0), r("A", 10), r("A", 60), r("A", 100), // gaps: keep 0, 60, (100-60<50 drop)
+      r("B", 5) // other entity unaffected
+    ).toDS()
+    val kept = StreamIngest.throttle(in, minGapMs = 50).collect()
+      .map(x => (x.entityid, x.event_ts.getTime)).sorted.toSeq
+    assert(kept == Seq(("A", 0L), ("A", 60L), ("B", 5L)))
+  }
+
+  test("throttle over a memory stream honors state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = StreamIngest.throttle(mem.toDS(), minGapMs = 50)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+    def r(ms: Long) = SensorReading("A", "A", "temperature", 1.0, new Timestamp(ms))
+    mem.addData(r(0), r(20))   // batch 1: keep 0
+    q.processAllAvailable()
+    mem.addData(r(40), r(70))  // batch 2: 40 dropped (40-0<50), 70 kept
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT event_ts FROM throttled").collect()
+      .map(_.getTimestamp(0).getTime).sorted.toSeq
+    q.stop()
+    assert(kept == Seq(0L, 70L))
+  }
+
+  test("streaming hourly average aggregates by window and room") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = StreamIngest.parseNotifications(mem.toDF().toDF("json"))
+    val agg = StreamIngest.hourlyAvg(parsed)
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    mem.addData(
+      notif("Kitchen", 10.0, "2017-03-08T10:05:00+00:00"),
+      notif("Kitchen", 20.0, "2017-03-08T10:55:00+00:00"),
+      notif("Kitchen", 30.0, "2017-03-08T11:05:00+00:00"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT room, avg_value, n_readings FROM hourly ORDER BY avg_value")
+      .collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("avg_value") == 15.0 && rows(0).getAs[Long]("n_readings") == 2)
+    assert(rows(1).getAs[Double]("avg_value") == 30.0)
+  }
+}
