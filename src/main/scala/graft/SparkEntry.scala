@@ -30,6 +30,8 @@ object SparkEntry {
     "q_join_left"       -> (Relational.joinLeft _),
     "q_join_semi"       -> (Relational.joinSemi _),
     "q_join_anti"       -> (Relational.joinAnti _),
+    "q_join_right"      -> (Relational.joinRight _),
+    "q_cross_join"      -> (Relational.crossJoin _),
     "q_join_full"       -> (Relational.joinFull _),
     "q_join_multiway"   -> (Relational.joinMultiway _),
     "q_union_all"       -> (Relational.unionAll _),
@@ -84,6 +86,8 @@ object SparkEntry {
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
     "q_join_anti"       -> Relational.joinAntiSql,
+    "q_join_right"      -> Relational.joinRightSql,
+    "q_cross_join"      -> Relational.crossJoinSql,
     "q_join_full"       -> Relational.joinFullSql,
     "q_join_multiway"   -> Relational.joinMultiwaySql,
     "q_union_all"       -> Relational.unionAllSql,

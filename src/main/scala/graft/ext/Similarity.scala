@@ -19,12 +19,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cosine(a, b) in double precision via zip_with/aggregate folds —
-    * built-in higher-order functions, fully codegen'd, no UDF. */
-  private def cosine(a: String, b: String): Column = {
+  /** cosine(a, b) in double precision via higher-order folds — the
+    * pure-built-in formulation, kept as the reference implementation the
+    * native expression is tested against. */
+  def cosineHof(a: String, b: String): Column = {
     def dot(x: String, y: String) = expr(
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS DOUBLE) * cast(q AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** cosine(a, b) through the native fused-loop Catalyst expression
+    * (graft.functions.CosineSimilarity) — no intermediate arrays, stays in
+    * whole-stage codegen. Identical accumulation order to cosineHof. */
+  private def cosine(spark: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineSimilarity.register(spark)
+    expr(s"cosine_sim($a, $b)")
   }
 
   /** Brute-force cosine top-10 for one query vector (vec_id 0),
@@ -33,7 +42,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     emb.join(broadcast(q))
-      .select(col("vec_id"), Num.r4(cosine("embedding", "qe")).as("sim"))
+      .select(col("vec_id"), Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
@@ -62,7 +71,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
     emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        Num.r4(cosine("embedding", "qe")).as("sim"))
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -135,7 +144,7 @@ object Similarity {
         col("embedding").as("ne")).as("b"), Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("bucket"), col("nn_id"),
-        Num.r4(cosine("embedding", "ne")).as("nn_sim"))
+        Num.r4(cosine(spark, "embedding", "ne")).as("nn_sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("nn_sim"), asc("nn_id"))
     val best = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("vec_id"), col("nn_id"), col("nn_sim"))

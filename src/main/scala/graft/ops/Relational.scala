@@ -137,6 +137,31 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Right outer join (mirror of joinLeft, exercising the planner's
+    * right-side preservation). */
+  def joinRight(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+
+  val joinRightSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** Cartesian product of the two smallest dimensions. */
+  def crossJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).select(col("r_name"))
+      .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
+      .orderBy("r_name", "n_name")
+
+  val crossJoinSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   /** Full outer join of two aggregated sides (per-nation customer vs
     * supplier counts over filtered subsets so each side has gaps). */
   def joinFull(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog/table lifecycle operators — the engine analog of the
+  * reference's DDL surface (SURVEY.md S5/S6):
+  *
+  *   - reference S5: idempotent drop-if-exists + create per table
+  *     (`insert.py:49-62`, `subscriber.py:66-75`);
+  *   - reference S6: `CREATE EXTERNAL TABLE … STORED BY HBaseStorageHandler`
+  *     (`hive.py:29-44`) — here a managed/`path`-based parquet table in the
+  *     session catalog, partitioned instead of per-room physical tables.
+  *
+  * These run against the session catalog (in-memory by default, Hive
+  * metastore when the session enables it) — the DDL is identical either
+  * way, which is the point: the reference needed HBase+Hive plumbing for
+  * this; the engine needs one `saveAsTable`.
+  */
+object TableOps {
+
+  /** Idempotent reset: drop-if-exists then recreate from a DataFrame,
+    * partitioned by the given columns (the reference's six per-room
+    * tables become one partitioned table, SURVEY.md §1.3). */
+  def resetTable(spark: SparkSession, name: String, df: DataFrame,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .saveAsTable(name)
+  }
+
+  /** External-table registration over an existing parquet location
+    * (closest analog of the reference's external tables: metadata only,
+    * data stays in place). */
+  def registerExternal(spark: SparkSession, name: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+  }
+
+  /** Reference S11 (`hive.py:12-17`): engine config introspection. */
+  def versionInfo(spark: SparkSession): Seq[(String, String)] = Seq(
+    "spark.version" -> spark.version,
+    "scala.version" -> scala.util.Properties.versionNumberString)
+}

@@ -53,6 +53,28 @@ class ExtensionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("native cosine_sim matches the higher-order formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val both = emb.join(broadcast(q))
+      .select(col("vec_id"),
+        expr("cosine_sim(embedding, qe)").as("native"),
+        graft.ext.Similarity.cosineHof("embedding", "qe").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native cosine_sim is null-safe on mismatched or zero vectors") {
+    graft.functions.CosineSimilarity.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS mismatch,
+        |       cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS zero,
+        |       cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS nul""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("text stats ratios are sane") {
     val df = TextAnalysis.textStats(spark, sf001).cache()
     assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)

@@ -43,6 +43,21 @@ class IngestSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resetTable is idempotent and registerExternal overlays in place") {
+    import graft.sources.TableOps
+    val df = Tables.nation(spark, sf001)
+    TableOps.resetTable(spark, "nation_t", df)
+    TableOps.resetTable(spark, "nation_t", df) // second reset must not fail
+    assert(spark.table("nation_t").count() == df.count())
+    val out = java.nio.file.Files.createTempDirectory("graft_ext_tbl").toString
+    df.write.mode("overwrite").parquet(out)
+    TableOps.registerExternal(spark, "nation_ext", out)
+    assert(spark.table("nation_ext").count() == df.count())
+    assert(TableOps.versionInfo(spark).exists(_._1 == "spark.version"))
+    spark.sql("DROP TABLE IF EXISTS nation_t")
+    spark.sql("DROP TABLE IF EXISTS nation_ext")
+  }
+
   test("ingest writes a room-partitioned table readable back") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     CsvBatchIngest.ingest(spark, measurements, out, fraction = 0.1)
