@@ -43,6 +43,8 @@ object SparkEntry {
     "q_window_rank"     -> (Relational.windowRank _),
     "q_window_running"  -> (Relational.windowRunning _),
     "q_window_lag"      -> (Relational.windowLag _),
+    "q_window_rankings" -> (Relational.windowRankings _),
+    "q_array_funcs"     -> (Relational.arrayFuncs _),
     "q_rollup"          -> (Relational.rollupOp _),
     "q_grouping_sets"   -> (Relational.groupingSetsOp _),
     "q_having"          -> (Relational.havingOp _),
@@ -69,6 +71,7 @@ object SparkEntry {
     "e_knn_per_vec"     -> (ext.Similarity.knnPerVec _),
     "e_emb_stats"       -> (ext.Similarity.embStats _),
     "e_ann_lsh"         -> (ext.Similarity.annLsh _),
+    "e_cosine_dedup"    -> (ext.Similarity.cosineDedup _),
     "m_payload_meta"    -> (ext.Multimodal.payloadMeta _),
     "m_frame_sample"    -> (ext.Multimodal.frameSample _),
   )
@@ -99,6 +102,8 @@ object SparkEntry {
     "q_window_rank"     -> Relational.windowRankSql,
     "q_window_running"  -> Relational.windowRunningSql,
     "q_window_lag"      -> Relational.windowLagSql,
+    "q_window_rankings" -> Relational.windowRankingsSql,
+    "q_array_funcs"     -> Relational.arrayFuncsSql,
     "q_rollup"          -> Relational.rollupOpSql,
     "q_grouping_sets"   -> Relational.groupingSetsOpSql,
     "q_having"          -> Relational.havingOpSql,
@@ -119,6 +124,7 @@ object SparkEntry {
     "e_knn_brute"       -> ext.Similarity.knnBruteSql,
     "e_knn_per_vec"     -> ext.Similarity.knnPerVecSql,
     "e_emb_stats"       -> ext.Similarity.embStatsSql,
+    "e_cosine_dedup"    -> ext.Similarity.cosineDedupSql,
     "m_payload_meta"    -> ext.Multimodal.payloadMetaSql,
   )
 }

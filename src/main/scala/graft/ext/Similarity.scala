@@ -117,6 +117,35 @@ object Similarity {
       |       round(CAST(list_max(embedding) AS DOUBLE) + 1e-9, 4) AS max_val
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs (exact): all pairs with
+    * cosine ≥ 0.35, via self-join + the native expression. This is the
+    * verifier formulation the oracle can check; at 100 TB the same
+    * threshold test runs on LSH-bucket candidates (annLsh) instead of
+    * all pairs. */
+  def cosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim_raw", cosine(spark, "ea", "eb"))
+      .filter(col("sim_raw") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), Num.r4(col("sim_raw")).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val cosineDedupSql: String =
+    """WITH sims AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |         / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         AS sim_raw
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, round(sim_raw + 1e-9, 4) AS sim
+      |FROM sims WHERE sim_raw >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Random-hyperplane LSH — the approximate-NN scale path. 8 seeded
     * hyperplanes give a 256-bucket signature; each vector's nearest
     * neighbor is searched WITHIN its bucket only (candidate set ≈ n/256

@@ -357,6 +357,49 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** Ranking-function family: dense_rank / ntile / lead over one window. */
+  def windowRankings(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+  }
+
+  val windowRankingsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(dense_rank() OVER w AS INT) AS drank,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       lead(o_orderkey, 1) OVER w AS next_orderkey
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** Array scalar-function family over tokenized text. */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        concat_ws(" ", slice(sort_array(col("tokens")), 1, 5)).as("first5_sorted"),
+        array_contains(col("tokens"), "the").as("has_the"),
+        element_at(col("tokens"), 1).as("first_token"),
+        element_at(col("tokens"), -1).as("last_token"))
+      .orderBy("doc_id")
+
+  val arrayFuncsSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 5), ' ') AS first5_sorted,
+      |       list_contains(string_split(text, ' '), 'the') AS has_the,
+      |       string_split(text, ' ')[1] AS first_token,
+      |       string_split(text, ' ')[-1] AS last_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- rollup / grouping sets
 
   def rollupOp(spark: SparkSession, sfDir: String): DataFrame =

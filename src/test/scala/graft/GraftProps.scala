@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.streaming.{SensorReading, StreamIngest}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import java.sql.Timestamp
+
+/** Property-based checks (SURVEY.md §5 test plan). Spark-backed
+  * properties are capped at a small number of cases — each case is a
+  * full local job. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  // --- pure: fake frame decode -------------------------------------
+
+  property("fakeDecodeFrame covers min(len, 8*frameSize) bytes in order") =
+    forAll(Gen.choose(0, 2000), Gen.choose(1, 128)) { (len: Int, fs: Int) =>
+      val payload = Array.tabulate(len)(i => (i % 251).toByte)
+      val frames = Multimodal.fakeDecodeFrame(payload, fs).toSeq
+      val covered = frames.map(_._2).sum
+      covered == math.min(len, 8 * fs) &&
+        frames.map(_._1) == frames.indices &&
+        frames == Multimodal.fakeDecodeFrame(payload, fs).toSeq
+    }
+
+  // --- spark: throttle matches a sequential reference model --------
+
+  private def model(events: Seq[(String, Long)], gap: Long): Set[(String, Long)] =
+    events.groupBy(_._1).toSeq.flatMap { case (e, evs) =>
+      var last = Long.MinValue
+      evs.map(_._2).sorted.flatMap { t =>
+        if (last == Long.MinValue || t - last >= gap) { last = t; Some(e -> t) }
+        else None
+      }
+    }.toSet
+
+  private val eventsGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.oneOf("A", "B", "C"), Gen.choose(0L, 500L)))
+
+  property("throttle == sequential keep-first model (batch mode)") =
+    forAll(eventsGen, Gen.choose(1L, 200L)) { (events, gap) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      // de-dup identical (entity, ts) pairs: arrival order between equal
+      // timestamps is tie-broken arbitrarily in both model and engine
+      val uniq = events.distinct
+      val ds = uniq.map { case (e, t) =>
+        SensorReading(e, e, "temperature", 1.0, new Timestamp(t))
+      }.toDS()
+      val got = StreamIngest.throttle(ds, gap).collect()
+        .map(r => (r.entityid, r.event_ts.getTime)).toSet
+      Prop(got == model(uniq, gap)) :| s"events=$uniq gap=$gap got=$got expected=${model(uniq, gap)}"
+    }
+
+  // --- spark: minhash containment ----------------------------------
+
+  property("identical texts get identical minhash signatures") =
+    forAll(Gen.listOfN(8, Gen.oneOf("scan", "agg", "join", "row", "table"))) { words =>
+      words.size >= 3 ==> {
+        val spark = SparkSpec.session
+        import spark.implicits._
+        val text = words.mkString(" ")
+        // two docs with the same text must collide on every band
+        val df = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_prop").toString
+        df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        val sig = ext.Dedup.dedupMinhash(spark, tmp).collect()
+        Prop(sig.length == 2 &&
+          sig.forall(_.getAs[Long]("n_sig_mates") == 2L) &&
+          sig.map(_.getAs[Long]("band0")).distinct.length == 1)
+      }
+    }
+}
