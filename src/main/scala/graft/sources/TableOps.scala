@@ -37,6 +37,19 @@ object TableOps {
     spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
   }
 
+  /** Bucketed table write: co-locates rows by join key so that joins and
+    * aggregations between tables bucketed the same way need NO shuffle —
+    * the 100 TB replacement for repartitioning per query. Requires the
+    * session catalog (bucket metadata lives there). */
+  def resetBucketedTable(spark: SparkSession, name: String, df: DataFrame,
+                         bucketCol: String, nBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+  }
+
   /** Reference S11 (`hive.py:12-17`): engine config introspection. */
   def versionInfo(spark: SparkSession): Seq[(String, String)] = Seq(
     "spark.version" -> spark.version,

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.SkewTools
+import graft.sources.TableOps
+import org.apache.spark.sql.functions._
+
+/** Plan-shape tests for the 100 TB techniques in SCALING.md: salted
+  * joins must preserve results; bucketed joins must eliminate the
+  * shuffle. */
+class ScaleToolsSpec extends SparkSpec {
+
+  test("salted inner join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity", "l_linenumber")
+    val o = Tables.orders(spark, sf001).select(
+      col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"), "inner")
+    val salted = SkewTools.saltedInnerJoin(li, o, "l_orderkey", 8, col("l_linenumber"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("joining two same-bucketed tables plans without a shuffle") {
+    TableOps.resetBucketedTable(spark, "orders_b",
+      Tables.orders(spark, sf001), "o_custkey", 4)
+    TableOps.resetBucketedTable(spark, "customer_b",
+      Tables.customer(spark, sf001)
+        .withColumn("o_custkey", col("c_custkey")), "o_custkey", 4)
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b").hint("merge"), Seq("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+    val expected = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(joined.count() == expected)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+}

@@ -61,6 +61,53 @@ class StreamIngestSpec extends SparkSpec {
     assert(kept == Seq(0L, 70L))
   }
 
+  test("append-mode hourly agg finalizes on watermark and drops late data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = StreamIngest.hourlyAvg(
+      StreamIngest.parseNotifications(mem.toDF().toDF("json")))
+    val q = agg.writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    // hour-10 readings; watermark still inside the window → nothing emits
+    mem.addData(
+      notif("Kitchen", 10.0, "2017-03-08T10:05:00+00:00"),
+      notif("Kitchen", 20.0, "2017-03-08T10:55:00+00:00"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM hourly_append").count() == 0)
+    // event at 12:30 pushes the watermark (10 min) past 11:00 → the
+    // hour-10 window finalizes with avg 15
+    mem.addData(notif("Kitchen", 30.0, "2017-03-08T12:30:00+00:00"))
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT avg_value, n_readings FROM hourly_append").collect()
+    assert(emitted.length == 1 && emitted(0).getDouble(0) == 15.0 &&
+      emitted(0).getLong(1) == 2)
+    // a LATE hour-10 reading (behind the watermark) must be dropped
+    mem.addData(notif("Kitchen", 99.0, "2017-03-08T10:30:00+00:00"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM hourly_append").count() == 1)
+    q.stop()
+  }
+
+  test("checkpointed sink lands room-partitioned parquet") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = StreamIngest.parseNotifications(mem.toDF().toDF("json"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val q = StreamIngest.startSink(parsed, s"$base/data", s"$base/ckpt")
+    mem.addData(
+      notif("Kitchen", 17.5, "2017-03-08T23:58:47+00:00"),
+      notif("Room1", 20.0, "2017-03-08T23:58:48+00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$base/data")
+    assert(back.count() == 2)
+    assert(back.select("room").distinct().collect().map(_.getString(0)).toSet ==
+      Set("Kitchen", "Room1"))
+    assert(new java.io.File(s"$base/ckpt").exists())
+  }
+
   test("streaming hourly average aggregates by window and room") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
