@@ -56,6 +56,8 @@ object SparkEntry {
     "q_count_distinct"  -> (Relational.countDistinctOp _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q_correlated_subq" -> (Relational.correlatedSubquery _),
+    "q_stats_agg"       -> (Relational.statsAgg _),
     "q_throttle_dedup"  -> (Relational.throttleDedup _),
     "q_pivot"           -> (Relational.pivotOp _),
     "q_sample_seeded"   -> (Relational.sampleSeeded _),
@@ -114,6 +116,8 @@ object SparkEntry {
     "q_json_extract"    -> Relational.jsonExtractSql,
     "q_count_distinct"  -> Relational.countDistinctOpSql,
     "q_scalar_subquery" -> Relational.scalarSubquerySql,
+    "q_correlated_subq" -> Relational.correlatedSubquerySql,
+    "q_stats_agg"       -> Relational.statsAggSql,
     "q_throttle_dedup"  -> Relational.throttleDedupSql,
     "q_pivot"           -> Relational.pivotOpSql,
     "d_text_stats"      -> ext.TextAnalysis.textStatsSql,

@@ -499,7 +499,8 @@ object Relational {
         dayofmonth(col("o_orderdate")).as("order_day"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
-        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch"))
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
       .orderBy("o_orderkey")
 
   val dateFuncsSql: String =
@@ -509,7 +510,8 @@ object Relational {
       |       day(o_orderdate) AS order_day,
       |       date_trunc('month', o_orderdate) AS month_start,
       |       strftime(o_orderdate, '%Y-%m') AS ym,
-      |       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch
+      |       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
@@ -535,6 +537,48 @@ object Relational {
       |       round(pow(l_quantity, 2), 2) AS qty_sq
       |FROM lineitem WHERE l_orderkey <= 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Statistical aggregates: sample stddev/variance and exact
+    * interpolated median per group. */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Num.r4(stddev_samp(col("l_quantity"))).as("qty_stddev"),
+        Num.r4(var_samp(col("l_quantity"))).as("qty_var"),
+        Num.r4(expr("percentile(l_quantity, 0.5D)")).as("qty_median"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val statsAggSql: String =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity) + 1e-9, 4) AS qty_stddev,
+      |       round(var_samp(l_quantity) + 1e-9, 4) AS qty_var,
+      |       round(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS qty_median,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join — SURVEY.md §4 "subquery handling"): orders that
+    * exceed their own customer's average order value. */
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_corr")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_corr o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+        |                            FROM orders_corr i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
+      |                            FROM orders i
+      |                            WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
 
   // ------------------------------------------------------- json / misc
 
