@@ -45,6 +45,7 @@ object SparkEntry {
     "q_window_lag"      -> (Relational.windowLag _),
     "q_window_rankings" -> (Relational.windowRankings _),
     "q_array_funcs"     -> (Relational.arrayFuncs _),
+    "q_explode"         -> (Relational.explodeTokens _),
     "q_rollup"          -> (Relational.rollupOp _),
     "q_grouping_sets"   -> (Relational.groupingSetsOp _),
     "q_having"          -> (Relational.havingOp _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "e_knn_per_vec"     -> (ext.Similarity.knnPerVec _),
     "e_emb_stats"       -> (ext.Similarity.embStats _),
     "e_ann_lsh"         -> (ext.Similarity.annLsh _),
+    "e_ann_ivf"         -> (ext.Similarity.annIvf _),
     "e_cosine_dedup"    -> (ext.Similarity.cosineDedup _),
     "m_payload_meta"    -> (ext.Multimodal.payloadMeta _),
     "m_frame_sample"    -> (ext.Multimodal.frameSample _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "q_window_lag"      -> Relational.windowLagSql,
     "q_window_rankings" -> Relational.windowRankingsSql,
     "q_array_funcs"     -> Relational.arrayFuncsSql,
+    "q_explode"         -> Relational.explodeTokensSql,
     "q_rollup"          -> Relational.rollupOpSql,
     "q_grouping_sets"   -> Relational.groupingSetsOpSql,
     "q_having"          -> Relational.havingOpSql,

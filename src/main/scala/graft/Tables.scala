@@ -28,10 +28,18 @@ object Tables {
     * and could shift timestamps by a microsecond. DuckDB truncates ns→µs
     * the same way, so oracle comparisons line up exactly.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** `events` with `ts` still the raw nanosecond long from parquet.
+    * Time-range predicates meant to reach the scan (PushedFilters +
+    * row-group pruning) must be applied HERE, against the raw column —
+    * after the `timestamp_micros(ts div 1000)` conversion they sit on a
+    * derived column and cannot push down. See ReferenceQueries.q1. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

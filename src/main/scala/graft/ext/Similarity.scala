@@ -117,6 +117,36 @@ object Similarity {
       |       round(CAST(list_max(embedding) AS DOUBLE) + 1e-9, 4) AS max_val
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** IVF (inverted-file) approximate NN — the second scale path beside
+    * LSH: a seeded KMeans coarse quantizer assigns every vector to one of
+    * k cells; queries probe only their own cell, so exact scoring touches
+    * ≈ n/k candidates. Centroid training is a one-off batch job whose
+    * model broadcasts to the scoring stage. Rows-only check (float
+    * iteration order makes centroids engine-specific); the spec asserts
+    * structural invariants. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact): all pairs with
     * cosine ≥ 0.35, via self-join + the native expression. This is the
     * verifier formulation the oracle can check; at 100 TB the same

@@ -33,9 +33,18 @@ object ReferenceQueries {
     */
   def q1TimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val asOf = ev.agg(max(col("ts")).as("max_ts")) // 1 row
-    ev.join(broadcast(asOf))
-      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+    // Pin "now" by collecting the 1-row max to the driver and filtering
+    // with a LITERAL bound on the RAW nanosecond column, so the predicate
+    // reaches the parquet scan (PushedFilters + row-group min/max pruning
+    // — see PLANS.md). A broadcast-join formulation can't push (runtime
+    // column bound), and neither can a filter on the µs-converted column
+    // (derived expression). The µs-domain window `floor(r/1000) ≥ b` is
+    // exactly `r ≥ 1000·b` in ns, so results match the oracle bit-for-bit.
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+    val boundNs = (maxNs / 1000L - 3600L * 1000000L) * 1000L
+    raw.filter(col("ts") >= lit(boundNs))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("value"))
       .orderBy("event_id")
   }

@@ -538,6 +538,20 @@ object Relational {
       |FROM lineitem WHERE l_orderkey <= 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Generator/table-function family: positional explode of token arrays
+    * (1-based positions to align with the oracle's generate_subscripts). */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
+  val explodeTokensSql: String =
+    """SELECT doc_id,
+      |       CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+      |       unnest(string_split(text, ' ')) AS token
+      |FROM documents ORDER BY doc_id, pos""".stripMargin
+
   /** Statistical aggregates: sample stddev/variance and exact
     * interpolated median per group. */
   def statsAgg(spark: SparkSession, sfDir: String): DataFrame =

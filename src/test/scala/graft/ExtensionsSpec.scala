@@ -75,6 +75,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("ivf ann returns up to 3 in-cell neighbors per query with valid sims") {
+    val df = Similarity.annIvf(spark, sf001).cache()
+    assert(df.count() > 0)
+    val perQ = df.groupBy("q_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perQ <= 3)
+    assert(df.filter(col("sim") > 1.0 || col("sim") < -1.0).count() == 0)
+    // neighbors share the query's cell by construction
+    assert(df.select("q_id").distinct().count() <= 10)
+    df.unpersist()
+  }
+
   test("text stats ratios are sane") {
     val df = TextAnalysis.textStats(spark, sf001).cache()
     assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
