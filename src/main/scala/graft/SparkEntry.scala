@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_rankings" -> (Relational.windowRankings _),
     "q_array_funcs"     -> (Relational.arrayFuncs _),
     "q_explode"         -> (Relational.explodeTokens _),
+    "q_sessionize"      -> (Relational.sessionize _),
     "q_rollup"          -> (Relational.rollupOp _),
     "q_grouping_sets"   -> (Relational.groupingSetsOp _),
     "q_having"          -> (Relational.havingOp _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_window_rankings" -> Relational.windowRankingsSql,
     "q_array_funcs"     -> Relational.arrayFuncsSql,
     "q_explode"         -> Relational.explodeTokensSql,
+    "q_sessionize"      -> Relational.sessionizeSql,
     "q_rollup"          -> Relational.rollupOpSql,
     "q_grouping_sets"   -> Relational.groupingSetsOpSql,
     "q_having"          -> Relational.havingOpSql,

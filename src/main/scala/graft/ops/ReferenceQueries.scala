@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *     Spark's partial-aggregation summation order vs DuckDB's sequential
   *     order cannot flip the hash compare.
   *
-  * Scale notes: the pinned "now" is computed as a 1-row aggregate joined
-  * back with a broadcast — two columnar scans and zero shuffles of the big
-  * side. The hourly aggregations are partial (map-side) + final hash
-  * aggregates; CUBE expands 4 grouping sets in a single pass (`Expand`);
-  * the Q4 join is a broadcast-hash join of two ≤24-row aggregated sides.
+  * Scale notes: the pinned "now" is a driver-side scalar collect of a
+  * single-column max, after which the window predicate is a literal that
+  * pushes into the parquet scan (row-group pruning). The hourly
+  * aggregations are partial (map-side) + final hash aggregates; CUBE
+  * expands 4 grouping sets in a single pass (`Expand`); the Q4 join is a
+  * broadcast-hash join of two ≤24-row aggregated sides.
   */
 object ReferenceQueries {
 

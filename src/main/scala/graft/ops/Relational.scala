@@ -538,6 +538,46 @@ object Relational {
       |FROM lineitem WHERE l_orderkey <= 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Sessionization: split each user's event stream into sessions at
+    * >30-minute gaps (lag + cumulative sum of session-start flags — the
+    * batch formulation of what `session_window` does in streaming), then
+    * aggregate per session. Two windows over the same (user_id, ts)
+    * partitioning reuse one shuffle. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Num.r4(avg(col("value"))).as("avg_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts, 1) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** Generator/table-function family: positional explode of token arrays
     * (1-based positions to align with the oracle's generate_subscripts). */
   def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
