@@ -108,6 +108,27 @@ class StreamIngestSpec extends SparkSpec {
     assert(new java.io.File(s"$base/ckpt").exists())
   }
 
+  test("stream-static enrichment join attaches dimension attributes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("Kitchen", 1, "ground"), ("Room1", 2, "first"))
+      .toDF("room", "floor_no", "floor_name")
+    val mem = MemoryStream[String]
+    val enriched = StreamIngest.parseNotifications(mem.toDF().toDF("json"))
+      .join(broadcast(dim), Seq("room"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(
+      notif("Kitchen", 17.5, "2017-03-08T23:58:47+00:00"),
+      notif("Toilet", 1.0, "2017-03-08T23:58:48+00:00"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT room, floor_name FROM enriched ORDER BY room").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "Kitchen" && rows(0).getString(1) == "ground")
+    assert(rows(1).getString(0) == "Toilet" && rows(1).isNullAt(1)) // unmatched dim
+  }
+
   test("streaming hourly average aggregates by window and room") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
