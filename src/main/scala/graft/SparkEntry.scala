@@ -67,6 +67,8 @@ object SparkEntry {
     "d_text_stats"      -> (ext.TextAnalysis.textStats _),
     "d_lang_id"         -> (ext.TextAnalysis.langId _),
     "d_fingerprint"     -> (ext.TextAnalysis.fingerprint _),
+    "d_token_freq"      -> (ext.TextAnalysis.tokenFreq _),
+    "d_quality_filter"  -> (ext.TextAnalysis.qualityFilter _),
     "d_dedup_exact"     -> (ext.Dedup.dedupExact _),
     "d_dedup_minhash"   -> (ext.Dedup.dedupMinhash _),
     "d_dedup_simhash"   -> (ext.Dedup.dedupSimhash _),
@@ -128,6 +130,8 @@ object SparkEntry {
     "d_text_stats"      -> ext.TextAnalysis.textStatsSql,
     "d_lang_id"         -> ext.TextAnalysis.langIdSql,
     "d_fingerprint"     -> ext.TextAnalysis.fingerprintSql,
+    "d_token_freq"      -> ext.TextAnalysis.tokenFreqSql,
+    "d_quality_filter"  -> ext.TextAnalysis.qualityFilterSql,
     "d_dedup_exact"     -> ext.Dedup.dedupExactSql,
     "d_ngram_jaccard"   -> ext.Dedup.ngramJaccardSql,
     "e_knn_brute"       -> ext.Similarity.knnBruteSql,

@@ -97,6 +97,51 @@ object TextAnalysis {
       |            ELSE 'und' END AS pred_lang
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Corpus token statistics: document frequency and smoothed IDF for
+    * the 20 most common tokens. Inverted-index explode + count — one
+    * shuffle on the token, top-k via TakeOrderedAndProject. */
+  def tokenFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    docs.select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .withColumn("idf", Num.r4(log((lit(n) + 1.0) / (col("doc_freq") + 1.0))))
+      .orderBy(desc("doc_freq"), asc("token"))
+      .limit(20)
+  }
+
+  val tokenFreqSql: String =
+    """SELECT token, count(*) AS doc_freq,
+      |       round(ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1e-9, 4) AS idf
+      |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin
+
+  /** Composite quality filter — the keep/drop stage of a training-data
+    * pipeline, combining the textStats signals into one predicate. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("ttr",
+        size(array_distinct(col("tokens"))).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens").between(20, 100) && col("ttr") >= 0.25)
+      .select(col("doc_id"), col("n_tokens"), Num.r4(col("ttr")).as("ttr"))
+      .orderBy("doc_id")
+
+  val qualityFilterSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |             / len(string_split(text, ' ')) + 1e-9, 4) AS ttr
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) BETWEEN 20 AND 100
+      |  AND len(list_distinct(string_split(text, ' '))) * 1.0
+      |      / len(string_split(text, ' ')) >= 0.25
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over per-token codes
     * (token length and leading byte), mod a Mersenne prime. A pure
     * higher-order fold — codegen-friendly, shuffle-free. */
