@@ -47,6 +47,8 @@ object SparkEntry {
     "q_array_funcs"     -> (Relational.arrayFuncs _),
     "q_explode"         -> (Relational.explodeTokens _),
     "q_sessionize"      -> (Relational.sessionize _),
+    "q_collect_agg"     -> (Relational.collectAgg _),
+    "q_window_firstlast" -> (Relational.windowFirstLast _),
     "q_rollup"          -> (Relational.rollupOp _),
     "q_grouping_sets"   -> (Relational.groupingSetsOp _),
     "q_having"          -> (Relational.havingOp _),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q_array_funcs"     -> Relational.arrayFuncsSql,
     "q_explode"         -> Relational.explodeTokensSql,
     "q_sessionize"      -> Relational.sessionizeSql,
+    "q_collect_agg"     -> Relational.collectAggSql,
+    "q_window_firstlast" -> Relational.windowFirstLastSql,
     "q_rollup"          -> Relational.rollupOpSql,
     "q_grouping_sets"   -> Relational.groupingSetsOpSql,
     "q_having"          -> Relational.havingOpSql,

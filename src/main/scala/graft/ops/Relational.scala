@@ -538,6 +538,47 @@ object Relational {
       |FROM lineitem WHERE l_orderkey <= 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Array aggregation: collect_set per group, sorted and joined to a
+    * string so the comparison is order-deterministic across engines
+    * (raw collect_list order is partitioning-dependent). */
+  def collectAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy("r_name")
+
+  val collectAggSql: String =
+    """SELECT r_name,
+      |       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+      |       count(DISTINCT n_name) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Frame-bounded first/last: each order row annotated with its
+    * customer's first and latest order over the full partition frame. */
+  def windowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"),
+        last(col("o_orderkey")).over(w).as("last_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       first_value(o_orderkey) OVER w AS first_orderkey,
+      |       last_value(o_orderkey) OVER w AS last_orderkey
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * >30-minute gaps (lag + cumulative sum of session-start flags — the
     * batch formulation of what `session_window` does in streaming), then
