@@ -38,6 +38,8 @@ object SparkEntry {
     "q_union_distinct"  -> (Relational.unionDistinct _),
     "q_intersect"       -> (Relational.intersectKeys _),
     "q_except"          -> (Relational.exceptKeys _),
+    "q_intersect_all"   -> (Relational.intersectAllKeys _),
+    "q_except_all"      -> (Relational.exceptAllKeys _),
     "q_distinct"        -> (Relational.distinctOp _),
     "q_topk"            -> (Relational.topK _),
     "q_window_rank"     -> (Relational.windowRank _),
@@ -106,6 +108,8 @@ object SparkEntry {
     "q_union_distinct"  -> Relational.unionDistinctSql,
     "q_intersect"       -> Relational.intersectKeysSql,
     "q_except"          -> Relational.exceptKeysSql,
+    "q_intersect_all"   -> Relational.intersectAllKeysSql,
+    "q_except_all"      -> Relational.exceptAllKeysSql,
     "q_distinct"        -> Relational.distinctOpSql,
     "q_topk"            -> Relational.topKSql,
     "q_window_rank"     -> Relational.windowRankSql,

@@ -272,6 +272,31 @@ object Relational {
       |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
       |ORDER BY nationkey""".stripMargin
 
+  /** INTERSECT ALL — multiset semantics (duplicates preserved up to the
+    * minimum multiplicity on either side). */
+  def intersectAllKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val intersectAllKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT ALL
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT ALL — multiset difference. */
+  def exceptAllKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val exceptAllKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT ALL
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
   // --------------------------------------------------- distinct / top-k
 
   def distinctOp(spark: SparkSession, sfDir: String): DataFrame =
