@@ -56,6 +56,7 @@ object SparkEntry {
     "q_having"          -> (Relational.havingOp _),
     "q_case_when"       -> (Relational.caseWhen _),
     "q_string_funcs"    -> (Relational.stringFuncs _),
+    "q_like_filter"     -> (Relational.likeFilter _),
     "q_date_funcs"      -> (Relational.dateFuncs _),
     "q_math_funcs"      -> (Relational.mathFuncs _),
     "q_json_extract"    -> (Relational.jsonExtract _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_having"          -> Relational.havingOpSql,
     "q_case_when"       -> Relational.caseWhenSql,
     "q_string_funcs"    -> Relational.stringFuncsSql,
+    "q_like_filter"     -> Relational.likeFilterSql,
     "q_date_funcs"      -> Relational.dateFuncsSql,
     "q_math_funcs"      -> Relational.mathFuncsSql,
     "q_json_extract"    -> Relational.jsonExtractSql,

@@ -515,6 +515,21 @@ object Relational {
       |       regexp_replace(c_name, '0', '', 'g') AS name_nozero
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Pattern predicates: LIKE and regexp matching with extraction. */
+  def likeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_type").like("%ECO%") || col("p_name").rlike("^(red|blue)"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  val likeFilterSql: String =
+    """SELECT p_partkey, p_name, p_type,
+      |       COALESCE(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num
+      |FROM part
+      |WHERE p_type LIKE '%ECO%' OR regexp_matches(p_name, '^(red|blue)')
+      |ORDER BY p_partkey""".stripMargin
+
   def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
