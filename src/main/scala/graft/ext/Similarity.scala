@@ -176,6 +176,82 @@ object Similarity {
       |FROM sims WHERE sim_raw >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Deterministic pseudo-random hyperplane component: Knuth
+    * multiplicative hash scaled to [-0.5, 0.5). Pure integer arithmetic
+    * plus an exact power-of-two division, so the DuckDB oracle reproduces
+    * the exact same plane values bit-for-bit (no RNG-stream dependence). */
+  private def lshPlaneComponent(idx: Int): Double =
+    ((idx.toLong * 2654435761L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  /** Embedding near-duplicate pairs via multi-table hyperplane LSH — the
+    * scale-safe formulation of `cosineDedup` (VERDICT r1 item 2): 16 hash
+    * tables × 4 hyperplanes each; a pair is a candidate iff it shares a
+    * bucket in ANY table (recall ≈ 1-(1-(1-θ/π)⁴)¹⁶ — ~0.76 of all-pairs
+    * at the 0.35 threshold on the fixture, rising with similarity), and
+    * only candidates get exact cosine scoring. No unbucketed self-join
+    * anywhere: the pair join is keyed on (table, bucket), so candidate
+    * volume is Σ_buckets n_b²/2 instead of n²/2. Deterministic planes make
+    * this fully oracle-checkable — the DuckDB twin replays the identical
+    * algorithm (same planes, same fold order) rather than all-pairs. */
+  def cosineDedupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val numTables = 16
+    val planesPerTable = 4
+    val emb = Tables.embeddings(spark, sfDir)
+    val planesCol = array((0 until numTables * planesPerTable).map { j =>
+      array((0 until 64).map(i => lit(lshPlaneComponent(j * 64 + i))): _*)
+    }: _*)
+    val buckets = emb
+      .withColumn("planes", planesCol)
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${numTables - 1}), t ->
+             |  aggregate(sequence(0, ${planesPerTable - 1}), 0, (acc, p) ->
+             |    acc + IF(aggregate(zip_with(planes[t * $planesPerTable + p], embedding,
+             |                (x, y) -> x * cast(y AS DOUBLE)), 0D, (a, v) -> a + v) > 0D,
+             |          shiftleft(1, p), 0)))""".stripMargin)).as(Seq("t", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("sim_raw", cosine(spark, "ea", "eb"))
+      .filter(col("sim_raw") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), Num.r4(col("sim_raw")).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val cosineDedupLshSql: String =
+    """WITH b0 AS (
+      |  SELECT vec_id, embedding, unnest(range(0, 16)) AS t
+      |  FROM embeddings),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |    list_sum(list_transform(range(0, 4), p ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |          ((CAST(((t*4+p)*64+i) * 2654435761 AS BIGINT) % 2147483648) / 2147483648.0 - 0.5)
+      |          * CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE))) > 0
+      |        THEN (1 << p) ELSE 0 END)) AS bucket
+      |  FROM b0),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT vec_a, vec_b,
+      |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    / sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS sim_raw
+      |  FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
+      |             JOIN embeddings eb ON eb.vec_id = vec_b)
+      |SELECT vec_a, vec_b, round(sim_raw + 1e-9, 4) AS sim
+      |FROM sims WHERE sim_raw >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Random-hyperplane LSH — the approximate-NN scale path. 8 seeded
     * hyperplanes give a 256-bucket signature; each vector's nearest
     * neighbor is searched WITHIN its bucket only (candidate set ≈ n/256

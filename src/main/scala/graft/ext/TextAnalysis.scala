@@ -102,11 +102,15 @@ object TextAnalysis {
     * shuffle on the token, top-k via TakeOrderedAndProject. */
   def tokenFreq(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count()
+    // Corpus size N joins in as a broadcast 1-row aggregate, so the whole
+    // operator is a single job (no separate driver-side count() action).
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     docs.select(explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("doc_freq"))
-      .withColumn("idf", Num.r4(log((lit(n) + 1.0) / (col("doc_freq") + 1.0))))
+      .crossJoin(n)
+      .withColumn("idf", Num.r4(log((col("n_docs") + 1.0) / (col("doc_freq") + 1.0))))
+      .drop("n_docs")
       .orderBy(desc("doc_freq"), asc("token"))
       .limit(20)
   }

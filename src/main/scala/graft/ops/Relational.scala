@@ -650,8 +650,8 @@ object Relational {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
-      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-      |                                   ORDER BY ts, event_id) AS session_id
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id,
       |       min(ts) AS session_start, max(ts) AS session_end,
@@ -746,13 +746,27 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** HyperLogLog++ approximate distinct — the 100 TB path where exact
-    * distinct would shuffle every key. No DuckDB oracle (sketch values are
-    * engine-specific); the driver records a rows-only check. */
+    * distinct would shuffle every key. Raw sketch estimates are
+    * engine-specific, so the oracle-checked contract is the ERROR BOUND:
+    * the query emits the exact count plus a boolean asserting the HLL++
+    * estimate (rsd 0.02) landed within 10 % of it (5σ — deterministic for
+    * all practical purposes), and the DuckDB twin emits the same exact
+    * count with TRUE. A hash mismatch would mean the sketch violated its
+    * own accuracy guarantee. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")).cast("double") / col("n_users") <= 0.1)
+          .as("within_10pct"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |       TRUE AS within_10pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Scalar subquery: orders above the global average price. */
   def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -806,10 +820,28 @@ object Relational {
       |FROM events GROUP BY hour(ts) ORDER BY hour_bucket""".stripMargin
 
   /** Seeded Bernoulli sample (reference T5, `insert.py:79-81`). RNG streams
-    * differ across engines — rows-only check, no oracle. */
+    * differ across engines — rows-only check, no oracle; `sampleHash` below
+    * is the oracle-checkable twin. */
   def sampleSeeded(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .sample(withReplacement = false, 0.5, 42)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  /** Portable deterministic hash sample: keep rows whose md5 of the
+    * primary key falls below a fixed hex prefix (0x1a/0x100 ≈ 10.2 %).
+    * Unlike a Bernoulli RNG stream this selects the SAME row set on every
+    * engine and every partitioning — the property that makes sampled
+    * pipelines reproducible across backends — so it gets a full oracle. */
+  def sampleHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+        .cast("binary")) < "1a")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val sampleHashSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) < '1a'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

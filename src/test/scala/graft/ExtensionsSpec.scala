@@ -32,6 +32,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("df cap drops stopword-only candidate pairs but keeps true near-dups") {
+    import spark.implicits._
+    // 20 docs all sharing the stopword "the"; docs 0/1 are real near-dups
+    // through their content tokens, everything else is pairwise disjoint.
+    val docs = (0 until 20).map { i =>
+      val content =
+        if (i <= 1) "alpha beta gamma delta epsilon zeta"
+        else (0 until 6).map(j => s"tok${i}_$j").mkString(" ")
+      (i.toLong, s"the $content")
+    }.toDF("doc_id", "text")
+    // Cap at 0.5·N: "the" (df = 20) is excluded from candidate generation,
+    // content tokens (df <= 2) survive — so the only candidate pair is the
+    // near-dup one, instead of all 190 stopword-driven pairs.
+    val capped = Dedup.ngramJaccardOnDocs(docs, maxDfFrac = 0.5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // The surviving pair's Jaccard is exact (7 shared / 7 union incl "the").
+    assert(capped(0).getDouble(2) == 1.0)
+  }
+
+  test("lsh cosine dedup is a subset of all-pairs with matching sims") {
+    val all = Similarity.cosineDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineDedupLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    // Every LSH pair exists in the exact result with the identical score …
+    lsh.foreach { case (pair, sim) => assert(all.get(pair).contains(sim)) }
+    // … and the 16-table OR recovers a solid share of the exact pairs.
+    val recall = lsh.length.toDouble / all.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("simhash buckets partition all documents") {
     val df = Dedup.dedupSimhash(spark, sf001)
     assert(df.count() == Tables.documents(spark, sf001).count())

@@ -62,4 +62,24 @@ class RelationalSpec extends SparkSpec {
     val b = Relational.sampleSeeded(spark, sf001).count()
     assert(a == b && a > 0)
   }
+
+  test("hash sample keeps ~10% of rows, engine- and partitioning-independent") {
+    val total = Tables.lineitem(spark, sf001).count()
+    val kept = Relational.sampleHash(spark, sf001).count()
+    val frac = kept.toDouble / total
+    // expected fraction is exactly 0x1a/0x100 = 10.16%, binomial spread
+    assert(frac > 0.07 && frac < 0.14, s"fraction $frac")
+    // same row set under a different partitioning
+    val repart = Tables.lineitem(spark, sf001).repartition(7)
+      .filter(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws("-",
+          col("l_orderkey"), col("l_linenumber")).cast("binary")) < "1a").count()
+    assert(repart == kept)
+  }
+
+  test("approx distinct estimate lands inside its advertised error bound") {
+    val rows = Relational.approxDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)))
+  }
 }
