@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{asc_nulls_first, col}
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -8,6 +9,13 @@ import graft.ops._
   * has an entry in `queries`; those expressible in ANSI SQL have a DuckDB
   * oracle in `oracleSql` with IDENTICAL output column names (the driver
   * sorts columns by name before hashing).
+  *
+  * Library operators return UNSORTED DataFrames — a global presentation
+  * sort is protocol overhead nobody should pay at 100 TB. The driver's
+  * hash compare, however, needs a deterministic row order, so this
+  * registry (and only it) appends each query's output orderBy. Queries
+  * whose ordering IS the semantics (top-k: q_topk, e_knn_brute,
+  * d_token_freq) are registered bare.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -16,78 +24,90 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.joinMultiway(spark, "/root/testdata/sf0.001")
 
+  private type Q = (SparkSession, String) => DataFrame
+  /** Protocol adapter: append the deterministic presentation sort the
+    * driver's row-order-sensitive hash needs. */
+  private def srt(fn: Q, keys: Column*): Q = (s, d) => fn(s, d).orderBy(keys: _*)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference surface (hive.py Q1-Q4 over events) —
-    "q1_time_filter" -> (ReferenceQueries.q1TimeFilter _),
-    "q2_hourly_avg"  -> (ReferenceQueries.q2HourlyAvg _),
-    "q3_union_cube"  -> (ReferenceQueries.q3UnionCube _),
-    "q4_join_aggs"   -> (ReferenceQueries.q4JoinAggs _),
+    "q1_time_filter" -> srt(ReferenceQueries.q1TimeFilter _, col("event_id")),
+    "q2_hourly_avg"  -> srt(ReferenceQueries.q2HourlyAvg _, col("hour_bucket")),
+    "q3_union_cube"  -> srt(ReferenceQueries.q3UnionCube _,
+      asc_nulls_first("room"), asc_nulls_first("hour_bucket")),
+    "q4_join_aggs"   -> srt(ReferenceQueries.q4JoinAggs _, col("hour_bucket")),
     // — generalized relational surface (SURVEY.md §7.2 step 6) —
-    "q_agg_pricing"     -> (Relational.aggPricing _),
-    "q_filter_range"    -> (Relational.filterRange _),
-    "q_join_inner"      -> (Relational.joinInner _),
-    "q_join_left"       -> (Relational.joinLeft _),
-    "q_join_semi"       -> (Relational.joinSemi _),
-    "q_join_anti"       -> (Relational.joinAnti _),
-    "q_join_right"      -> (Relational.joinRight _),
-    "q_cross_join"      -> (Relational.crossJoin _),
-    "q_join_full"       -> (Relational.joinFull _),
-    "q_join_multiway"   -> (Relational.joinMultiway _),
-    "q_union_all"       -> (Relational.unionAll _),
-    "q_union_distinct"  -> (Relational.unionDistinct _),
-    "q_intersect"       -> (Relational.intersectKeys _),
-    "q_except"          -> (Relational.exceptKeys _),
-    "q_intersect_all"   -> (Relational.intersectAllKeys _),
-    "q_except_all"      -> (Relational.exceptAllKeys _),
-    "q_distinct"        -> (Relational.distinctOp _),
+    "q_agg_pricing"     -> srt(Relational.aggPricing _, col("l_returnflag"), col("l_linestatus")),
+    "q_filter_range"    -> srt(Relational.filterRange _, col("l_orderkey"), col("l_linenumber")),
+    "q_join_inner"      -> srt(Relational.joinInner _, col("o_orderkey")),
+    "q_join_left"       -> srt(Relational.joinLeft _,
+      asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey")),
+    "q_join_semi"       -> srt(Relational.joinSemi _, col("c_custkey")),
+    "q_join_anti"       -> srt(Relational.joinAnti _, col("c_custkey")),
+    "q_join_right"      -> srt(Relational.joinRight _,
+      asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey")),
+    "q_cross_join"      -> srt(Relational.crossJoin _, col("r_name"), col("n_name")),
+    "q_join_full"       -> srt(Relational.joinFull _, asc_nulls_first("nationkey")),
+    "q_join_multiway"   -> srt(Relational.joinMultiway _, col("r_name")),
+    "q_union_all"       -> srt(Relational.unionAll _, col("src"), col("nationkey"), col("name")),
+    "q_union_distinct"  -> srt(Relational.unionDistinct _, col("nationkey")),
+    "q_intersect"       -> srt(Relational.intersectKeys _, col("nationkey")),
+    "q_except"          -> srt(Relational.exceptKeys _, col("nationkey")),
+    "q_intersect_all"   -> srt(Relational.intersectAllKeys _, col("nationkey")),
+    "q_except_all"      -> srt(Relational.exceptAllKeys _, col("nationkey")),
+    "q_distinct"        -> srt(Relational.distinctOp _, col("c_mktsegment"), col("c_nationkey")),
     "q_topk"            -> (Relational.topK _),
-    "q_window_rank"     -> (Relational.windowRank _),
-    "q_window_running"  -> (Relational.windowRunning _),
-    "q_window_lag"      -> (Relational.windowLag _),
-    "q_window_rankings" -> (Relational.windowRankings _),
-    "q_array_funcs"     -> (Relational.arrayFuncs _),
-    "q_explode"         -> (Relational.explodeTokens _),
-    "q_sessionize"      -> (Relational.sessionize _),
-    "q_collect_agg"     -> (Relational.collectAgg _),
-    "q_window_firstlast" -> (Relational.windowFirstLast _),
-    "q_rollup"          -> (Relational.rollupOp _),
-    "q_grouping_sets"   -> (Relational.groupingSetsOp _),
-    "q_having"          -> (Relational.havingOp _),
-    "q_case_when"       -> (Relational.caseWhen _),
-    "q_string_funcs"    -> (Relational.stringFuncs _),
-    "q_like_filter"     -> (Relational.likeFilter _),
-    "q_date_funcs"      -> (Relational.dateFuncs _),
-    "q_math_funcs"      -> (Relational.mathFuncs _),
-    "q_json_extract"    -> (Relational.jsonExtract _),
-    "q_count_distinct"  -> (Relational.countDistinctOp _),
-    "q_approx_distinct" -> (Relational.approxDistinct _),
-    "q_scalar_subquery" -> (Relational.scalarSubquery _),
-    "q_correlated_subq" -> (Relational.correlatedSubquery _),
-    "q_stats_agg"       -> (Relational.statsAgg _),
-    "q_throttle_dedup"  -> (Relational.throttleDedup _),
-    "q_pivot"           -> (Relational.pivotOp _),
-    "q_sample_seeded"   -> (Relational.sampleSeeded _),
-    "q_sample_hash"     -> (Relational.sampleHash _),
+    "q_window_rank"     -> srt(Relational.windowRank _, col("o_custkey"), col("rn")),
+    "q_window_running"  -> srt(Relational.windowRunning _, col("o_custkey"), col("o_orderkey")),
+    "q_window_lag"      -> srt(Relational.windowLag _,
+      asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey")),
+    "q_window_rankings" -> srt(Relational.windowRankings _,
+      asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey")),
+    "q_array_funcs"     -> srt(Relational.arrayFuncs _, col("doc_id")),
+    "q_explode"         -> srt(Relational.explodeTokens _, col("doc_id"), col("pos")),
+    "q_sessionize"      -> srt(Relational.sessionize _, col("user_id"), col("session_id")),
+    "q_collect_agg"     -> srt(Relational.collectAgg _, col("r_name")),
+    "q_window_firstlast" -> srt(Relational.windowFirstLast _, col("o_custkey"), col("o_orderkey")),
+    "q_rollup"          -> srt(Relational.rollupOp _,
+      asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    "q_grouping_sets"   -> srt(Relational.groupingSetsOp _,
+      asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    "q_having"          -> srt(Relational.havingOp _, col("o_custkey")),
+    "q_case_when"       -> srt(Relational.caseWhen _, col("bucket")),
+    "q_string_funcs"    -> srt(Relational.stringFuncs _, col("c_custkey")),
+    "q_like_filter"     -> srt(Relational.likeFilter _, col("p_partkey")),
+    "q_date_funcs"      -> srt(Relational.dateFuncs _, col("o_orderkey")),
+    "q_math_funcs"      -> srt(Relational.mathFuncs _, col("l_orderkey"), col("l_linenumber")),
+    "q_json_extract"    -> srt(Relational.jsonExtract _, col("event_type")),
+    "q_count_distinct"  -> srt(Relational.countDistinctOp _, col("event_type")),
+    "q_approx_distinct" -> srt(Relational.approxDistinct _, col("event_type")),
+    "q_scalar_subquery" -> srt(Relational.scalarSubquery _, col("o_orderkey")),
+    "q_correlated_subq" -> srt(Relational.correlatedSubquery _, col("o_orderkey")),
+    "q_stats_agg"       -> srt(Relational.statsAgg _, col("l_returnflag")),
+    "q_throttle_dedup"  -> srt(Relational.throttleDedup _, col("event_id")),
+    "q_pivot"           -> srt(Relational.pivotOp _, col("hour_bucket")),
+    "q_sample_seeded"   -> srt(Relational.sampleSeeded _, col("l_orderkey"), col("l_linenumber")),
+    "q_sample_hash"     -> srt(Relational.sampleHash _, col("l_orderkey"), col("l_linenumber")),
     // — LLM-data-pipeline extensions (SURVEY.md §7.2 step 8) —
-    "d_text_stats"      -> (ext.TextAnalysis.textStats _),
-    "d_lang_id"         -> (ext.TextAnalysis.langId _),
-    "d_fingerprint"     -> (ext.TextAnalysis.fingerprint _),
+    "d_text_stats"      -> srt(ext.TextAnalysis.textStats _, col("doc_id")),
+    "d_lang_id"         -> srt(ext.TextAnalysis.langId _, col("doc_id")),
+    "d_fingerprint"     -> srt(ext.TextAnalysis.fingerprint _, col("doc_id")),
     "d_token_freq"      -> (ext.TextAnalysis.tokenFreq _),
-    "d_quality_filter"  -> (ext.TextAnalysis.qualityFilter _),
-    "d_dedup_exact"     -> (ext.Dedup.dedupExact _),
-    "d_dedup_minhash"   -> (ext.Dedup.dedupMinhash _),
-    "d_dedup_simhash"   -> (ext.Dedup.dedupSimhash _),
-    "d_ngram_jaccard"   -> (ext.Dedup.ngramJaccard _),
+    "d_quality_filter"  -> srt(ext.TextAnalysis.qualityFilter _, col("doc_id")),
+    "d_dedup_exact"     -> srt(ext.Dedup.dedupExact _, col("keep_id")),
+    "d_dedup_minhash"   -> srt(ext.Dedup.dedupMinhash _, col("doc_id")),
+    "d_dedup_simhash"   -> srt(ext.Dedup.dedupSimhash _, col("doc_id")),
+    "d_ngram_jaccard"   -> srt(ext.Dedup.ngramJaccard _, col("doc_a"), col("doc_b")),
     "e_knn_brute"       -> (ext.Similarity.knnBrute _),
-    "e_knn_per_vec"     -> (ext.Similarity.knnPerVec _),
-    "e_emb_stats"       -> (ext.Similarity.embStats _),
-    "e_ann_lsh"         -> (ext.Similarity.annLsh _),
-    "e_ann_ivf"         -> (ext.Similarity.annIvf _),
-    "e_cosine_dedup"    -> (ext.Similarity.cosineDedup _),
-    "e_cosine_dedup_lsh" -> (ext.Similarity.cosineDedupLsh _),
-    "m_payload_meta"    -> (ext.Multimodal.payloadMeta _),
-    "m_frame_sample"    -> (ext.Multimodal.frameSample _),
+    "e_knn_per_vec"     -> srt(ext.Similarity.knnPerVec _, col("q_id"), col("rank")),
+    "e_emb_stats"       -> srt(ext.Similarity.embStats _, col("vec_id")),
+    "e_ann_lsh"         -> srt(ext.Similarity.annLsh _, col("vec_id")),
+    "e_ann_ivf"         -> srt(ext.Similarity.annIvf _, col("q_id"), col("rank")),
+    "e_cosine_dedup"    -> srt(ext.Similarity.cosineDedup _, col("vec_a"), col("vec_b")),
+    "e_cosine_dedup_lsh" -> srt(ext.Similarity.cosineDedupLsh _, col("vec_a"), col("vec_b")),
+    "m_payload_meta"    -> srt(ext.Multimodal.payloadMeta _, col("doc_id")),
+    "m_frame_sample"    -> srt(ext.Multimodal.frameSample _, col("doc_id"), col("frame_idx")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

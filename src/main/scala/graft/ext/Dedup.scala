@@ -25,7 +25,6 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("fingerprint"), col("n_copies"))
-      .orderBy("keep_id")
 
   val dedupExactSql: String =
     """SELECT min(doc_id) AS keep_id, sha256(text) AS fingerprint,
@@ -65,7 +64,6 @@ object Dedup {
         concat_ws(",", (0 until 16).map(j => col(s"m$j")): _*).as("sig_key"))
       .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"),
         count(lit(1)).over(Window.partitionBy(col("sig_key"))).as("n_sig_mates"))
-      .orderBy("doc_id")
   }
 
   /** SimHash: 64-bit signature from per-token hash bit votes; documents
@@ -88,7 +86,6 @@ object Dedup {
       .withColumn("bucket", expr("shiftright(simhash, 48)"))
       .select(col("doc_id"), col("simhash"), col("bucket"),
         count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_bucket_mates"))
-      .orderBy("doc_id")
 
   /** Exact n-gram (distinct unigram) Jaccard over candidate pairs via an
     * inverted-index join — the verifier stage of near-dedup, oracle-checked.
@@ -139,7 +136,6 @@ object Dedup {
       .filter(col("jaccard_raw") >= 0.8)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardSql: String =

@@ -32,7 +32,6 @@ object Multimodal {
         (lit(64) + pmod(col("n_chars"), lit(512))).as("width"),
         (lit(64) + pmod(col("n_chars") * 7, lit(512))).as("height"),
         lit(3).as("channels"))
-      .orderBy("doc_id")
 
   val payloadMetaSql: String =
     """SELECT doc_id,
@@ -88,7 +87,6 @@ object Multimodal {
         }
       }
     }(rowEncoder)
-      .orderBy("doc_id", "frame_idx")
   }
 
   val frameSampleSql: String =

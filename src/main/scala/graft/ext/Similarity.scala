@@ -75,7 +75,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .orderBy("q_id", "rank")
   }
 
   val knnPerVecSql: String =
@@ -106,7 +105,6 @@ object Similarity {
         Num.r4(expr("aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS DOUBLE))")
           / size(col("embedding"))).as("mean_val"),
         Num.r4(array_max(col("embedding")).cast("double")).as("max_val"))
-      .orderBy("vec_id")
 
   val embStatsSql: String =
     """SELECT vec_id, label,
@@ -144,7 +142,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("sim"))
-      .orderBy("q_id", "rank")
   }
 
   /** Embedding-cosine near-duplicate pairs (exact): all pairs with
@@ -160,7 +157,6 @@ object Similarity {
       .withColumn("sim_raw", cosine(spark, "ea", "eb"))
       .filter(col("sim_raw") >= 0.35)
       .select(col("vec_a"), col("vec_b"), Num.r4(col("sim_raw")).as("sim"))
-      .orderBy("vec_a", "vec_b")
   }
 
   val cosineDedupSql: String =
@@ -221,7 +217,6 @@ object Similarity {
       .withColumn("sim_raw", cosine(spark, "ea", "eb"))
       .filter(col("sim_raw") >= 0.35)
       .select(col("vec_a"), col("vec_b"), Num.r4(col("sim_raw")).as("sim"))
-      .orderBy("vec_a", "vec_b")
   }
 
   val cosineDedupLshSql: String =
@@ -290,6 +285,5 @@ object Similarity {
       .join(counts, Seq("bucket"), "left")
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("n_bucket"), col("nn_id"), col("nn_sim"))
-      .orderBy("vec_id")
   }
 }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * identification (stopword-profile + script heuristic), and document
   * fingerprinting (polynomial rolling hash).
   *
-  * All of these are narrow per-row projections — no shuffle at all except
-  * the final presentation orderBy, so they scale linearly with input
-  * splits at 100 TB. Everything stays inside whole-stage codegen
-  * (built-in + higher-order functions only; no UDFs).
+  * All of these are narrow per-row projections — no shuffle at all (the
+  * oracle protocol's presentation sort lives in SparkEntry, not here), so
+  * they scale linearly with input splits at 100 TB. Everything stays
+  * inside whole-stage codegen (built-in + higher-order functions only; no
+  * UDFs).
   */
 object TextAnalysis {
 
@@ -36,7 +37,6 @@ object TextAnalysis {
           .cast("double") / size(col("tokens"))).as("stopword_ratio"),
         Num.r4(size(array_distinct(col("tokens"))).cast("double") / size(col("tokens")))
           .as("ttr"))
-      .orderBy("doc_id")
 
   val textStatsSql: String =
     """SELECT doc_id,
@@ -76,7 +76,6 @@ object TextAnalysis {
           .when(col("es_hits") > col("en_hits"), "es")
           .when(col("en_hits") > 0, "en")
           .otherwise("und"))
-      .orderBy("doc_id")
   }
 
   val langIdSql: String =
@@ -133,7 +132,6 @@ object TextAnalysis {
         size(array_distinct(col("tokens"))).cast("double") / col("n_tokens"))
       .filter(col("n_tokens").between(20, 100) && col("ttr") >= 0.25)
       .select(col("doc_id"), col("n_tokens"), Num.r4(col("ttr")).as("ttr"))
-      .orderBy("doc_id")
 
   val qualityFilterSql: String =
     """SELECT doc_id,
@@ -157,7 +155,6 @@ object TextAnalysis {
             |  transform(split(text, ' '), t -> cast(length(t) * 31 + ascii(t) AS BIGINT)),
             |  cast(0 AS BIGINT),
             |  (acc, x) -> (acc * 131 + x) % 2147483647)""".stripMargin).as("fp"))
-      .orderBy("doc_id")
 
   val fingerprintSql: String =
     """SELECT doc_id,

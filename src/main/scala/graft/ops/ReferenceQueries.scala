@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * Determinism notes (SURVEY.md §7.4):
   *   - the reference's `unix_timestamp()` "now" (hive.py:53) is pinned to
   *     `max(ts)` of the table so the DuckDB oracle sees the same window;
-  *   - every query ends with an explicit orderBy on its output columns;
+  *   - queries return unsorted results; `SparkEntry` appends the explicit
+  *     output orderBy the oracle protocol needs;
   *   - floating aggregates are rounded to 4 decimals on BOTH sides so that
   *     Spark's partial-aggregation summation order vs DuckDB's sequential
   *     order cannot flip the hash compare.
@@ -47,7 +48,6 @@ object ReferenceQueries {
     raw.filter(col("ts") >= lit(boundNs))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("value"))
-      .orderBy("event_id")
   }
 
   val q1Sql: String =
@@ -60,7 +60,6 @@ object ReferenceQueries {
     Tables.events(spark, sfDir)
       .groupBy(hour(col("ts")).as("hour_bucket"))
       .agg(Num.r4(avg(col("value"))).as("avg_value"))
-      .orderBy("hour_bucket")
 
   val q2Sql: String =
     """SELECT hour(ts) AS hour_bucket, round(avg(value) + 1e-9, 4) AS avg_value
@@ -81,7 +80,6 @@ object ReferenceQueries {
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"),
         count(lit(1)).as("count_readings"))
-      .orderBy(asc_nulls_first("room"), asc_nulls_first("hour_bucket"))
 
   val q3Sql: String =
     """SELECT event_type AS room, hour(ts) AS hour_bucket,
@@ -106,7 +104,6 @@ object ReferenceQueries {
         .agg(Num.r4(avg(col("value"))).as(outCol))
     hourly("click", "avg_click")
       .join(hourly("purchase", "avg_purchase"), Seq("hour_bucket"), "inner")
-      .orderBy("hour_bucket")
   }
 
   val q4Sql: String =

@@ -22,8 +22,10 @@ import org.apache.spark.sql.expressions.Window
   *   - floating aggregates are rounded (2 decimals for price sums, 4 for
   *     averages/ratios) identically in Spark and the oracle so the hash
   *     compare is immune to summation-order ulps;
-  *   - every query ends in a deterministic orderBy (ASC NULLS FIRST to
-  *     match the oracle's pinned NULLS FIRST).
+  *   - operators return UNSORTED results (row order is presentation, not
+  *     computation — no global sort is paid at 100 TB); the deterministic
+  *     orderBy the oracle protocol needs is applied by `SparkEntry`'s
+  *     registry, except where ordering IS the semantics (top-k).
   */
 object Relational {
 
@@ -41,7 +43,6 @@ object Relational {
         Num.r4(avg(col("l_quantity"))).as("avg_qty"),
         Num.r4(avg(col("l_extendedprice"))).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   val aggPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -68,7 +69,6 @@ object Relational {
         col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val filterRangeSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
@@ -87,7 +87,6 @@ object Relational {
       .join(Tables.customer(spark, sfDir),
         col("o_custkey") === col("c_custkey"), "inner")
       .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
-      .orderBy("o_orderkey")
 
   val joinInnerSql: String =
     """SELECT o_orderkey, c_name, o_totalprice
@@ -101,7 +100,6 @@ object Relational {
       .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000),
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
 
   val joinLeftSql: String =
     """SELECT c_custkey, c_name, o_orderkey, o_totalprice
@@ -115,7 +113,6 @@ object Relational {
       .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   val joinSemiSql: String =
     """SELECT c_custkey, c_name FROM customer
@@ -129,7 +126,6 @@ object Relational {
       .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   val joinAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
@@ -144,7 +140,6 @@ object Relational {
       .join(Tables.customer(spark, sfDir),
         col("o_custkey") === col("c_custkey"), "right")
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
 
   val joinRightSql: String =
     """SELECT c_custkey, c_name, o_orderkey, o_totalprice
@@ -156,7 +151,6 @@ object Relational {
   def crossJoin(spark: SparkSession, sfDir: String): DataFrame =
     Tables.region(spark, sfDir).select(col("r_name"))
       .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
-      .orderBy("r_name", "n_name")
 
   val crossJoinSql: String =
     """SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -174,7 +168,6 @@ object Relational {
       .groupBy(col("s_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n_supps"))
     cust.join(supp, Seq("nationkey"), "full")
-      .orderBy(asc_nulls_first("nationkey"))
   }
 
   val joinFullSql: String =
@@ -199,7 +192,6 @@ object Relational {
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("r_name")
 
   val joinMultiwaySql: String =
     """SELECT r_name,
@@ -238,7 +230,6 @@ object Relational {
     Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
       .union(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
       .distinct()
-      .orderBy("nationkey")
 
   val unionDistinctSql: String =
     """SELECT c_nationkey AS nationkey FROM customer
@@ -251,7 +242,6 @@ object Relational {
     Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
       .intersect(Tables.supplier(spark, sfDir)
         .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
 
   val intersectKeysSql: String =
     """SELECT c_nationkey AS nationkey FROM customer
@@ -264,7 +254,6 @@ object Relational {
     Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
       .except(Tables.supplier(spark, sfDir)
         .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
 
   val exceptKeysSql: String =
     """SELECT DISTINCT c_nationkey AS nationkey FROM customer
@@ -277,7 +266,6 @@ object Relational {
   def intersectAllKeys(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
       .intersectAll(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
 
   val intersectAllKeysSql: String =
     """SELECT c_nationkey AS nationkey FROM customer
@@ -289,7 +277,6 @@ object Relational {
   def exceptAllKeys(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
       .exceptAll(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
 
   val exceptAllKeysSql: String =
     """SELECT c_nationkey AS nationkey FROM customer
@@ -303,7 +290,6 @@ object Relational {
     Tables.customer(spark, sfDir)
       .select(col("c_mktsegment"), col("c_nationkey"))
       .distinct()
-      .orderBy("c_mktsegment", "c_nationkey")
 
   val distinctOpSql: String =
     """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
@@ -331,7 +317,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy("o_custkey", "rn")
   }
 
   val windowRankSql: String =
@@ -351,7 +336,6 @@ object Relational {
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"),
         round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   val windowRunningSql: String =
@@ -370,7 +354,6 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
           .as("days_since_prev"))
-      .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
   }
 
   val windowLagSql: String =
@@ -391,7 +374,6 @@ object Relational {
         dense_rank().over(w).as("drank"),
         ntile(4).over(w).as("quartile"),
         lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
-      .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
   }
 
   val windowRankingsSql: String =
@@ -414,7 +396,6 @@ object Relational {
         array_contains(col("tokens"), "the").as("has_the"),
         element_at(col("tokens"), 1).as("first_token"),
         element_at(col("tokens"), -1).as("last_token"))
-      .orderBy("doc_id")
 
   val arrayFuncsSql: String =
     """SELECT doc_id,
@@ -432,7 +413,6 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_price"))
-      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val rollupOpSql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
@@ -447,8 +427,7 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total_price
         |FROM orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
   }
 
   val groupingSetsOpSql: String =
@@ -466,7 +445,6 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_spend"))
       .filter(col("n_orders") >= 15)
-      .orderBy("o_custkey")
 
   val havingOpSql: String =
     """SELECT o_custkey, count(*) AS n_orders,
@@ -482,7 +460,6 @@ object Relational {
           .otherwise("large").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy("bucket")
 
   val caseWhenSql: String =
     """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
@@ -503,7 +480,6 @@ object Relational {
         substring(col("c_name"), 1, 8).as("name_prefix"),
         concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg_nation"),
         regexp_replace(col("c_name"), "0", "").as("name_nozero"))
-      .orderBy("c_custkey")
 
   val stringFuncsSql: String =
     """SELECT c_custkey,
@@ -521,7 +497,6 @@ object Relational {
       .filter(col("p_type").like("%ECO%") || col("p_name").rlike("^(red|blue)"))
       .select(col("p_partkey"), col("p_name"), col("p_type"),
         regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
-      .orderBy("p_partkey")
 
   val likeFilterSql: String =
     """SELECT p_partkey, p_name, p_type,
@@ -541,7 +516,6 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"))
-      .orderBy("o_orderkey")
 
   val dateFuncsSql: String =
     """SELECT o_orderkey,
@@ -565,7 +539,6 @@ object Relational {
         round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
         round(log(col("l_extendedprice")), 4).as("price_ln"),
         round(pow(col("l_quantity"), 2), 2).as("qty_sq"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val mathFuncsSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -588,7 +561,6 @@ object Relational {
       .agg(
         array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
         countDistinct(col("n_name")).as("n_nations"))
-      .orderBy("r_name")
 
   val collectAggSql: String =
     """SELECT r_name,
@@ -607,7 +579,6 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         first(col("o_orderkey")).over(w).as("first_orderkey"),
         last(col("o_orderkey")).over(w).as("last_orderkey"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   val windowFirstLastSql: String =
@@ -638,7 +609,6 @@ object Relational {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         Num.r4(avg(col("value"))).as("avg_value"))
-      .orderBy("user_id", "session_id")
   }
 
   val sessionizeSql: String =
@@ -665,7 +635,6 @@ object Relational {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("token"))
-      .orderBy("doc_id", "pos")
 
   val explodeTokensSql: String =
     """SELECT doc_id,
@@ -683,7 +652,6 @@ object Relational {
         Num.r4(var_samp(col("l_quantity"))).as("qty_var"),
         Num.r4(expr("percentile(l_quantity, 0.5D)")).as("qty_median"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
 
   val statsAggSql: String =
     """SELECT l_returnflag,
@@ -703,8 +671,7 @@ object Relational {
         |FROM orders_corr o
         |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
         |                            FROM orders_corr i
-        |                            WHERE i.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
+        |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
 
   val correlatedSubquerySql: String =
@@ -725,7 +692,6 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(Num.r4(avg(col("k_val"))).as("avg_k"),
         count(lit(1)).as("n_events"))
-      .orderBy("event_type")
 
   val jsonExtractSql: String =
     """SELECT event_type,
@@ -739,7 +705,6 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
-      .orderBy("event_type")
 
   val countDistinctOpSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -761,7 +726,6 @@ object Relational {
       .select(col("event_type"), col("n_users"),
         (abs(col("approx_users") - col("n_users")).cast("double") / col("n_users") <= 0.1)
           .as("within_10pct"))
-      .orderBy("event_type")
 
   val approxDistinctSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users,
@@ -775,7 +739,6 @@ object Relational {
     o.join(broadcast(avgPrice))
       .filter(col("o_totalprice") > col("avg_price"))
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy("o_orderkey")
   }
 
   val scalarSubquerySql: String =
@@ -793,7 +756,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("ts"))
-      .orderBy("event_id")
   }
 
   val throttleDedupSql: String =
@@ -808,7 +770,6 @@ object Relational {
       .groupBy(hour(col("ts")).as("hour_bucket"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(Num.r4(avg(col("value"))))
-      .orderBy("hour_bucket")
 
   val pivotOpSql: String =
     """SELECT hour(ts) AS hour_bucket,
@@ -826,7 +787,6 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .sample(withReplacement = false, 0.5, 42)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Portable deterministic hash sample: keep rows whose md5 of the
     * primary key falls below a fixed hex prefix (0x1a/0x100 ≈ 10.2 %).
@@ -838,7 +798,6 @@ object Relational {
       .filter(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))
         .cast("binary")) < "1a")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val sampleHashSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
