@@ -89,6 +89,8 @@ object SparkEntry {
     "q_pivot"           -> srt(Relational.pivotOp _, col("hour_bucket")),
     "q_sample_seeded"   -> srt(Relational.sampleSeeded _, col("l_orderkey"), col("l_linenumber")),
     "q_sample_hash"     -> srt(Relational.sampleHash _, col("l_orderkey"), col("l_linenumber")),
+    "q_asof_join"       -> srt(Relational.asofJoin _, col("event_id")),
+    "q_range_join"      -> srt(Relational.rangeJoin _, col("band")),
     // — LLM-data-pipeline extensions (SURVEY.md §7.2 step 8) —
     "d_text_stats"      -> srt(ext.TextAnalysis.textStats _, col("doc_id")),
     "d_lang_id"         -> srt(ext.TextAnalysis.langId _, col("doc_id")),
@@ -99,6 +101,7 @@ object SparkEntry {
     "d_dedup_minhash"   -> srt(ext.Dedup.dedupMinhash _, col("doc_id")),
     "d_dedup_simhash"   -> srt(ext.Dedup.dedupSimhash _, col("doc_id")),
     "d_ngram_jaccard"   -> srt(ext.Dedup.ngramJaccard _, col("doc_a"), col("doc_b")),
+    "d_dedup_groups"    -> srt(ext.Dedup.dedupGroups _, col("doc_id")),
     "e_knn_brute"       -> (ext.Similarity.knnBrute _),
     "e_knn_per_vec"     -> srt(ext.Similarity.knnPerVec _, col("q_id"), col("rank")),
     "e_emb_stats"       -> srt(ext.Similarity.embStats _, col("vec_id")),
@@ -156,6 +159,8 @@ object SparkEntry {
     "q_count_distinct"  -> Relational.countDistinctOpSql,
     "q_approx_distinct" -> Relational.approxDistinctSql,
     "q_sample_hash"     -> Relational.sampleHashSql,
+    "q_asof_join"       -> Relational.asofJoinSql,
+    "q_range_join"      -> Relational.rangeJoinSql,
     "q_scalar_subquery" -> Relational.scalarSubquerySql,
     "q_correlated_subq" -> Relational.correlatedSubquerySql,
     "q_stats_agg"       -> Relational.statsAggSql,
@@ -168,6 +173,7 @@ object SparkEntry {
     "d_quality_filter"  -> ext.TextAnalysis.qualityFilterSql,
     "d_dedup_exact"     -> ext.Dedup.dedupExactSql,
     "d_ngram_jaccard"   -> ext.Dedup.ngramJaccardSql,
+    "d_dedup_groups"    -> ext.Dedup.dedupGroupsSql,
     "e_knn_brute"       -> ext.Similarity.knnBruteSql,
     "e_knn_per_vec"     -> ext.Similarity.knnPerVecSql,
     "e_emb_stats"       -> ext.Similarity.embStatsSql,

@@ -156,4 +156,79 @@ object Dedup {
       |JOIN sz sb ON sb.doc_id = doc_b
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-duplicate GROUPS — the dedup endgame: connected components over
+    * the exact-Jaccard pair graph, so transitively-linked near-dups
+    * collapse into one group (keep `group_id`, drop the rest). Spark-first
+    * formulation: iterative min-label propagation — every doc starts
+    * labeled with its own id; each round, every doc takes the minimum of
+    * its own and its neighbors' labels (one join + partial-agg min, keyed
+    * on doc id); converged when a round changes nothing. Rounds ≈ graph
+    * diameter (near-dup graphs are clique-like, so 2-3 in practice); at
+    * trillion-edge scale the alternating large-star/small-star variant
+    * halves rounds, but the per-round dataflow is identical. The driver
+    * loop's per-round `count()` is the convergence check every iterative
+    * distributed CC needs — it is not a data collect. The DuckDB twin is
+    * a recursive transitive-closure CTE: same components, independently
+    * computed. */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .cache()
+    var changed = 1L
+    while (changed > 0) {
+      val fromNbrs = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(fromNbrs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label").as("group_id"))
+      .agg(count(lit(1)).as("group_size"))
+    val out = labels.select(col("doc_id"), col("label").as("group_id"))
+      .join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size"))
+    edges.unpersist()
+    out
+  }
+
+  val dedupGroupsSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN docs sa ON sa.doc_id = doc_a
+      |  JOIN docs sb ON sb.doc_id = doc_b
+      |  WHERE i * 1.0 / (len(sa.toks) + len(sb.toks) - i) >= 0.8),
+      |e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+      |SELECT doc_id, group_id,
+      |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+      |FROM (SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -803,4 +803,73 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) < '1a'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** As-of join: each click event annotated with the same user's most
+    * recent purchase value at-or-before its timestamp. Spark has no ASOF
+    * JOIN operator, and the naive range-join formulation
+    * (`a.ts >= b.ts` + per-row max) explodes to O(|A|·|B|) per user — so
+    * this is the scalable UNION + window formulation instead: tag both
+    * sides, sort each user's merged timeline once (a single shuffle on
+    * user_id), and carry the last non-null purchase value forward with a
+    * running `last(ignoreNulls)` frame. Purchases are pre-aggregated per
+    * (user, ts) so ties are deterministic on both engines. The DuckDB twin
+    * is its native ASOF LEFT JOIN — same semantics, independent plan. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("p_value"), lit(0).as("is_click"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("p_value"), lit(1).as("is_click"))
+    // Purchases sort before clicks at equal ts, so "at-or-before" is
+    // inclusive — matching ASOF's a.ts >= b.ts bound.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_value",
+        last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_value"))
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (SELECT user_id, ts, max(value) AS p_value
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, p.p_value AS last_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY event_id""".stripMargin
+
+  /** Range (band) join: classify orders into price bands by interval
+    * predicate against a tiny broadcast dimension — the plan is a
+    * BroadcastNestedLoopJoin (each row tests |bands| intervals), which is
+    * the right physical strategy when the band table is small; an
+    * equi-bucketed pre-bin would replace it if the band count grew. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("small", 0.0, 100000.0),
+      ("mid", 100000.0, 300000.0),
+      ("large", 300000.0, 1.0e9)).toDF("band", "lo", "hi")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT band, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |JOIN (VALUES ('small', 0.0, 100000.0),
+      |             ('mid', 100000.0, 300000.0),
+      |             ('large', 300000.0, 1000000000.0)) AS bands(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
 }

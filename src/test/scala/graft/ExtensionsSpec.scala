@@ -64,6 +64,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("dedup groups form a partition consistent with the pair graph") {
+    val groups = Dedup.dedupGroups(spark, sf001).cache()
+    val nDocs = Tables.documents(spark, sf001).count()
+    // every document appears exactly once
+    assert(groups.count() == nDocs)
+    assert(groups.select("doc_id").distinct().count() == nDocs)
+    val labels = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group_id is the component minimum, so it labels itself
+    assert(labels.values.toSet.forall(g => labels(g) == g))
+    // every near-dup pair ends up in the same group (edge consistency)
+    val pairs = Dedup.ngramJaccard(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across groups")
+    }
+    groups.unpersist()
+  }
+
   test("simhash buckets partition all documents") {
     val df = Dedup.dedupSimhash(spark, sf001)
     assert(df.count() == Tables.documents(spark, sf001).count())

@@ -82,4 +82,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getBoolean(2)))
   }
+
+  test("asof join matches a per-row sequential lookup") {
+    val ev = Tables.events(spark, sf001)
+      .select("event_type", "event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getTimestamp(3).getTime, r.getDouble(4)))
+    // model: per user, max purchase value per ts, then latest <= click ts
+    val purchases = ev.filter(_._1 == "purchase")
+      .groupBy(_._3).view.mapValues(_.groupBy(_._4).view.mapValues(_.map(_._5).max).toSeq.sortBy(_._1)).toMap
+    val expected = ev.filter(_._1 == "click").map { c =>
+      val prior = purchases.getOrElse(c._3, Seq.empty).filter(_._1 <= c._4)
+      c._2 -> (if (prior.isEmpty) None else Some(prior.maxBy(_._1)._2))
+    }.toMap
+    val got = Relational.asofJoin(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, v) => assert(got(id) == v, s"event $id") }
+  }
+
+  test("range join bands cover every order exactly once") {
+    val bands = Relational.rangeJoin(spark, sf001).collect()
+    assert(bands.map(_.getString(0)).sorted.toSeq == Seq("large", "mid", "small"))
+    assert(bands.map(_.getLong(1)).sum == Tables.orders(spark, sf001).count())
+  }
 }
