@@ -115,6 +115,44 @@ object StreamIngest {
       .groupBy(window(col("event_ts"), "1 hour").as("hour_window"), col("room"))
       .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_readings"))
 
+  /** Streaming sessionization — the `session_window` twin of the batch
+    * `Relational.sessionize` operator: per-entity sessions close after
+    * `gap` of event-time silence, and the watermark finalizes (and bounds
+    * the state of) sessions whose gap has conclusively passed. Append mode
+    * emits each session exactly once, on close. */
+  def sessionAgg(readings: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_ts", watermark)
+      .groupBy(session_window(col("event_ts"), gap).as("session"), col("entityid"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("entityid"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("avg_value"))
+
+  /** Stream-stream interval join: correlate each left-stream reading with
+    * right-stream readings of the same entity in the trailing `lookback`
+    * event-time window. Both sides carry watermarks and the join condition
+    * carries the time bound, so Spark can evict buffered state once the
+    * watermark passes — without the bound the state would grow with the
+    * stream. The streaming counterpart of the batch as-of/range joins. */
+  def correlate(left: DataFrame, right: DataFrame,
+      watermark: String = "10 minutes",
+      lookback: String = "5 minutes"): DataFrame = {
+    val l = left.select(col("entityid"), col("sensor").as("l_sensor"),
+      col("value").as("l_value"), col("event_ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("entityid").as("r_entityid"), col("sensor").as("r_sensor"),
+      col("value").as("r_value"), col("event_ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("entityid") === col("r_entityid") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l_ts"),
+      "inner")
+      .select(col("entityid"), col("l_sensor"), col("l_value"), col("l_ts"),
+        col("r_sensor"), col("r_value"), col("r_ts"))
+  }
+
   /** Checkpointed exactly-once sink into a room-partitioned parquet table
     * (the engine's analog of the reference's HBase writer, ST7). */
   def startSink(readings: DataFrame, outPath: String, checkpoint: String)

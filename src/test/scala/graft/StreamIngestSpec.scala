@@ -129,6 +129,63 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(1).getString(0) == "Toilet" && rows(1).isNullAt(1)) // unmatched dim
   }
 
+  test("session_window agg closes sessions on gap and finalizes on watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = StreamIngest.sessionAgg(
+      StreamIngest.parseNotifications(mem.toDF().toDF("json")),
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // two readings 10 min apart -> one session; nothing emits while the
+    // watermark is inside the session's close horizon
+    mem.addData(
+      notif("Kitchen", 10.0, "2017-03-08T10:00:00+00:00"),
+      notif("Kitchen", 20.0, "2017-03-08T10:10:00+00:00"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sessions").count() == 0)
+    // an event far past the gap pushes the watermark beyond 10:40+10m,
+    // closing the first session (2 events, avg 15) exactly once
+    mem.addData(notif("Kitchen", 30.0, "2017-03-08T12:00:00+00:00"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT entityid, n_events, avg_value FROM sessions").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 15.0)
+  }
+
+  test("stream-stream interval join buffers within the lookback only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def tnotif(room: String, sensor: String, v: Double, at: String): String =
+      s"""{"data":[{"id":"urn:ngsi-ld:$room:$room","type":"$room",
+         |"$sensor":{"type":"Property","value":$v,"observedAt":"$at"}}]}"""
+        .stripMargin.replace("\n", "")
+    val memL = MemoryStream[String]
+    val memR = MemoryStream[String]
+    val joined = StreamIngest.correlate(
+      StreamIngest.parseNotifications(memL.toDF().toDF("json"))
+        .filter(col("sensor") === "temperature"),
+      StreamIngest.parseNotifications(memR.toDF().toDF("json"))
+        .filter(col("sensor") === "humidity"),
+      watermark = "10 minutes", lookback = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    memR.addData(
+      tnotif("Kitchen", "humidity", 40.0, "2017-03-08T10:00:00+00:00"), // in window
+      tnotif("Kitchen", "humidity", 50.0, "2017-03-08T09:50:00+00:00")) // too old
+    memL.addData(tnotif("Kitchen", "temperature", 21.5, "2017-03-08T10:03:00+00:00"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT l_value, r_value FROM correlated").collect()
+    q.stop()
+    // only the humidity reading within the 5-minute lookback joins
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(0) == 21.5 && rows(0).getDouble(1) == 40.0)
+  }
+
   test("streaming hourly average aggregates by window and room") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
