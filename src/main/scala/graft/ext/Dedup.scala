@@ -178,23 +178,27 @@ object Dedup {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .cache()
-    var labels = Tables.documents(spark, sfDir)
+    var cached = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("doc_id").as("label"))
       .cache()
+    var labels = cached
     var changed = 1L
     while (changed > 0) {
       val fromNbrs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // The update and the convergence flag come out of ONE join — the
+      // per-round count() action materializes both.
       val next = labels.join(fromNbrs, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("lowered"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("lowered")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("label"))
     }
     val sizes = labels.groupBy(col("label").as("group_id"))
       .agg(count(lit(1)).as("group_size"))
