@@ -96,6 +96,7 @@ object SparkEntry {
     "d_lang_id"         -> srt(ext.TextAnalysis.langId _, col("doc_id")),
     "d_fingerprint"     -> srt(ext.TextAnalysis.fingerprint _, col("doc_id")),
     "d_token_freq"      -> (ext.TextAnalysis.tokenFreq _),
+    "d_ngram_counts"    -> (ext.TextAnalysis.ngramCounts _),
     "d_quality_filter"  -> srt(ext.TextAnalysis.qualityFilter _, col("doc_id")),
     "d_dedup_exact"     -> srt(ext.Dedup.dedupExact _, col("keep_id")),
     "d_dedup_minhash"   -> srt(ext.Dedup.dedupMinhash _, col("doc_id")),
@@ -105,12 +106,14 @@ object SparkEntry {
     "e_knn_brute"       -> (ext.Similarity.knnBrute _),
     "e_knn_per_vec"     -> srt(ext.Similarity.knnPerVec _, col("q_id"), col("rank")),
     "e_emb_stats"       -> srt(ext.Similarity.embStats _, col("vec_id")),
+    "e_centroids"       -> srt(ext.Similarity.centroids _, col("label"), col("dim")),
     "e_ann_lsh"         -> srt(ext.Similarity.annLsh _, col("vec_id")),
     "e_ann_ivf"         -> srt(ext.Similarity.annIvf _, col("q_id"), col("rank")),
     "e_cosine_dedup"    -> srt(ext.Similarity.cosineDedup _, col("vec_a"), col("vec_b")),
     "e_cosine_dedup_lsh" -> srt(ext.Similarity.cosineDedupLsh _, col("vec_a"), col("vec_b")),
     "m_payload_meta"    -> srt(ext.Multimodal.payloadMeta _, col("doc_id")),
     "m_frame_sample"    -> srt(ext.Multimodal.frameSample _, col("doc_id"), col("frame_idx")),
+    "m_feature_extract" -> srt(ext.Multimodal.featureExtract _, col("doc_id"), col("bin")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +173,7 @@ object SparkEntry {
     "d_lang_id"         -> ext.TextAnalysis.langIdSql,
     "d_fingerprint"     -> ext.TextAnalysis.fingerprintSql,
     "d_token_freq"      -> ext.TextAnalysis.tokenFreqSql,
+    "d_ngram_counts"    -> ext.TextAnalysis.ngramCountsSql,
     "d_quality_filter"  -> ext.TextAnalysis.qualityFilterSql,
     "d_dedup_exact"     -> ext.Dedup.dedupExactSql,
     "d_ngram_jaccard"   -> ext.Dedup.ngramJaccardSql,
@@ -177,9 +181,11 @@ object SparkEntry {
     "e_knn_brute"       -> ext.Similarity.knnBruteSql,
     "e_knn_per_vec"     -> ext.Similarity.knnPerVecSql,
     "e_emb_stats"       -> ext.Similarity.embStatsSql,
+    "e_centroids"       -> ext.Similarity.centroidsSql,
     "e_cosine_dedup"    -> ext.Similarity.cosineDedupSql,
     "e_cosine_dedup_lsh" -> ext.Similarity.cosineDedupLshSql,
     "m_payload_meta"    -> ext.Multimodal.payloadMetaSql,
     "m_frame_sample"    -> ext.Multimodal.frameSampleSql,
+    "m_feature_extract" -> ext.Multimodal.featureExtractSql,
   )
 }

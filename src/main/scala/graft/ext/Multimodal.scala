@@ -89,6 +89,51 @@ object Multimodal {
     }(rowEncoder)
   }
 
+  /** STUB feature extractor: a real pipeline would run an image/audio
+    * featurizer here; this deterministic fake computes a 16-bin byte
+    * histogram per payload. Same batch shape as a production featurizer
+    * (one imperative pass per payload inside mapPartitions), exploded to
+    * long-format rows so the oracle compare needs no array equality. */
+  def extractFeatures(payload: Array[Byte]): Array[Int] = {
+    val bins = new Array[Int](16)
+    payload.foreach(b => bins((b & 0xff) >> 4) += 1)
+    bins
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("bin", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)))
+
+  /** Per-payload feature rows: (doc_id, histogram bin, byte count), one
+    * row per NON-EMPTY bin — the decode→featurize stage of a multimodal
+    * pipeline with the real Spark plumbing (binary column in, batched
+    * per-partition imperative pass, long-format rows out). */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rowEncoder = org.apache.spark.sql.Encoders.row(featureSchema)
+    payloads.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        extractFeatures(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.collect {
+          case (n, bin) if n > 0 => Row(docId, bin, n)
+        }
+      }
+    }(rowEncoder)
+  }
+
+  val featureExtractSql: String =
+    """SELECT doc_id, bin, CAST(count(*) AS INT) AS n_bytes
+      |FROM (
+      |  SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin
+      |  FROM (SELECT doc_id,
+      |               unnest(list_transform(range(1, length(text) + 1),
+      |                 i -> substr(text, CAST(i AS INT), 1))) AS c
+      |        FROM documents))
+      |GROUP BY doc_id, bin
+      |ORDER BY doc_id, bin""".stripMargin
+
   val frameSampleSql: String =
     """WITH idx AS (
       |  SELECT doc_id, text,

@@ -247,6 +247,31 @@ object Similarity {
       |FROM sims WHERE sim_raw >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Per-label centroid vectors — the aggregation side of embedding
+    * pipelines (class prototypes, cluster summaries). Long-format output
+    * (label, dim, mean) via posexplode + one hash aggregate: the shuffle
+    * carries (label × dim) partial sums, never vectors, and map-side
+    * partial aggregation means executors reduce locally before the
+    * exchange — the formulation that survives a 100× corpus. */
+  def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("int").as("dim"))
+      .agg(Num.r4(avg(col("col").cast("double"))).as("mean_val"),
+        count(lit(1)).as("n_vecs"))
+
+  val centroidsSql: String =
+    """SELECT label, dim,
+      |       round(avg(x) + 1e-9, 4) AS mean_val,
+      |       count(*) AS n_vecs
+      |FROM (
+      |  SELECT label,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   /** Random-hyperplane LSH — the approximate-NN scale path. 8 seeded
     * hyperplanes give a 256-bucket signature; each vector's nearest
     * neighbor is searched WITHIN its bucket only (candidate set ≈ n/256

@@ -122,6 +122,34 @@ object TextAnalysis {
       |GROUP BY token
       |ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin
 
+  /** Corpus bigram statistics: the n-gram counting stage of corpus
+    * analysis (co-occurrence, contamination screens). One explode + one
+    * token-keyed shuffle with map-side partial counts; top-k via
+    * TakeOrderedAndProject, so ordering is the semantics here. */
+  def ngramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("bigram"))
+      .limit(20)
+
+  val ngramCountsSql: String =
+    """SELECT bigram, count(*) AS n_occurrences
+      |FROM (
+      |  SELECT unnest(list_transform(
+      |           range(1, len(string_split(text, ' '))),
+      |           i -> string_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+      |                string_split(text, ' ')[CAST(i + 1 AS INT)])) AS bigram
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2)
+      |GROUP BY bigram
+      |ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin
+
   /** Composite quality filter — the keep/drop stage of a training-data
     * pipeline, combining the textStats signals into one predicate. */
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =

@@ -164,4 +164,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.select("doc_id").distinct().count() ==
       Tables.documents(spark, sf001).count())
   }
+
+  test("feature histogram bins account for every payload byte") {
+    val byDoc = Multimodal.featureExtract(spark, sf001)
+      .groupBy("doc_id").agg(sum("n_bytes").as("total")).cache()
+    val expected = Tables.documents(spark, sf001)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+    assert(byDoc.join(expected, "doc_id")
+      .filter(col("total") =!= col("n")).count() == 0)
+    byDoc.unpersist()
+  }
+
+  test("extractFeatures histogram is exact on a known payload") {
+    val bins = Multimodal.extractFeatures("AaAa  !!".getBytes("UTF-8"))
+    assert(bins(4) == 2 && bins(6) == 2 && bins(2) == 4) // A=0x41, a=0x61, ' '/'!'=0x2x
+    assert(bins.sum == 8)
+  }
+
+  test("centroids cover every (label, dim) cell with bounded means") {
+    val c = ext.Similarity.centroids(spark, sf001).cache()
+    val nLabels = Tables.embeddings(spark, sf001).select("label").distinct().count()
+    assert(c.count() == nLabels * 64)
+    assert(c.filter(col("mean_val") > 1.0 || col("mean_val") < -1.0).count() == 0)
+    // n_vecs per cell equals the label's vector count
+    val counts = Tables.embeddings(spark, sf001).groupBy("label").count()
+    assert(c.join(counts, "label").filter(col("n_vecs") =!= col("count")).count() == 0)
+    c.unpersist()
+  }
+
+  test("bigram counts are consistent with total token volume") {
+    val bg = TextAnalysis.ngramCounts(spark, sf001).collect()
+    assert(bg.length == 20)
+    // descending counts, ties broken by bigram (semantic top-k order)
+    val counts = bg.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(bg.forall(_.getString(0).split(" ").length == 2))
+  }
 }
