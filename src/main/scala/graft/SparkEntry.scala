@@ -182,6 +182,7 @@ object SparkEntry {
     "e_knn_per_vec"     -> ext.Similarity.knnPerVecSql,
     "e_emb_stats"       -> ext.Similarity.embStatsSql,
     "e_centroids"       -> ext.Similarity.centroidsSql,
+    "e_ann_lsh"         -> ext.Similarity.annLshSql,
     "e_cosine_dedup"    -> ext.Similarity.cosineDedupSql,
     "e_cosine_dedup_lsh" -> ext.Similarity.cosineDedupLshSql,
     "m_payload_meta"    -> ext.Multimodal.payloadMetaSql,

@@ -272,15 +272,18 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
-  /** Random-hyperplane LSH — the approximate-NN scale path. 8 seeded
-    * hyperplanes give a 256-bucket signature; each vector's nearest
-    * neighbor is searched WITHIN its bucket only (candidate set ≈ n/256
-    * instead of n). Hyperplanes are deterministic (seed 42) but
-    * Spark-side, so no SQL oracle (rows-only check); the exactness
-    * trade-off is visible by diffing nn_sim against knnPerVec. */
+  /** Random-hyperplane LSH — the approximate-NN scale path. 8 hyperplanes
+    * give a 256-bucket signature; each vector's nearest neighbor is
+    * searched WITHIN its bucket only (candidate set ≈ n/256 instead of n).
+    * Hyperplanes come from the same integer-derived deterministic formula
+    * as `cosineDedupLsh` (offset 10000 for independence), so the DuckDB
+    * oracle replays the identical algorithm — bucket assignment, in-bucket
+    * ranking, singleton preservation — rather than settling for a
+    * rows-only check. The exactness trade-off is visible by diffing
+    * nn_sim against knnPerVec. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val planes = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+    val planes = Seq.tabulate(8)(j =>
+      Seq.tabulate(64)(i => lshPlaneComponent(10000 + j * 64 + i)))
     val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("planes", planesCol)
@@ -311,4 +314,34 @@ object Similarity {
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("n_bucket"), col("nn_id"), col("nn_sim"))
   }
+
+  val annLshSql: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |          ((CAST((10000 + j*64 + i) * 2654435761 AS BIGINT) % 2147483648) / 2147483648.0 - 0.5)
+      |          * CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE))) > 0
+      |        THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+      |  FROM embeddings),
+      |counts AS (SELECT bucket, count(*) AS n_bucket FROM b GROUP BY bucket),
+      |sims AS (
+      |  SELECT a.vec_id, e.vec_id AS nn_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(a.embedding, e.embedding),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      + 1e-9, 4) AS nn_sim
+      |  FROM b a JOIN b e ON a.bucket = e.bucket AND e.vec_id != a.vec_id),
+      |best AS (
+      |  SELECT vec_id, nn_id, nn_sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |              ORDER BY nn_sim DESC, nn_id ASC) AS rn
+      |    FROM sims) WHERE rn = 1)
+      |SELECT v.vec_id, v.bucket, c.n_bucket, best.nn_id, best.nn_sim
+      |FROM b v
+      |LEFT JOIN counts c ON c.bucket = v.bucket
+      |LEFT JOIN best ON best.vec_id = v.vec_id
+      |ORDER BY v.vec_id""".stripMargin
 }
