@@ -103,10 +103,12 @@ object SparkEntry {
     "d_dedup_simhash"   -> srt(ext.Dedup.dedupSimhash _, col("doc_id")),
     "d_ngram_jaccard"   -> srt(ext.Dedup.ngramJaccard _, col("doc_a"), col("doc_b")),
     "d_dedup_groups"    -> srt(ext.Dedup.dedupGroups _, col("doc_id")),
+    "d_contamination"   -> srt(ext.Dedup.contamination _, col("doc_id"), col("bench_id")),
     "e_knn_brute"       -> (ext.Similarity.knnBrute _),
     "e_knn_per_vec"     -> srt(ext.Similarity.knnPerVec _, col("q_id"), col("rank")),
     "e_emb_stats"       -> srt(ext.Similarity.embStats _, col("vec_id")),
     "e_centroids"       -> srt(ext.Similarity.centroids _, col("label"), col("dim")),
+    "e_quantize"        -> srt(ext.Similarity.quantize _, col("vec_id"), col("dim")),
     "e_ann_lsh"         -> srt(ext.Similarity.annLsh _, col("vec_id")),
     "e_ann_ivf"         -> srt(ext.Similarity.annIvf _, col("q_id"), col("rank")),
     "e_cosine_dedup"    -> srt(ext.Similarity.cosineDedup _, col("vec_a"), col("vec_b")),
@@ -178,10 +180,12 @@ object SparkEntry {
     "d_dedup_exact"     -> ext.Dedup.dedupExactSql,
     "d_ngram_jaccard"   -> ext.Dedup.ngramJaccardSql,
     "d_dedup_groups"    -> ext.Dedup.dedupGroupsSql,
+    "d_contamination"   -> ext.Dedup.contaminationSql,
     "e_knn_brute"       -> ext.Similarity.knnBruteSql,
     "e_knn_per_vec"     -> ext.Similarity.knnPerVecSql,
     "e_emb_stats"       -> ext.Similarity.embStatsSql,
     "e_centroids"       -> ext.Similarity.centroidsSql,
+    "e_quantize"        -> ext.Similarity.quantizeSql,
     "e_ann_lsh"         -> ext.Similarity.annLshSql,
     "e_cosine_dedup"    -> ext.Similarity.cosineDedupSql,
     "e_cosine_dedup_lsh" -> ext.Similarity.cosineDedupLshSql,

@@ -157,6 +157,46 @@ object Dedup {
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Benchmark-contamination screen — the decontamination stage of a
+    * training-data pipeline: flag corpus documents sharing any VERBATIM
+    * k-token shingle with a benchmark/eval set (stand-in here: docs 0-4).
+    * Exact shingle strings, no hashing, so it is fully oracle-checkable.
+    * k = 4 on this corpus (its 31-token vocabulary makes 8-grams never
+    * collide; production screens use 8-13 grams — same dataflow). The
+    * benchmark side is tiny by construction (eval sets are small), so it
+    * broadcasts and the corpus side streams through map-side — the corpus
+    * is never shuffled. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 4
+    val docs = Tables.documents(spark, sfDir)
+    def shingles(df: DataFrame, idCol: String): DataFrame = df
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id").as(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(tokens) - $k),
+           |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)).as("shingle"))
+    val bench = shingles(docs.filter(col("doc_id") < 5), "bench_id")
+    val corpus = shingles(docs.filter(col("doc_id") >= 5), "doc_id")
+    corpus.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  val contaminationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(
+      |           range(0, len(string_split(text, ' ')) - 3),
+      |           i -> array_to_string(list_slice(string_split(text, ' '),
+      |                  CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')))) AS shingle
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4)
+      |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared_shingles
+      |FROM sh c JOIN sh b ON c.shingle = b.shingle
+      |WHERE b.doc_id < 5 AND c.doc_id >= 5
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Near-duplicate GROUPS — the dedup endgame: connected components over
     * the exact-Jaccard pair graph, so transitively-linked near-dups
     * collapse into one group (keep `group_id`, drop the rest). Spark-first

@@ -272,6 +272,42 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Scalar int8 quantization — the storage-compression stage of an
+    * embedding store (4× smaller than float32 before ANN indexing). Each
+    * vector gets a per-vector affine code: q = floor((x - min) /
+    * (max - min) * 255 + 0.5), emitted long-format with the (min, max)
+    * dequantization params. Pure double arithmetic in a fixed order, so
+    * the oracle matches bit-for-bit; `floor(v + 0.5)` instead of round()
+    * because engines disagree on banker's rounding. Shuffle-free. */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("q_min"),
+        array_max(col("embedding")).cast("double").as("q_max"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        Num.r4(col("q_min")).as("q_min"), Num.r4(col("q_max")).as("q_max"),
+        when(col("q_max") === col("q_min"), 0)
+          .otherwise(floor((col("col").cast("double") - col("q_min"))
+            / (col("q_max") - col("q_min")) * 255.0 + 0.5))
+          .cast("int").as("q"))
+
+  val quantizeSql: String =
+    """SELECT vec_id, dim,
+      |       round(q_min + 1e-9, 4) AS q_min,
+      |       round(q_max + 1e-9, 4) AS q_max,
+      |       CAST(CASE WHEN q_max = q_min THEN 0
+      |            ELSE floor((x - q_min) / (q_max - q_min) * 255.0 + 0.5)
+      |            END AS INT) AS q
+      |FROM (
+      |  SELECT vec_id,
+      |         CAST(list_min(embedding) AS DOUBLE) AS q_min,
+      |         CAST(list_max(embedding) AS DOUBLE) AS q_max,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |ORDER BY vec_id, dim""".stripMargin
+
   /** Random-hyperplane LSH — the approximate-NN scale path. 8 hyperplanes
     * give a 256-bucket signature; each vector's nearest neighbor is
     * searched WITHIN its bucket only (candidate set ≈ n/256 instead of n).

@@ -192,6 +192,25 @@ class ExtensionsSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("quantize emits codes in [0,255] that dequantize within half a step") {
+    val q = ext.Similarity.quantize(spark, sf001).cache()
+    assert(q.count() == Tables.embeddings(spark, sf001).count() * 64)
+    assert(q.filter(col("q") < 0 || col("q") > 255).count() == 0)
+    // every vector's extremes hit the code range ends
+    val ends = q.groupBy("vec_id")
+      .agg(min("q").as("lo"), max("q").as("hi"))
+      .filter(col("lo") =!= 0 || col("hi") =!= 255).count()
+    assert(ends == 0)
+    q.unpersist()
+  }
+
+  test("contamination flags exactly the docs sharing a verbatim shingle") {
+    val hits = Dedup.contamination(spark, sf001).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getLong(2) >= 1))
+    assert(hits.forall(r => r.getLong(0) >= 5 && r.getLong(1) < 5))
+  }
+
   test("bigram counts are consistent with total token volume") {
     val bg = TextAnalysis.ngramCounts(spark, sf001).collect()
     assert(bg.length == 20)
