@@ -91,6 +91,10 @@ object SparkEntry {
     "q_sample_hash"     -> srt(Relational.sampleHash _, col("l_orderkey"), col("l_linenumber")),
     "q_asof_join"       -> srt(Relational.asofJoin _, col("event_id")),
     "q_range_join"      -> srt(Relational.rangeJoin _, col("band")),
+    "q_null_funcs"      -> srt(Relational.nullFuncs _, col("o_orderkey")),
+    "q_lateral"         -> srt(Relational.lateralTopPerRegion _,
+      col("r_name"), org.apache.spark.sql.functions.desc("acctbal"), col("c_name")),
+    "q_struct_funcs"    -> srt(Relational.structFuncs _, col("o_orderkey")),
     // — LLM-data-pipeline extensions (SURVEY.md §7.2 step 8) —
     "d_text_stats"      -> srt(ext.TextAnalysis.textStats _, col("doc_id")),
     "d_lang_id"         -> srt(ext.TextAnalysis.langId _, col("doc_id")),
@@ -166,6 +170,9 @@ object SparkEntry {
     "q_sample_hash"     -> Relational.sampleHashSql,
     "q_asof_join"       -> Relational.asofJoinSql,
     "q_range_join"      -> Relational.rangeJoinSql,
+    "q_null_funcs"      -> Relational.nullFuncsSql,
+    "q_lateral"         -> Relational.lateralTopPerRegionSql,
+    "q_struct_funcs"    -> Relational.structFuncsSql,
     "q_scalar_subquery" -> Relational.scalarSubquerySql,
     "q_correlated_subq" -> Relational.correlatedSubquerySql,
     "q_stats_agg"       -> Relational.statsAggSql,

@@ -804,6 +804,79 @@ object Relational {
       |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) < '1a'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Null-handling scalar family: NULLIF / COALESCE / NVL2 / IS DISTINCT
+    * FROM over synthesized nulls (the fixture columns are non-nullable,
+    * so nulls are introduced with nullif). */
+  def nullFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+        isnull(nullif(col("o_orderpriority"), lit("1-URGENT"))).as("is_urgent"),
+        expr("nvl2(nullif(o_orderstatus, 'F'), 'live', 'finished')").as("live_label"),
+        (nullif(col("o_orderstatus"), lit("O"))
+          <=> nullif(col("o_orderstatus"), lit("F"))).as("status_self_eq"))
+
+  val nullFuncsSql: String =
+    """SELECT o_orderkey,
+      |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      |       nullif(o_orderpriority, '1-URGENT') IS NULL AS is_urgent,
+      |       CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL
+      |            THEN 'live' ELSE 'finished' END AS live_label,
+      |       nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+      |         nullif(o_orderstatus, 'F') AS status_self_eq
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** LATERAL correlated subquery: per-region top-2 customers by account
+    * balance — Catalyst plans the correlated limit as a per-group ranked
+    * join (DomainJoin decorrelation), the declarative form of the
+    * "top-k per dimension row" pattern. */
+  def lateralTopPerRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.region(spark, sfDir).createOrReplaceTempView("region_lat")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_lat")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_lat")
+    spark.sql(
+      """SELECT r_name, c_name, acctbal
+        |FROM region_lat, LATERAL (
+        |  SELECT c_name, c_acctbal AS acctbal
+        |  FROM customer_lat JOIN nation_lat ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r_regionkey
+        |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t""".stripMargin)
+  }
+
+  val lateralTopPerRegionSql: String =
+    """SELECT r_name, c_name, acctbal
+      |FROM region, LATERAL (
+      |  SELECT c_name, c_acctbal AS acctbal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE n_regionkey = r_regionkey
+      |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t
+      |ORDER BY r_name, acctbal DESC, c_name""".stripMargin
+
+  /** Nested (struct) column family: build, carry, and re-project a struct
+    * — the schema shape every semi-structured pipeline round-trips. */
+  def structFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+          col("o_totalprice").as("price")).as("meta"))
+      .select(
+        col("o_orderkey"),
+        col("meta.st").as("status"),
+        upper(col("meta.pr")).as("priority_uc"),
+        // 1e-9 guard: x*1.1 lands on exact half-cent ties that the two
+        // engines round apart (same convention as Num.r4)
+        round(col("meta.price") * 1.1 + lit(1e-9), 2).as("price_with_tax"))
+
+  val structFuncsSql: String =
+    """SELECT o_orderkey, meta.st AS status, upper(meta.pr) AS priority_uc,
+      |       round(meta.price * 1.1 + 1e-9, 2) AS price_with_tax
+      |FROM (SELECT o_orderkey,
+      |             struct_pack(st := o_orderstatus, pr := o_orderpriority,
+      |                         price := o_totalprice) AS meta
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** As-of join: each click event annotated with the same user's most
     * recent purchase value at-or-before its timestamp. Spark has no ASOF
     * JOIN operator, and the naive range-join formulation
