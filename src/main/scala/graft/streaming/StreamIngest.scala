@@ -62,9 +62,13 @@ object StreamIngest {
             |  'brightness',  e.brightness.value,  e.brightness.observedAt)
             |AS (sensor, value, observed_at)""".stripMargin))
       .filter(col("value").isNotNull)
+      // try_to_timestamp, not to_timestamp: under ANSI mode a single
+      // malformed observedAt would otherwise throw and KILL the streaming
+      // query; a poisoned row must drop, not crash the pipeline
       .select(col("entityid"), col("room"), col("sensor"), col("value"),
-        to_timestamp(col("observed_at")).as("event_ts"),
+        expr("try_to_timestamp(observed_at)").as("event_ts"),
         current_timestamp().as("ingest_ts"))
+      .filter(col("event_ts").isNotNull)
 
   /** Per-entity throttle (reference ST5): keep a reading only if its
     * event time is ≥ `minGapMs` after the last kept reading of the same

@@ -30,6 +30,26 @@ class StreamIngestSpec extends SparkSpec {
     parsed.unpersist()
   }
 
+  test("malformed or alien notifications drop out without failing the stream") {
+    import spark.implicits._
+    val df = Seq(
+      "not json at all {{{",
+      """{"data": "wrong shape"}""",
+      """{"data":[{"id":"urn:x:A","type":"A"}]}""", // entity with no sensors
+      """{"data":[{"id":"urn:x:B","type":"B",
+        |"temperature":{"type":"Property","value":"NaNish","observedAt":"bad-ts"}}]}"""
+        .stripMargin.replace("\n", ""),
+      // good value, garbage timestamp — must not reach state with null ts
+      """{"data":[{"id":"urn:x:C","type":"C",
+        |"temperature":{"type":"Property","value":3.5,"observedAt":"not-a-time"}}]}"""
+        .stripMargin.replace("\n", ""),
+      notif("Kitchen", 17.5, "2017-03-08T23:58:47+00:00") // one good row
+    ).toDF("json")
+    val parsed = StreamIngest.parseNotifications(df).collect()
+    assert(parsed.length == 1)
+    assert(parsed(0).getAs[String]("room") == "Kitchen")
+  }
+
   test("throttle keeps first reading per entity per gap (batch mode)") {
     import spark.implicits._
     def r(e: String, ms: Long) =
