@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sessionize"      -> srt(Relational.sessionize _, col("user_id"), col("session_id")),
     "q_collect_agg"     -> srt(Relational.collectAgg _, col("r_name")),
     "q_window_firstlast" -> srt(Relational.windowFirstLast _, col("o_custkey"), col("o_orderkey")),
+    "q_window_range"    -> srt(Relational.windowRangeFrame _, col("o_custkey"), col("o_orderkey")),
     "q_rollup"          -> srt(Relational.rollupOp _,
       asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
     "q_grouping_sets"   -> srt(Relational.groupingSetsOp _,
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_json_extract"    -> srt(Relational.jsonExtract _, col("event_type")),
     "q_count_distinct"  -> srt(Relational.countDistinctOp _, col("event_type")),
     "q_approx_distinct" -> srt(Relational.approxDistinct _, col("event_type")),
+    "q_approx_pctile"   -> srt(Relational.approxPercentileOp _, col("l_returnflag")),
     "q_scalar_subquery" -> srt(Relational.scalarSubquery _, col("o_orderkey")),
     "q_correlated_subq" -> srt(Relational.correlatedSubquery _, col("o_orderkey")),
     "q_stats_agg"       -> srt(Relational.statsAgg _, col("l_returnflag")),
@@ -156,6 +158,7 @@ object SparkEntry {
     "q_sessionize"      -> Relational.sessionizeSql,
     "q_collect_agg"     -> Relational.collectAggSql,
     "q_window_firstlast" -> Relational.windowFirstLastSql,
+    "q_window_range"    -> Relational.windowRangeFrameSql,
     "q_rollup"          -> Relational.rollupOpSql,
     "q_grouping_sets"   -> Relational.groupingSetsOpSql,
     "q_having"          -> Relational.havingOpSql,
@@ -167,6 +170,7 @@ object SparkEntry {
     "q_json_extract"    -> Relational.jsonExtractSql,
     "q_count_distinct"  -> Relational.countDistinctOpSql,
     "q_approx_distinct" -> Relational.approxDistinctSql,
+    "q_approx_pctile"   -> Relational.approxPercentileOpSql,
     "q_sample_hash"     -> Relational.sampleHashSql,
     "q_asof_join"       -> Relational.asofJoinSql,
     "q_range_join"      -> Relational.rangeJoinSql,

@@ -732,6 +732,25 @@ object Relational {
       |       TRUE AS within_10pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Approximate percentile under the same error-bound contract as
+    * `approxDistinct`: the engine-specific t-digest/GK estimate is
+    * asserted to land within ±1 quantity unit of the exact interpolated
+    * median, and the oracle emits the exact value with TRUE. */
+  def approxPercentileOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5D)").as("exact_median"),
+        expr("approx_percentile(l_quantity, 0.5D, 10000)").as("approx_median"))
+      .select(col("l_returnflag"),
+        Num.r4(col("exact_median")).as("exact_median"),
+        (abs(col("approx_median") - col("exact_median")) <= 1.0).as("within_bounds"))
+
+  val approxPercentileOpSql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS exact_median,
+      |       TRUE AS within_bounds
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Scalar subquery: orders above the global average price. */
   def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -803,6 +822,31 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) < '1a'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Value-based RANGE window frame (vs the ROWS frames elsewhere): each
+    * order annotated with its customer's trailing-30-day order count and
+    * spend. The frame is defined on an integer day offset, so ties (same
+    * day) enter the frame together regardless of row order — which is
+    * also what makes the result deterministic without a tie-break. */
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_orders_30d"),
+        round(sum(col("o_totalprice")).over(w) + lit(1e-9), 2).as("spend_30d"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       count(*) OVER w AS n_orders_30d,
+      |       round(sum(o_totalprice) OVER w + 1e-9, 2) AS spend_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Null-handling scalar family: NULLIF / COALESCE / NVL2 / IS DISTINCT
     * FROM over synthesized nulls (the fixture columns are non-nullable,
