@@ -96,18 +96,28 @@ object Bench {
     val ext = extended.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         try name -> time(fn, spark, extSfDir, math.max(3, runs / 3)).mean
-        catch { case _: Throwable => name -> -1.0 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
+            name -> -1.0
+        }
       }
     }
-    // Optional SF sweep: one warm-up + `runs` timed passes of the WHOLE
-    // headline set per listed directory (totals only — the per-query
-    // distribution at the primary SF is already in `stats`).
+    // Optional SF sweep: the WHOLE headline set per listed directory with
+    // one warm-up + max(3, runs/3) timed passes each (totals only — the
+    // per-query distribution at the primary SF is already in `stats`).
+    // A failed query poisons the whole directory's total to -1 rather
+    // than silently under-reporting it.
     val sweep = sweepDirs.map { dir =>
-      val total = headline.flatMap(SparkEntry.queries.get).map { fn =>
+      val perQuery = headline.flatMap(SparkEntry.queries.get).map { fn =>
         try time(fn, spark, dir, math.max(3, runs / 3)).mean
-        catch { case _: Throwable => 0.0 }
-      }.sum
-      dir -> total
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] sweep $dir failed: ${e.getMessage}")
+            -1.0
+        }
+      }
+      dir -> (if (perQuery.exists(_ < 0)) -1.0 else perQuery.sum)
     }
 
     val qs = results.map { case (k, s) => "\"" + k + f"\":${s.mean}%.4f" }

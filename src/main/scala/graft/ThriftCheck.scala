@@ -59,9 +59,15 @@ object ThriftCheck {
         .takeWhile(_.next()).map(r => (r.getInt(1), r.getDouble(2))).toVector
       require(rows.size == 24, s"expected 24 hourly rows, got ${rows.size}")
       require(rows.map(_._1) == (0 until 24).toVector, "hour buckets off")
-      // Cross-check one bucket against the in-process engine result.
+      // Cross-check against the in-process engine result. Tolerance
+      // compare (1e-4 = one unit in the rounded decimal place): two
+      // separate executions of round(avg, 4) can land a bucket on a
+      // half-tie and flip the last digit without anything being wrong.
       val local = ReferenceQueriesLocal.hourly(spark)
-      require(rows.toMap == local, s"wire vs local mismatch")
+      require(local.keySet == rows.toMap.keySet, "wire vs local bucket sets differ")
+      rows.foreach { case (h, v) =>
+        require(math.abs(v - local(h)) <= 1e-4, s"hour $h: wire $v vs local ${local(h)}")
+      }
       println(s"[thrift] ok rows=${rows.size} port=$port")
       conn.close()
     } finally {

@@ -138,23 +138,31 @@ object Dedup {
         round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** Oracle twin replaying the IDENTICAL capped algorithm (df ≤ 0.85·N
+    * candidate generation + exact per-candidate scoring), not the naive
+    * all-pairs form — so correctness does not hinge on the fixture's df
+    * distribution staying below the cap. */
   val ngramJaccardSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents),
-      |sz AS (
-      |  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n
-      |  FROM documents),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |post AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+      |dfreq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+      |nd AS (SELECT count(*) AS n FROM docs),
+      |rare AS (
+      |  SELECT doc_id, post.t FROM post JOIN dfreq ON post.t = dfreq.t, nd
+      |  WHERE df <= 0.85 * n),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.t = b.t AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b, len(list_intersect(da.toks, db.toks)) AS i,
+      |         len(da.toks) AS na, len(db.toks) AS nb
+      |  FROM cand JOIN docs da ON da.doc_id = doc_a
+      |            JOIN docs db ON db.doc_id = doc_b)
       |SELECT doc_a, doc_b,
-      |       round(i * 1.0 / (sa.n + sb.n - i) + 1e-9, 4) AS jaccard
-      |FROM inter
-      |JOIN sz sa ON sa.doc_id = doc_a
-      |JOIN sz sb ON sb.doc_id = doc_b
-      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+      |       round(i * 1.0 / (na + nb - i) + 1e-9, 4) AS jaccard
+      |FROM j WHERE i * 1.0 / (na + nb - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Benchmark-contamination screen — the decontamination stage of a
@@ -240,31 +248,43 @@ object Dedup {
       cached = next
       labels = next.select(col("doc_id"), col("label"))
     }
-    val sizes = labels.groupBy(col("label").as("group_id"))
+    // Eagerly materialize the converged labels via localCheckpoint: it
+    // truncates the iteration's lineage so every per-round cache entry
+    // (and the edge cache) can be released NOW instead of stranding one
+    // cache block per invocation; checkpoint blocks are reclaimed by the
+    // ContextCleaner once the returned frame is unreferenced.
+    val converged = labels.localCheckpoint(true)
+    cached.unpersist()
+    edges.unpersist()
+    val sizes = converged.groupBy(col("label").as("group_id"))
       .agg(count(lit(1)).as("group_size"))
-    val out = labels.select(col("doc_id"), col("label").as("group_id"))
+    converged.select(col("doc_id"), col("label").as("group_id"))
       .join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size"))
-    edges.unpersist()
-    out
   }
 
+  /** Recursive-CTE oracle over the same capped pair graph the Spark
+    * operator uses (see ngramJaccardSql). */
   val dedupGroupsSql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-      |  FROM documents),
-      |docs AS (
+    """WITH RECURSIVE docs AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |post AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+      |dfreq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+      |nd AS (SELECT count(*) AS n FROM docs),
+      |rare AS (
+      |  SELECT doc_id, post.t FROM post JOIN dfreq ON post.t = dfreq.t, nd
+      |  WHERE df <= 0.85 * n),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.t = b.t AND a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT doc_a, doc_b FROM inter
-      |  JOIN docs sa ON sa.doc_id = doc_a
-      |  JOIN docs sb ON sb.doc_id = doc_b
-      |  WHERE i * 1.0 / (len(sa.toks) + len(sb.toks) - i) >= 0.8),
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b, len(list_intersect(da.toks, db.toks)) AS i,
+      |           len(da.toks) AS na, len(db.toks) AS nb
+      |    FROM cand JOIN docs da ON da.doc_id = doc_a
+      |              JOIN docs db ON db.doc_id = doc_b)
+      |  WHERE i * 1.0 / (na + nb - i) >= 0.8),
       |e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(s, d) AS (

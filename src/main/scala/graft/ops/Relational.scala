@@ -215,7 +215,7 @@ object Relational {
     val s = Tables.supplier(spark, sfDir).select(
       lit("supplier").as("src"), col("s_nationkey").as("nationkey"),
       col("s_name").as("name"), col("s_acctbal").as("acctbal"))
-    c.unionByName(s).orderBy("src", "nationkey", "name")
+    c.unionByName(s)
   }
 
   val unionAllSql: String =
@@ -711,13 +711,21 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** HyperLogLog++ approximate distinct — the 100 TB path where exact
-    * distinct would shuffle every key. Raw sketch estimates are
-    * engine-specific, so the oracle-checked contract is the ERROR BOUND:
-    * the query emits the exact count plus a boolean asserting the HLL++
-    * estimate (rsd 0.02) landed within 10 % of it (5σ — deterministic for
-    * all practical purposes), and the DuckDB twin emits the same exact
-    * count with TRUE. A hash mismatch would mean the sketch violated its
-    * own accuracy guarantee. */
+    * distinct would shuffle every key. This sketch-only form is the
+    * library operator; `approxDistinct` below is its VERIFICATION twin. */
+  def approxDistinctSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+
+  /** Verification twin registered with the driver: raw sketch estimates
+    * are engine-specific, so the oracle-checked contract is the ERROR
+    * BOUND — this query deliberately pays for the exact count next to the
+    * HLL++ estimate (rsd 0.02) and emits a boolean asserting the estimate
+    * landed within 10 % (5σ); the DuckDB twin emits the same exact count
+    * with TRUE. A hash mismatch would mean the sketch violated its own
+    * accuracy guarantee. Library callers on real data use
+    * `approxDistinctSketch`, which never computes the exact side. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -732,10 +740,17 @@ object Relational {
       |       TRUE AS within_10pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Approximate percentile under the same error-bound contract as
-    * `approxDistinct`: the engine-specific t-digest/GK estimate is
-    * asserted to land within ±1 quantity unit of the exact interpolated
-    * median, and the oracle emits the exact value with TRUE. */
+  /** Sketch-only approximate percentile — the library operator (exact
+    * percentile buffers every value per group; the GK sketch does not). */
+  def approxPercentileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5D, 10000)").as("approx_median"))
+
+  /** Verification twin (same contract as `approxDistinct`): deliberately
+    * computes the exact interpolated median next to the engine-specific
+    * sketch and asserts the estimate lands within ±1 quantity unit; the
+    * oracle emits the exact value with TRUE. */
   def approxPercentileOp(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
