@@ -119,6 +119,17 @@ object StreamIngest {
       .groupBy(window(col("event_ts"), "1 hour").as("hour_window"), col("room"))
       .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_readings"))
 
+  /** Watermarked streaming deduplication: drop re-deliveries of the same
+    * (entity, sensor, event time) reading — the at-least-once-source →
+    * exactly-once-pipeline bridge. `dropDuplicatesWithinWatermark` keys
+    * state by the dedup columns and evicts it once the watermark passes,
+    * so state is bounded by the redelivery horizon, not stream length
+    * (plain dropDuplicates on a stream would grow state forever). */
+  def dedupStream(readings: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("entityid", "sensor", "event_ts")
+
   /** Streaming sessionization — the `session_window` twin of the batch
     * `Relational.sessionize` operator: per-entity sessions close after
     * `gap` of event-time silence, and the watermark finalizes (and bounds

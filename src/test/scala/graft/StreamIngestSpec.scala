@@ -149,6 +149,26 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(1).getString(0) == "Toilet" && rows(1).isNullAt(1)) // unmatched dim
   }
 
+  test("watermarked stream dedup drops redeliveries across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val deduped = StreamIngest.dedupStream(
+      StreamIngest.parseNotifications(mem.toDF().toDF("json")))
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    val reading = notif("Kitchen", 17.5, "2017-03-08T10:00:00+00:00")
+    mem.addData(reading, reading) // duplicate within one batch
+    q.processAllAvailable()
+    mem.addData(reading)          // redelivery in a later batch
+    q.processAllAvailable()
+    mem.addData(notif("Kitchen", 18.0, "2017-03-08T10:01:00+00:00")) // distinct ts
+    q.processAllAvailable()
+    val n = spark.sql("SELECT * FROM deduped").count()
+    q.stop()
+    assert(n == 2) // one per distinct (entity, sensor, event_ts)
+  }
+
   test("session_window agg closes sessions on gap and finalizes on watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
