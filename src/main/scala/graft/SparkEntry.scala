@@ -97,6 +97,7 @@ object SparkEntry {
     "q_lateral"         -> srt(Relational.lateralTopPerRegion _,
       col("r_name"), org.apache.spark.sql.functions.desc("acctbal"), col("c_name")),
     "q_struct_funcs"    -> srt(Relational.structFuncs _, col("o_orderkey")),
+    "q_map_funcs"       -> srt(Relational.mapFuncs _, col("event_id")),
     // — LLM-data-pipeline extensions (SURVEY.md §7.2 step 8) —
     "d_text_stats"      -> srt(ext.TextAnalysis.textStats _, col("doc_id")),
     "d_lang_id"         -> srt(ext.TextAnalysis.langId _, col("doc_id")),
@@ -177,6 +178,7 @@ object SparkEntry {
     "q_null_funcs"      -> Relational.nullFuncsSql,
     "q_lateral"         -> Relational.lateralTopPerRegionSql,
     "q_struct_funcs"    -> Relational.structFuncsSql,
+    "q_map_funcs"       -> Relational.mapFuncsSql,
     "q_scalar_subquery" -> Relational.scalarSubquerySql,
     "q_correlated_subq" -> Relational.correlatedSubquerySql,
     "q_stats_agg"       -> Relational.statsAggSql,

@@ -936,6 +936,32 @@ object Relational {
       |      FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Map-column family: build, probe (present and absent keys), and
+    * enumerate a map column. try_element_at, not element_at — ANSI mode
+    * throws on absent map keys. */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("m"))
+      .select(col("event_id"),
+        expr("try_element_at(m, 'type')").as("type_val"),
+        expr("try_element_at(m, 'missing')").as("missing_val"),
+        size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"))
+
+  val mapFuncsSql: String =
+    """SELECT event_id,
+      |       m['type'][1] AS type_val,
+      |       map_extract(m, 'missing')[1] AS missing_val,
+      |       CAST(cardinality(m) AS INT) AS n_keys,
+      |       array_to_string(map_keys(m), ',') AS keys_csv
+      |FROM (SELECT event_id,
+      |             map(['type', 'user'],
+      |                 [event_type, CAST(user_id AS VARCHAR)]) AS m
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** As-of join: each click event annotated with the same user's most
     * recent purchase value at-or-before its timestamp. Spark has no ASOF
     * JOIN operator, and the naive range-join formulation
