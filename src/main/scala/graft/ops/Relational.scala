@@ -684,18 +684,21 @@ object Relational {
 
   // ------------------------------------------------------- json / misc
 
-  /** JSON extraction from the events `props` column (semi-structured). */
+  /** JSON extraction from the events `props` column (semi-structured).
+    * try_cast, not cast: the reference's defensive-cast semantics (T9) —
+    * under ANSI mode a malformed props value must yield NULL, not kill
+    * the query (both engines use their TRY form for parity). */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_val"))
       .groupBy(col("event_type"))
       .agg(Num.r4(avg(col("k_val"))).as("avg_k"),
         count(lit(1)).as("n_events"))
 
   val jsonExtractSql: String =
     """SELECT event_type,
-      |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k,
+      |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k,
       |       count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
