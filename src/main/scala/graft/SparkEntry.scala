@@ -70,6 +70,7 @@ object SparkEntry {
     "q_collect_agg"     -> srt(Relational.collectAgg _, col("r_name")),
     "q_window_firstlast" -> srt(Relational.windowFirstLast _, col("o_custkey"), col("o_orderkey")),
     "q_window_range"    -> srt(Relational.windowRangeFrame _, col("o_custkey"), col("o_orderkey")),
+    "q_window_pct"      -> srt(Relational.windowPercentiles _, col("o_custkey"), col("o_orderkey")),
     "q_rollup"          -> srt(Relational.rollupOp _,
       asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
     "q_grouping_sets"   -> srt(Relational.groupingSetsOp _,
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_collect_agg"     -> Relational.collectAggSql,
     "q_window_firstlast" -> Relational.windowFirstLastSql,
     "q_window_range"    -> Relational.windowRangeFrameSql,
+    "q_window_pct"      -> Relational.windowPercentilesSql,
     "q_rollup"          -> Relational.rollupOpSql,
     "q_grouping_sets"   -> Relational.groupingSetsOpSql,
     "q_having"          -> Relational.havingOpSql,

@@ -385,6 +385,26 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** Distribution window functions: percent_rank / cume_dist (exact
+    * small-integer ratios in double — bit-identical across engines, the
+    * 1e-9 rounding guard is belt-and-braces). */
+  def windowPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Num.r4(percent_rank().over(w)).as("prank"),
+        Num.r4(cume_dist().over(w)).as("cdist"))
+  }
+
+  val windowPercentilesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       round(percent_rank() OVER w + 1e-9, 4) AS prank,
+      |       round(cume_dist() OVER w + 1e-9, 4) AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Array scalar-function family over tokenized text. */
   def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
