@@ -204,6 +204,23 @@ class ExtensionsSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("quantized codes dequantize to within half a step of the original") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        col("col").cast("double").as("x"))
+    val q = ext.Similarity.quantize(spark, sf001)
+    // q_min/q_max are emitted rounded to 4 decimals, so allow the
+    // corresponding slack (≤ 2e-4) on top of the half-step bound
+    val violations = q.join(emb, Seq("vec_id", "dim"))
+      .filter(col("q_max") =!= col("q_min"))
+      .withColumn("step", (col("q_max") - col("q_min")) / 255.0)
+      .withColumn("dequant", col("q_min") + col("q") * col("step"))
+      .filter(abs(col("dequant") - col("x")) > col("step") * 0.5 + 2e-4)
+      .count()
+    assert(violations == 0)
+  }
+
   test("contamination flags exactly the docs sharing a verbatim shingle") {
     val hits = Dedup.contamination(spark, sf001).collect()
     assert(hits.nonEmpty)
