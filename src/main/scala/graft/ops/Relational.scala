@@ -662,6 +662,40 @@ object Relational {
       |       unnest(string_split(text, ' ')) AS token
       |FROM documents ORDER BY doc_id, pos""".stripMargin
 
+  /** Null-preserving generator: explode_outer keeps a row (with NULL)
+    * for documents whose filtered token list is empty — the flatten
+    * variant that doesn't silently drop parents. */
+  def explodeOuterTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("long_tokens",
+        filter(split(col("text"), " "), t => length(t) > 7))
+      .select(col("doc_id"), explode_outer(col("long_tokens")).as("token"))
+
+  val explodeOuterTokensSql: String =
+    """SELECT doc_id,
+      |       unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)]
+      |                   ELSE lt END) AS token
+      |FROM (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), t -> length(t) > 7) AS lt
+      |      FROM documents)
+      |ORDER BY doc_id, token ASC NULLS FIRST""".stripMargin
+
+  /** Unpivot/melt: wide numeric columns to (id, metric, value) long form
+    * — the inverse of pivot, and a pure narrow transform (no shuffle). */
+  def unpivotOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey_d")), "metric", "value")
+
+  val unpivotOpSql: String =
+    """SELECT o_orderkey, metric, value FROM (
+      |  UNPIVOT (SELECT o_orderkey, o_totalprice,
+      |                  CAST(o_custkey AS DOUBLE) AS o_custkey_d FROM orders)
+      |  ON o_totalprice, o_custkey_d INTO NAME metric VALUE value)
+      |ORDER BY o_orderkey, metric""".stripMargin
+
   /** Statistical aggregates: sample stddev/variance and exact
     * interpolated median per group. */
   def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
