@@ -18,6 +18,7 @@ object HiveCheck {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()
       .getOrCreate()

@@ -36,11 +36,14 @@ object Tables {
     * Time-range predicates meant to reach the scan (PushedFilters +
     * row-group pruning) must be applied HERE, against the raw column —
     * after the `timestamp_micros(ts div 1000)` conversion they sit on a
-    * derived column and cannot push down. See ReferenceQueries.q1. */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * derived column and cannot push down. See ReferenceQueries.q1.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at SESSION BUILD
+    * (all mains and SparkSpec set it): a reader must not mutate global
+    * session conf as a side effect, and the conf only takes effect
+    * reliably when set before the first parquet read anyway. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -17,12 +17,19 @@ object ThriftCheck {
   def main(args: Array[String]): Unit = {
     val base = java.nio.file.Files.createTempDirectory("graft_thrift").toString
     System.setProperty("derby.system.home", s"$base/derby")
-    val port = 10123
+    // Ephemeral free port (bind 0, read the assignment, release): a fixed
+    // port would collide with a stale server or a concurrent run and turn
+    // into a 30 s retry spin ending in an unrelated-looking connect error.
+    val port = {
+      val probe = new java.net.ServerSocket(0)
+      try probe.getLocalPort finally probe.close()
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("hive.server2.thrift.port", port.toString)
       .config("hive.server2.thrift.bind.host", "127.0.0.1")

@@ -87,63 +87,87 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bucket"),
         count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_bucket_mates"))
 
-  /** Exact n-gram (distinct unigram) Jaccard over candidate pairs via an
-    * inverted-index join — the verifier stage of near-dedup, oracle-checked.
-    * Default document-frequency cap keeps this run identical to the
-    * all-pairs oracle on the fixture (its max df is 0.83·N) while still
-    * guarding the postings join against true stopwords. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardCapped(spark, sfDir, maxDfFrac = 0.85)
+  /** Hot-token guard for candidate generation: tokens with document
+    * frequency above this fraction of the corpus never vouch for a
+    * candidate pair (a token at df ≈ N alone emits ~N²/2 postings-join
+    * rows — the classic inverted-index blowup). 0.1 is a genuinely-rare
+    * bar that holds at any corpus size; it is the LIBRARY default. The
+    * scale-preferred path is to not rely on the df heuristic at all and
+    * take candidates from MinHash bands instead — see dedupPipeline. */
+  val DefaultMaxDfFrac = 0.1
 
-  /** Capped formulation: candidate pairs come ONLY from tokens whose
-    * document frequency is ≤ maxDfFrac·N. A stopword with df ≈ N would by
-    * itself emit ~N²/2 join rows (the classic postings-join skew blowup),
-    * so hot tokens are excluded from candidate generation; the Jaccard is
-    * then computed EXACTLY per candidate — `array_intersect` of the full
-    * distinct-token sets, hot tokens included — inside one codegen'd
-    * projection. Results equal the all-pairs formulation whenever every
-    * qualifying pair shares at least one sub-cap token (any pair sharing
-    * only stopwords is, by construction, not a near-duplicate worth
-    * keeping). Integer division is IEEE-exact so the ≥ threshold agrees
-    * bit-for-bit across engines. */
-  def ngramJaccardCapped(spark: SparkSession, sfDir: String,
-      maxDfFrac: Double): DataFrame =
-    ngramJaccardOnDocs(Tables.documents(spark, sfDir), maxDfFrac)
+  /** Fixture-tuned cap for the registered query + oracle twin ONLY: the
+    * synthetic corpus has a 31-token vocabulary with every token at
+    * df ≈ 0.8·N (max 0.83·N), so a realistic cap would empty the candidate
+    * set there. 0.85 is loss-free on that fixture and nowhere else.
+    * Defined once and interpolated into BOTH oracle SQL strings so the
+    * operator and its oracles cannot drift apart. */
+  val FixtureDfCap = 0.85
 
-  /** Same operator over an arbitrary (doc_id, text) DataFrame — the
-    * library entry point (and what the skewed-corpus spec drives). */
-  def ngramJaccardOnDocs(documents: DataFrame, maxDfFrac: Double): DataFrame = {
+  /** The registered `d_ngram_jaccard` form: fixture cap, matching the
+    * interpolated oracle. Library callers should use ngramJaccardOnDocs
+    * (safe default) or dedupPipeline (band candidates, no df heuristic). */
+  def ngramJaccardFixture(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardOnDocs(Tables.documents(spark, sfDir), FixtureDfCap)
+
+  /** Candidate-pair generation via the capped inverted-index join:
+    * candidate pairs come ONLY from tokens whose document frequency is
+    * ≤ maxDfFrac·N. The df join and the postings pair-join share the token
+    * shuffle key. Exposed standalone so specs (and alternative verifiers)
+    * can observe the candidate volume directly. */
+  def ngramJaccardCandidates(documents: DataFrame,
+      maxDfFrac: Double = DefaultMaxDfFrac): DataFrame = {
     val docs = documents
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val postings = docs.select(col("doc_id"), explode(col("toks")).as("t"))
-    // df join and postings pair-join share the token shuffle key.
     val docFreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val rare = postings.join(docFreq, "t").crossJoin(nDocs)
       .filter(col("df") <= col("n_docs") * maxDfFrac)
       .select(col("doc_id"), col("t"))
-    val cand = rare.as("a")
+    rare.as("a")
       .join(rare.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+  }
+
+  /** Exact-Jaccard verifier over an arbitrary candidate-pair frame: the
+    * Jaccard is computed EXACTLY per candidate — `array_intersect` of the
+    * full distinct-token sets, hot tokens included — inside one codegen'd
+    * projection. Integer division is IEEE-exact so the ≥ threshold agrees
+    * bit-for-bit across engines. */
+  def jaccardVerify(documents: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard_raw",
         col("i").cast("double") / (size(col("toks_a")) + size(col("toks_b")) - col("i")))
-      .filter(col("jaccard_raw") >= 0.8)
+      .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
   }
 
-  /** Oracle twin replaying the IDENTICAL capped algorithm (df ≤ 0.85·N
+  /** Capped candidates + exact verification over an arbitrary
+    * (doc_id, text) DataFrame — the library entry point. Results equal the
+    * all-pairs formulation whenever every qualifying pair shares at least
+    * one sub-cap token (a pair sharing only stopwords is, by construction,
+    * not a near-duplicate worth keeping). */
+  def ngramJaccardOnDocs(documents: DataFrame,
+      maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
+    jaccardVerify(documents, ngramJaccardCandidates(documents, maxDfFrac))
+
+  /** Oracle twin replaying the IDENTICAL capped algorithm (df ≤ cap·N
     * candidate generation + exact per-candidate scoring), not the naive
     * all-pairs form — so correctness does not hinge on the fixture's df
-    * distribution staying below the cap. */
+    * distribution staying below the cap. The cap is interpolated from
+    * FixtureDfCap. */
   val ngramJaccardSql: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents),
       |post AS (SELECT doc_id, unnest(toks) AS t FROM docs),
@@ -151,7 +175,7 @@ object Dedup {
       |nd AS (SELECT count(*) AS n FROM docs),
       |rare AS (
       |  SELECT doc_id, post.t FROM post JOIN dfreq ON post.t = dfreq.t, nd
-      |  WHERE df <= 0.85 * n),
+      |  WHERE df <= $FixtureDfCap * n),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM rare a JOIN rare b ON a.t = b.t AND a.doc_id < b.doc_id),
@@ -220,7 +244,7 @@ object Dedup {
     * a recursive transitive-closure CTE: same components, independently
     * computed. */
   def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir)
+    val pairs = ngramJaccardFixture(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -266,7 +290,7 @@ object Dedup {
   /** Recursive-CTE oracle over the same capped pair graph the Spark
     * operator uses (see ngramJaccardSql). */
   val dedupGroupsSql: String =
-    """WITH RECURSIVE docs AS (
+    s"""WITH RECURSIVE docs AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents),
       |post AS (SELECT doc_id, unnest(toks) AS t FROM docs),
@@ -274,7 +298,7 @@ object Dedup {
       |nd AS (SELECT count(*) AS n FROM docs),
       |rare AS (
       |  SELECT doc_id, post.t FROM post JOIN dfreq ON post.t = dfreq.t, nd
-      |  WHERE df <= 0.85 * n),
+      |  WHERE df <= $FixtureDfCap * n),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM rare a JOIN rare b ON a.t = b.t AND a.doc_id < b.doc_id),

@@ -144,13 +144,21 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact): all pairs with
-    * cosine ≥ 0.35, via self-join + the native expression. This is the
-    * verifier formulation the oracle can check; at 100 TB the same
-    * threshold test runs on LSH-bucket candidates (annLsh) instead of
-    * all pairs. */
-  def cosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs, EXACT-SMALL formulation: all
+    * pairs with cosine ≥ 0.35 via an unbucketed self-join. Deliberately
+    * O(n²) — it is the oracle/recall twin of `cosineDedupLsh`, which is
+    * the formulation a 100 TB pipeline runs. The name and the row-count
+    * guard both exist so a library caller cannot reach the quadratic plan
+    * by accident: corpora above `maxRows` are refused outright (the probe
+    * is a `limit(maxRows+1).count()` — a bounded scan, not a full count).
+    * Raise `maxRows` only when the ~maxRows²/2-pair cost is understood. */
+  def cosineDedupExactSmall(spark: SparkSession, sfDir: String,
+      maxRows: Long = 100000L): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    val probed = emb.limit((maxRows + 1).toInt).count()
+    require(probed <= maxRows,
+      s"cosineDedupExactSmall is the O(n²) verifier twin (corpus exceeds " +
+        s"$maxRows vectors); use cosineDedupLsh, the bucketed scale path")
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))

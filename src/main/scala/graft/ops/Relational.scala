@@ -673,7 +673,8 @@ object Relational {
 
   val explodeOuterTokensSql: String =
     """SELECT doc_id,
-      |       unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)]
+      |       unnest(CASE WHEN lt IS NULL OR len(lt) = 0
+      |                   THEN [CAST(NULL AS VARCHAR)]
       |                   ELSE lt END) AS token
       |FROM (SELECT doc_id,
       |             list_filter(string_split(text, ' '), t -> length(t) > 7) AS lt
@@ -689,11 +690,17 @@ object Relational {
       .unpivot(Array(col("o_orderkey")),
         Array(col("o_totalprice"), col("o_custkey_d")), "metric", "value")
 
+  /** Stacked-projection oracle rather than DuckDB's UNPIVOT keyword:
+    * Dataset.unpivot RETAINS rows whose value is NULL while SQL UNPIVOT
+    * excludes them by default (and DuckDB has no INCLUDE NULLS clause), so
+    * the UNION ALL form — which trivially keeps NULL values — is the twin
+    * that matches Spark's semantics on nullable value columns too. */
   val unpivotOpSql: String =
-    """SELECT o_orderkey, metric, value FROM (
-      |  UNPIVOT (SELECT o_orderkey, o_totalprice,
-      |                  CAST(o_custkey AS DOUBLE) AS o_custkey_d FROM orders)
-      |  ON o_totalprice, o_custkey_d INTO NAME metric VALUE value)
+    """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE)
+      |FROM orders
       |ORDER BY o_orderkey, metric""".stripMargin
 
   /** Statistical aggregates: sample stddev/variance and exact
