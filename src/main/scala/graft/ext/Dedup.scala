@@ -12,9 +12,18 @@ import org.apache.spark.sql.expressions.Window
   * key (sha256 / minhash signature / simhash bucket), never a pairwise
   * self-join of the corpus. The only O(candidate-pair) work is the exact
   * n-gram Jaccard verifier, which at 100 TB runs AFTER LSH banding has cut
-  * the candidate set, not on the full corpus; here it is also exposed
-  * standalone (inverted-index join) so the small-scale oracle can check
-  * the exact similarity math.
+  * the candidate set (`dedupPipeline` is exactly that composition); the
+  * standalone inverted-index form additionally applies the AllPairs prefix
+  * filter (Bayardo, Ma, Srikant: "Scaling Up All Pairs Similarity Search",
+  * WWW 2007) so the postings join stays bounded without the df heuristic
+  * being load-bearing.
+  *
+  * Hash portability: MinHash/SimHash signatures are derived from md5 hex
+  * strings — identical in Spark and DuckDB — so even the sketch operators
+  * are fully oracle-checkable (same trick family as the deterministic LSH
+  * planes in Similarity.scala). md5 is ~3× the cost of xxhash64 per call;
+  * at 100 TB swap the slot hash for xxhash64 (one line, same dataflow) if
+  * cross-engine verifiability is not needed.
   */
 object Dedup {
 
@@ -31,69 +40,142 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
 
-  /** MinHash signatures over 3-word shingles: 16 independent hash slots
-    * (xxhash64 seeded by slot index), banded 4×4 for LSH bucketing.
-    * Near-dup GROUPS come from a window over the full signature — a
-    * shuffle keyed on the 128-byte signature, not a pairwise join.
-    * Engine-specific hash values ⇒ no SQL oracle (rows-only check);
-    * the exact-Jaccard oracle below covers the similarity math.
-    */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // Shingles become ROWS, hashed once each; the 16 signature slots are
-    // then map-side partial `min` aggregates of cheap long re-hashes.
-    // (A per-row lambda formulation is tempting but CollapseProject
-    // inlines the whole shingle build into each of the 16 slot lambdas —
-    // 16× the string hashing — and giant per-row arrays don't scale to
-    // long documents anyway. Rows + partial agg do.)
-    val shingleHashes = Tables.documents(spark, sfDir)
+  /** 16-slot MinHash signature over 3-word shingles. Shingles become ROWS,
+    * md5-hashed once each; the 16 signature slots are map-side partial
+    * `min` aggregates of per-slot re-hashes `md5("j:" || h)` — min over
+    * lowercase-hex strings is plain byte-lexicographic in both Spark and
+    * DuckDB, which is what makes the signature engine-portable.
+    * (A per-row lambda formulation is tempting but CollapseProject inlines
+    * the whole shingle build into each of the 16 slot lambdas — 16× the
+    * string hashing — and giant per-row arrays don't scale to long
+    * documents anyway. Rows + partial agg do.) Docs under 3 tokens have no
+    * shingle and drop out here; `dedupPipeline` re-admits them as CC
+    * singletons. */
+  private def minhashSlots(documents: DataFrame): DataFrame = {
+    val shingleHashes = documents
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(0, size(tokens) - 3),
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin))
         .as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val slots = (0 until 16).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    val sig = shingleHashes.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
-    sig.select(
-        col("doc_id"),
-        xxhash64(col("m0"), col("m1"), col("m2"), col("m3")).as("band0"),
-        xxhash64(col("m4"), col("m5"), col("m6"), col("m7")).as("band1"),
-        xxhash64(col("m8"), col("m9"), col("m10"), col("m11")).as("band2"),
-        xxhash64(col("m12"), col("m13"), col("m14"), col("m15")).as("band3"),
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val slots = (0 until 16).map(j =>
+      min(md5(concat_ws(":", lit(j), col("h")))).as(s"m$j"))
+    shingleHashes.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+  }
+
+  private def bandCol(b: Int) =
+    md5(concat_ws(",", (4 * b until 4 * b + 4).map(j => col(s"m$j")): _*))
+
+  /** MinHash signatures banded 4×4 for LSH bucketing. Near-dup GROUPS come
+    * from a window over the full signature — a shuffle keyed on the
+    * signature string, not a pairwise join. Fully oracle-checked since the
+    * md5 slot hashes replay bit-for-bit in DuckDB. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSlots(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        bandCol(0).as("band0"), bandCol(1).as("band1"),
+        bandCol(2).as("band2"), bandCol(3).as("band3"),
         concat_ws(",", (0 until 16).map(j => col(s"m$j")): _*).as("sig_key"))
       .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"),
         count(lit(1)).over(Window.partitionBy(col("sig_key"))).as("n_sig_mates"))
-  }
+
+  /** Shared oracle-SQL fragments replaying minhashSlots in DuckDB: the
+    * shingle CTE, the 16 `min(md5('j:' || h))` slot aggregates, and the
+    * band concatenations — interpolated into both the signature oracle and
+    * the pipeline oracle so the twins cannot drift from each other. */
+  private val slotMinsSql: String =
+    (0 until 16).map(j => s"min(md5('$j:' || h)) AS m$j").mkString(", ")
+  private def bandSql(b: Int): String =
+    (4 * b until 4 * b + 4).map(j => s"m$j").mkString(" || ',' || ")
+  private val sigCtesSql: String =
+    s"""docs0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, len(toks) - 2),
+       |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+       |  FROM docs0 WHERE len(toks) >= 3),
+       |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |sig AS (SELECT doc_id, $slotMinsSql FROM hh GROUP BY doc_id)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $sigCtesSql
+       |SELECT doc_id,
+       |       md5(${bandSql(0)}) AS band0, md5(${bandSql(1)}) AS band1,
+       |       md5(${bandSql(2)}) AS band2, md5(${bandSql(3)}) AS band3,
+       |       CAST(count(*) OVER (PARTITION BY
+       |         ${(0 until 16).map(j => s"m$j").mkString(" || ',' || ")}) AS BIGINT) AS n_sig_mates
+       |FROM sig
+       |ORDER BY doc_id""".stripMargin
 
   /** SimHash: 64-bit signature from per-token hash bit votes; documents
     * sharing the top-16-bit bucket are near-dup candidates. Same
-    * fixed-key-shuffle scale profile as MinHash. No oracle (engine hash). */
+    * fixed-key-shuffle scale profile as MinHash. The 64 bits come from the
+    * first 16 hex digits of md5(token) (bit i = bit (i mod 4) of digit
+    * (i div 4)), the signature is emitted as a 16-char hex string, and all
+    * vote arithmetic is integer — so DuckDB replays it exactly and the
+    * operator is fully oracled. The `array(md5(t))[0]` wrapper hashes each
+    * token ONCE instead of once per hex digit (named-subexpression trick —
+    * HOF lambdas have no `let`). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("tokens", array_distinct(split(col("text"), " ")))
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+      .withColumn("tokdigits", expr(
+        """transform(toks, t -> transform(array(md5(t)), h ->
+          |  transform(sequence(0, 15),
+          |    p -> instr('0123456789abcdef', substring(h, CAST(p + 1 AS INT), 1)) - 1))[0])""".stripMargin))
       .withColumn("bitsums", expr(
-        """aggregate(tokens, array_repeat(cast(0 AS BIGINT), 64),
-          |  (acc, t) -> zip_with(acc,
-          |     transform(sequence(0, 63),
-          |       i -> IF(shiftright(xxhash64(t), i) % 2 != 0, 1, -1)),
-          |     (a, b) -> a + cast(b AS BIGINT)))""".stripMargin))
+        """aggregate(tokdigits, array_repeat(0, 64),
+          |  (acc, ds) -> zip_with(acc, sequence(0, 63),
+          |    (a, i) -> a + IF((shiftright(ds[CAST(i div 4 AS INT)], CAST(i % 4 AS INT)) % 2) = 1,
+          |                     1, -1)))""".stripMargin))
       .withColumn("simhash", expr(
-        """aggregate(
-          |  zip_with(bitsums, sequence(0, 63),
-          |    (b, i) -> IF(b > 0, shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))),
-          |  cast(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-      .withColumn("bucket", expr("shiftright(simhash, 48)"))
+        """concat_ws('', transform(sequence(0, 15), j ->
+          |  substring('0123456789abcdef',
+          |    aggregate(sequence(0, 3), 0,
+          |      (acc, r) -> acc + IF(bitsums[CAST(4 * j + r AS INT)] > 0,
+          |                           CAST(shiftleft(1, CAST(r AS INT)) AS INT), 0)) + 1, 1)))""".stripMargin))
+      .withColumn("bucket", substring(col("simhash"), 1, 4))
       .select(col("doc_id"), col("simhash"), col("bucket"),
         count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_bucket_mates"))
 
+  val dedupSimhashSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |td AS (
+      |  SELECT doc_id, list_transform(toks, t ->
+      |    list_transform(range(0, 16),
+      |      p -> strpos('0123456789abcdef', substr(md5(t), CAST(p + 1 AS INT), 1)) - 1)) AS tokdigits
+      |  FROM docs),
+      |bs AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    list_sum(list_transform(tokdigits, ds ->
+      |      CASE WHEN ((ds[CAST(i // 4 + 1 AS INT)] >> CAST(i % 4 AS INT)) & 1) = 1
+      |           THEN 1 ELSE -1 END))) AS bitsums
+      |  FROM td),
+      |shx AS (
+      |  SELECT doc_id, array_to_string(list_transform(range(0, 16), j ->
+      |    substr('0123456789abcdef', CAST(
+      |        (CASE WHEN bitsums[CAST(4 * j + 1 AS INT)] > 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN bitsums[CAST(4 * j + 2 AS INT)] > 0 THEN 2 ELSE 0 END)
+      |      + (CASE WHEN bitsums[CAST(4 * j + 3 AS INT)] > 0 THEN 4 ELSE 0 END)
+      |      + (CASE WHEN bitsums[CAST(4 * j + 4 AS INT)] > 0 THEN 8 ELSE 0 END)
+      |      + 1 AS INT), 1)), '') AS simhash
+      |  FROM bs)
+      |SELECT doc_id, simhash, substr(simhash, 1, 4) AS bucket,
+      |       CAST(count(*) OVER (PARTITION BY substr(simhash, 1, 4)) AS BIGINT) AS n_bucket_mates
+      |FROM shx
+      |ORDER BY doc_id""".stripMargin
+
   /** Hot-token guard for candidate generation: tokens with document
     * frequency above this fraction of the corpus never vouch for a
-    * candidate pair (a token at df ≈ N alone emits ~N²/2 postings-join
-    * rows — the classic inverted-index blowup). 0.1 is a genuinely-rare
-    * bar that holds at any corpus size; it is the LIBRARY default. The
-    * scale-preferred path is to not rely on the df heuristic at all and
-    * take candidates from MinHash bands instead — see dedupPipeline. */
+    * candidate pair. With the prefix filter in place the cap is a backstop
+    * (it only bites on documents composed ENTIRELY of near-universal
+    * tokens, where prefixes contain hot tokens); 0.1 is a genuinely-rare
+    * bar that holds at any corpus size. The scale-preferred path is to not
+    * rely on token heuristics at all and take candidates from MinHash
+    * bands — see dedupPipeline. */
   val DefaultMaxDfFrac = 0.1
 
   /** Fixture-tuned cap for the registered query + oracle twin ONLY: the
@@ -106,27 +188,40 @@ object Dedup {
 
   /** The registered `d_ngram_jaccard` form: fixture cap, matching the
     * interpolated oracle. Library callers should use ngramJaccardOnDocs
-    * (safe default) or dedupPipeline (band candidates, no df heuristic). */
+    * (safe default) or dedupPipeline (band candidates, no token
+    * heuristics). */
   def ngramJaccardFixture(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardOnDocs(Tables.documents(spark, sfDir), FixtureDfCap)
 
-  /** Candidate-pair generation via the capped inverted-index join:
-    * candidate pairs come ONLY from tokens whose document frequency is
-    * ≤ maxDfFrac·N. The df join and the postings pair-join share the token
-    * shuffle key. Exposed standalone so specs (and alternative verifiers)
-    * can observe the candidate volume directly. */
+  /** Candidate-pair generation via a df-capped, PREFIX-FILTERED inverted
+    * index (AllPairs, Bayardo et al. WWW 2007): order each document's
+    * sub-cap tokens by ascending global df (ties by token), and keep only
+    * the first |toks| − ⌈threshold·|toks|⌉ + 1 as postings. Lossless for
+    * the final Jaccard-≥-threshold output: any pair with J ≥ t shares a
+    * token inside both prefixes, and because sub-cap (rare) tokens sort
+    * before hot ones, a shared sub-cap token is always inside the prefix.
+    * On a corpus where every token is frequent (this fixture) the prefix
+    * cuts the postings join ~25× — the df cap alone cannot, since capping
+    * tokens at df ≈ 0.8·N would empty the result. The df join, the prefix
+    * window, and the postings pair-join all share the same shuffle keys. */
   def ngramJaccardCandidates(documents: DataFrame,
-      maxDfFrac: Double = DefaultMaxDfFrac): DataFrame = {
+      maxDfFrac: Double = DefaultMaxDfFrac,
+      threshold: Double = 0.8): DataFrame = {
     val docs = documents
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sz", size(col("toks")))
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-    val postings = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+    val postings = docs.select(col("doc_id"), col("sz"), explode(col("toks")).as("t"))
     val docFreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val rare = postings.join(docFreq, "t").crossJoin(nDocs)
+    val sub = postings.join(docFreq, "t").crossJoin(nDocs)
       .filter(col("df") <= col("n_docs") * maxDfFrac)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    val prefix = sub
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("t"))
-    rare.as("a")
-      .join(rare.as("b"),
+    prefix.as("a")
+      .join(prefix.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -152,20 +247,22 @@ object Dedup {
         round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
   }
 
-  /** Capped candidates + exact verification over an arbitrary
-    * (doc_id, text) DataFrame — the library entry point. Results equal the
-    * all-pairs formulation whenever every qualifying pair shares at least
-    * one sub-cap token (a pair sharing only stopwords is, by construction,
-    * not a near-duplicate worth keeping). */
+  /** Capped+prefix-filtered candidates + exact verification over an
+    * arbitrary (doc_id, text) DataFrame — the library entry point. Results
+    * equal the all-pairs formulation whenever every qualifying pair shares
+    * at least one sub-cap token (a pair sharing only stopwords is, by
+    * construction, not a near-duplicate worth keeping). */
   def ngramJaccardOnDocs(documents: DataFrame,
       maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
     jaccardVerify(documents, ngramJaccardCandidates(documents, maxDfFrac))
 
-  /** Oracle twin replaying the IDENTICAL capped algorithm (df ≤ cap·N
-    * candidate generation + exact per-candidate scoring), not the naive
-    * all-pairs form — so correctness does not hinge on the fixture's df
-    * distribution staying below the cap. The cap is interpolated from
-    * FixtureDfCap. */
+  /** Oracle twin replaying the capped algorithm (df ≤ cap·N candidate
+    * generation + exact per-candidate scoring), not the naive all-pairs
+    * form — so correctness does not hinge on the fixture's df distribution
+    * staying below the cap. The twin deliberately does NOT replay the
+    * prefix filter: the filter is provably lossless for the J ≥ 0.8
+    * output, so an oracle WITHOUT it independently checks that claim. The
+    * cap is interpolated from FixtureDfCap. */
   val ngramJaccardSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -229,62 +326,90 @@ object Dedup {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** Near-duplicate GROUPS — the dedup endgame: connected components over
-    * the exact-Jaccard pair graph, so transitively-linked near-dups
-    * collapse into one group (keep `group_id`, drop the rest). Spark-first
-    * formulation: iterative min-label propagation — every doc starts
-    * labeled with its own id; each round, every doc takes the minimum of
-    * its own and its neighbors' labels (one join + partial-agg min, keyed
-    * on doc id); converged when a round changes nothing. Rounds ≈ graph
-    * diameter (near-dup graphs are clique-like, so 2-3 in practice); at
-    * trillion-edge scale the alternating large-star/small-star variant
-    * halves rounds, but the per-round dataflow is identical. The driver
-    * loop's per-round `count()` is the convergence check every iterative
-    * distributed CC needs — it is not a data collect. The DuckDB twin is
-    * a recursive transitive-closure CTE: same components, independently
-    * computed. */
-  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccardFixture(spark, sfDir)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .cache()
-    var cached = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .cache()
-    var labels = cached
-    var changed = 1L
-    while (changed > 0) {
-      val fromNbrs = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // The update and the convergence flag come out of ONE join — the
-      // per-round count() action materializes both.
-      val next = labels.join(fromNbrs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("lowered"))
-        .cache()
-      changed = next.filter(col("lowered")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("doc_id"), col("label"))
+  /** Connected components over an edge list via alternating large-star /
+    * small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii: "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — O(log² n) rounds on ANY graph topology, vs
+    * rounds ≈ diameter for plain min-label propagation. Each round is two
+    * {self-join on node key + partial-min aggregate} stages; edges stay
+    * canonically oriented (u > v) throughout. Convergence is an exact
+    * set-equality check (count + one-sided except on distinct'd frames —
+    * cheap relative to a round, and no false positives, unlike fingerprint
+    * sums). Returns the node→component-min labeling plus the round count
+    * so specs can assert the logarithmic bound. */
+  def connectedComponentsWithRounds(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
+    // Eager localCheckpoint, not cache(): each round's plan references the
+    // previous round's edge set ~5×, so an uncheckpointed lineage grows
+    // exponentially with rounds (an 8-round run OOM'd the driver just
+    // BUILDING the plan string). Checkpointing truncates the logical plan
+    // to a scan of the materialized blocks; the ContextCleaner reclaims
+    // each round's blocks once the next round drops the reference.
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done) {
+      require(rounds < maxRounds,
+        s"star contraction did not converge in $maxRounds rounds")
+      // large-star: every strictly-larger neighbor of u attaches to
+      // m = min(N(u) ∪ {u}); output edges keep the (big, small) orientation
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: all (smaller) neighbors of u, and u itself, attach to
+      // the minimum neighbor
+      val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      rounds += 1
     }
-    // Eagerly materialize the converged labels via localCheckpoint: it
-    // truncates the iteration's lineage so every per-round cache entry
-    // (and the edge cache) can be released NOW instead of stranding one
-    // cache block per invocation; checkpoint blocks are reclaimed by the
-    // ContextCleaner once the returned frame is unreferenced.
-    val converged = labels.localCheckpoint(true)
-    cached.unpersist()
-    edges.unpersist()
-    val sizes = converged.groupBy(col("label").as("group_id"))
-      .agg(count(lit(1)).as("group_size"))
-    converged.select(col("doc_id"), col("label").as("group_id"))
-      .join(sizes, "group_id")
-      .select(col("doc_id"), col("group_id"), col("group_size"))
+    // Converged: edges form a star forest with each component's min as the
+    // center, so the labeling is one left join away; checkpointing it
+    // releases the last round's edge blocks once callers drop this frame.
+    val labels = nodes.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))
+      .localCheckpoint(true)
+    val sizes = labels.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+    (labels.join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size")), rounds)
+  }
+
+  /** Near-duplicate GROUPS from a precomputed similarity pair frame — the
+    * dedup endgame: transitively-linked near-dups collapse into one group
+    * (keep `group_id`, drop the rest). Edges are a parameter so any
+    * candidate generator can feed it: `dedupGroups` wires in the fixture
+    * Jaccard graph (oracle parity), `dedupPipeline` the MinHash-band
+    * graph (the 100 TB composition). */
+  def dedupGroupsFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs)._1
+
+  /** Registered form over the fixture-capped exact-Jaccard pair graph.
+    * The DuckDB twin is a recursive transitive-closure CTE over the same
+    * graph: same components, independently computed. */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    dedupGroupsFromPairs(docs.select(col("doc_id")),
+      ngramJaccardFixture(spark, sfDir).select(col("doc_a"), col("doc_b")))
   }
 
   /** Recursive-CTE oracle over the same capped pair graph the Spark
@@ -319,4 +444,73 @@ object Dedup {
       |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
       |FROM (SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s)
       |ORDER BY doc_id""".stripMargin
+
+  /** (doc_id, band_idx, band) — one row per document per MinHash band,
+    * the LSH bucketing relation candidate generation joins on. */
+  def minhashBands(documents: DataFrame): DataFrame =
+    minhashSlots(documents)
+      .select(col("doc_id"),
+        posexplode(array(bandCol(0), bandCol(1), bandCol(2), bandCol(3)))
+          .as(Seq("band_idx", "band")))
+
+  /** Candidate pairs = documents agreeing on ANY MinHash band. The pair
+    * join is keyed on (band_idx, band) — candidate volume is
+    * Σ_buckets n_b²/2, never n²/2, and needs no token-frequency
+    * heuristics. This is the generator a 100 TB dedup actually runs. */
+  def bandCandidates(documents: DataFrame): DataFrame = {
+    val bands = minhashBands(documents)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The end-to-end banded near-dedup pipeline — the one operator a 100 TB
+    * training-data pipeline actually runs, welded from the three
+    * individually-verified stages: MinHash 4×4 bands → band-bucket
+    * candidate pairs → exact Jaccard ≥ 0.8 verification → connected
+    * components. Every stage is a fixed-size-key shuffle or a
+    * candidate-bounded join; no token-df heuristic is load-bearing
+    * anywhere. Docs too short to shingle (< 3 tokens) generate no bands
+    * and come out as singleton groups. Fully oracled: the DuckDB twin
+    * replays the identical md5 signature math, banding, verification, and
+    * a recursive-CTE closure. */
+  def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = jaccardVerify(docs, bandCandidates(docs))
+      .select(col("doc_a"), col("doc_b"))
+    dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)
+  }
+
+  val dedupPipelineSql: String =
+    s"""WITH RECURSIVE $sigCtesSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+       |docsd AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM docs0),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, len(list_intersect(da.dtoks, db.dtoks)) AS i,
+       |           len(da.dtoks) AS na, len(db.dtoks) AS nb
+       |    FROM cand JOIN docsd da ON da.doc_id = doc_a
+       |              JOIN docsd db ON db.doc_id = doc_b)
+       |  WHERE i * 1.0 / (na + nb - i) >= 0.8),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+       |SELECT doc_id, group_id,
+       |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+       |FROM (SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -21,8 +21,8 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("minhash signatures are stable across runs") {
-    val a = Dedup.dedupMinhash(spark, sf001).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val b = Dedup.dedupMinhash(spark, sf001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = Dedup.dedupMinhash(spark, sf001).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Dedup.dedupMinhash(spark, sf001).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(a.sameElements(b))
   }
 
@@ -51,7 +51,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(capped(0).getDouble(2) == 1.0)
   }
 
-  test("default df cap bounds candidate volume under an injected hot token") {
+  test("hot tokens cannot blow up candidate volume; near-dups still found") {
     import spark.implicits._
     // 40 docs; a "hot" token with df = 0.5·N (the judge's stopword case —
     // well under the old fixture-tuned 0.85 cap but far above any honest
@@ -60,11 +60,49 @@ class ExtensionsSpec extends SparkSpec {
       val unique = (0 until 5).map(j => s"u${i}_$j").mkString(" ")
       (i.toLong, if (i < 20) s"hot $unique" else unique)
     }.toDF("doc_id", "text")
-    // Library default (0.1): the hot token may not vouch for candidates,
-    // so the skewed corpus generates ZERO pairs instead of C(20,2) = 190.
+    // The AllPairs prefix filter keeps the hot token out of every prefix
+    // (each doc has >= 2 rarer tokens), so the skewed corpus generates
+    // ZERO candidates instead of C(20,2) = 190 — under ANY df cap.
     assert(Dedup.ngramJaccardCandidates(docs).count() == 0)
     assert(Dedup.ngramJaccardCandidates(docs, maxDfFrac = Dedup.FixtureDfCap)
-      .count() == 190)
+      .count() == 0)
+    // Losslessness of the prefix filter: an actual near-dup pair (9 shared
+    // rare tokens + 1 unique each, J = 9/11 ≈ 0.818 ≥ 0.8) must survive
+    // end-to-end with the default cap.
+    val shared = (0 until 9).map(j => s"s$j").mkString(" ")
+    val nearDup = docs.union(Seq(
+      (100L, s"$shared xa"), (101L, s"$shared xb")).toDF("doc_id", "text"))
+    val found = Dedup.ngramJaccardOnDocs(nearDup).collect()
+    assert(found.length == 1 &&
+      found(0).getLong(0) == 100L && found(0).getLong(1) == 101L)
+  }
+
+  test("star contraction converges in O(log^2 n) rounds on a path graph") {
+    import spark.implicits._
+    // A 64-node path is the worst-diameter case: plain min-label
+    // propagation needs 63 rounds; star contraction must stay logarithmic.
+    val nodes = (0L until 64L).toDF("doc_id")
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs)
+    assert(rounds <= 10, s"took $rounds rounds")
+    val rows = labels.collect()
+    assert(rows.length == 64)
+    assert(rows.forall(_.getLong(1) == 0L))
+    assert(rows.forall(_.getLong(2) == 64L))
+  }
+
+  test("banded pipeline: verified pairs share a minhash band; groups consistent") {
+    val docs = Tables.documents(spark, sf001)
+    val bandMates = Dedup.bandCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.jaccardVerify(docs, Dedup.bandCandidates(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.nonEmpty)
+    verified.foreach(p => assert(bandMates.contains(p), s"$p not a band mate"))
+    // every doc appears exactly once in the group output, including
+    // too-short-to-shingle singletons
+    val groups = Dedup.dedupPipeline(spark, sf001)
+    assert(groups.count() == docs.count())
   }
 
   test("exact-small cosine dedup refuses corpora above its row guard") {

@@ -70,7 +70,7 @@ object GraftProps extends Properties("graft") {
         val sig = ext.Dedup.dedupMinhash(spark, tmp).collect()
         Prop(sig.length == 2 &&
           sig.forall(_.getAs[Long]("n_sig_mates") == 2L) &&
-          sig.map(_.getAs[Long]("band0")).distinct.length == 1)
+          sig.map(_.getAs[String]("band0")).distinct.length == 1)
       }
     }
 }
