@@ -116,13 +116,124 @@ object Similarity {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** IVF (inverted-file) approximate NN — the second scale path beside
-    * LSH: a seeded KMeans coarse quantizer assigns every vector to one of
-    * k cells; queries probe only their own cell, so exact scoring touches
-    * ≈ n/k candidates. Centroid training is a one-off batch job whose
-    * model broadcasts to the scoring stage. Rows-only check (float
-    * iteration order makes centroids engine-specific); the spec asserts
-    * structural invariants. */
+    * LSH: a coarse quantizer assigns every vector to one of k cells;
+    * queries probe only their own cell, so exact scoring touches ≈ n/k
+    * candidates. The quantizer here is hand-rolled Lloyd iteration in
+    * DataFrame ops: seeds = the k rank-smallest vec_ids' embeddings,
+    * then `iters` rounds of {assign to nearest centroid via a per-row
+    * fold against broadcast centroid literals (no shuffle of the corpus),
+    * recompute centroids as per-(cell,dim) means rounded to 6 decimals}.
+    * The rounding is the determinism contract: cross-partition double
+    * summation is order-dependent in the last ulps, and rounding (+1e-9,
+    * 6 dp) absorbs that, so the centroid sequence — and hence every
+    * assignment — is engine-reproducible and the operator has a FULL
+    * DuckDB oracle that replays the identical iterations. The model is
+    * O(k·d) driver state, exactly like MLlib's; each iteration is one
+    * corpus scan + one (cell × dim)-sized aggregate. `annIvfKMeans` keeps
+    * the MLlib formulation as the library twin. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 16
+    val iters = 2
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    def sqDist(cent: Array[Double]): Column = {
+      val centArr = array(cent.map(lit): _*)
+      aggregate(
+        zip_with(col("embedding"), centArr, (x, y) => {
+          val d = x.cast("double") - y; d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    def assign(cents: Array[Array[Double]]): DataFrame = emb
+      .withColumn("darr", array(cents.map(sqDist).toIndexedSeq: _*))
+      .withColumn("cell", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    var cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val next = cents.map(_.clone())
+      assign(cents)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col").cast("double")) + lit(1e-9), 6).as("cv"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    val assigned = assign(cents)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("sim"))
+  }
+
+  /** DuckDB twin of annIvf: the same seeds, two unrolled Lloyd rounds
+    * (assignment = row_number argmin over the cross join — same doubles,
+    * same smallest-cell tie-break as Spark's array_position-of-min — and
+    * centroid update = round(avg + 1e-9, 6) with empty-cell carry-over),
+    * then the same in-cell cosine top-3. */
+  val annIvfSql: String = {
+    def assignCte(a: String, c: String): String =
+      s"""$a AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_sum(list_transform(list_zip(e.v, c.cv),
+         |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
+         |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def updateCte(m: String, a: String, prevL: String, cl: String, c: String): String =
+      s"""$m AS (SELECT cell, dim, round(avg(x) + 1e-9, 6) AS cv
+         |      FROM (SELECT cell, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         |                   unnest(v) AS x
+         |            FROM $a) u
+         |      GROUP BY cell, dim),
+         |$cl AS (SELECT p.cell, p.dim, COALESCE($m.cv, p.x) AS cv
+         |      FROM $prevL p LEFT JOIN $m ON $m.cell = p.cell AND $m.dim = p.dim),
+         |$c AS (SELECT cell, list(cv ORDER BY dim) AS cv FROM $cl GROUP BY cell)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |c0l AS (SELECT cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
+       |               unnest(cv) AS x
+       |        FROM c0),
+       |${assignCte("a1", "c0")},
+       |${updateCte("m1", "a1", "c0l", "c1l", "c1")},
+       |c1l2 AS (SELECT cell, dim, cv AS x FROM c1l),
+       |${assignCte("a2", "c1")},
+       |${updateCte("m2", "a2", "c1l2", "c2l", "c2")},
+       |${assignCte("a3", "c2")},
+       |sims AS (
+       |  SELECT q.q_id, a.cell, a.vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(ea.embedding, eq.embedding),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      + 1e-9, 4) AS sim
+       |  FROM (SELECT vec_id AS q_id, cell FROM a3 WHERE vec_id < 10) q
+       |  JOIN a3 a ON a.cell = q.cell AND a.vec_id != q.q_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eq ON eq.vec_id = q.q_id)
+       |SELECT q_id, rank, neighbor_id, cell, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** MLlib-KMeans formulation of the same IVF dataflow — the library twin
+    * for callers who want the battle-tested trainer (k-means||, tolerance
+    * stop) over bit-reproducibility. Rows-only check: MLlib's float
+    * iteration order makes centroids engine-specific. */
+  def annIvfKMeans(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)

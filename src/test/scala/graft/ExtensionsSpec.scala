@@ -186,6 +186,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("ivf ann (kmeans twin) returns up to 3 in-cell neighbors per query") {
+    val df = Similarity.annIvfKMeans(spark, sf001).cache()
+    assert(df.count() > 0)
+    val perQ = df.groupBy("q_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perQ <= 3)
+    df.unpersist()
+  }
+
   test("ivf ann returns up to 3 in-cell neighbors per query with valid sims") {
     val df = Similarity.annIvf(spark, sf001).cache()
     assert(df.count() > 0)
