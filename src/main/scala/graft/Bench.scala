@@ -9,21 +9,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - results are fully materialized through the `noop` sink (every
   *     column computed and serialized) instead of `.count()`, which would
   *     let Catalyst prune the payload columns and under-report work;
-  *   - 10 timed runs by default instead of 30 (SPARK_GRAFT_BENCH_RUNS to
-  *     override): Spark-side runs are sub-second, so 10 gives a tight CI
-  *     without blowing the per-round wall clock.
+  *   - 30 timed runs by default, protocol-identical to the reference
+  *     (SPARK_GRAFT_BENCH_RUNS to override when iterating locally).
   *
   * Prints ONE JSON line:
   *   {"metric":"total","value":…,"unit":"sec",
   *    "queries":{name:meanSec,…},
   *    "stats":{name:{"mean":…,"stddev":…,"ci95":…,"runs":N},…},
+  *    "extended":{name:meanSec,…},         // scale ops at sf0.01
+  *    "pipeline":{"query":"d_dedup_pipeline","sf":…,"sec":…},
+  *    "fractions":{"25":totalSec,…},       // same-corpus limit fractions
   *    "sweep":{sfDir:totalSec,…},          // only with SPARK_GRAFT_SF_SWEEP
   *    "sf":…}
   * `queries` stays a flat name→seconds map for the driver; `stats` carries
   * the reference-parity distribution columns (BASELINE.md's ±CI).
-  * SPARK_GRAFT_SF_SWEEP=dir1,dir2 additionally times the headline total at
-  * each listed scale factor (the analog of the reference's 25/50/75/100 %
-  * LOAD_PERCENTAGE tables, `insert.py:11` / PDF §4).
+  *
+  * The `fractions` sweep is the exact semantics of the reference's
+  * LOAD_PERCENTAGE tables (`insert.py:11` / PDF §4 Tables 1–4): ONE corpus,
+  * its first 25/50/75/100 % of rows per table materialized to scratch
+  * parquet, the headline set timed against each — same-corpus fractions,
+  * not different scale factors. SPARK_GRAFT_FRACTIONS overrides the list
+  * (comma-separated percents; empty string disables). SPARK_GRAFT_SF_SWEEP=
+  * dir1,dir2 additionally times the headline total at each listed scale
+  * factor (a scale-up view the reference doesn't have).
+  *
+  * `pipeline` times the end-to-end banded dedup (d_dedup_pipeline) at the
+  * PRIMARY sfDir — unlike the verifier-only doc-pair formulations (which
+  * the fixture's quadratic pair graph confines to sf0.01, see `extended`),
+  * the banded path is candidate-bounded and runs at sf0.1.
   */
 object Bench {
   /** Headline set: the reference's four queries plus one representative
@@ -43,7 +56,32 @@ object Bench {
     * makes the doc-pair family minutes-long at sf0.1 while the driver's
     * correctness gate for them runs at sf0.01 anyway. */
   val extended: Seq[String] = Seq(
-    "e_cosine_dedup_lsh", "d_ngram_jaccard", "d_dedup_groups", "q_asof_join")
+    "e_cosine_dedup_lsh", "d_ngram_jaccard", "d_dedup_groups",
+    "d_dedup_pipeline", "q_asof_join")
+
+  /** Tables materialized by the fraction sweep (every table a headline
+    * query reads). */
+  private val fracTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Materialize the first `pct` % of every table under `sfDir` into a
+    * scratch dir (returned). Runs under nanosAsLong, so `events.ts` stays
+    * a nanosecond long through the round-trip and `Tables.events` reads
+    * the copy identically. Write cost is NOT timed — only the queries
+    * over the materialized fraction are. */
+  private def materializeFraction(
+      spark: SparkSession, sfDir: String, pct: Int): String = {
+    val out = s"/tmp/graft_bench_frac/p$pct"
+    fracTables.foreach { t =>
+      val df = Tables.table(spark, sfDir, t)
+      val n = df.count()
+      val take = math.max(1L, n * pct / 100)
+      df.limit(take.toInt).repartition(8)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    out
+  }
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
