@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes through sbt's logger by default, which
+// prefixes every stdout line with "[info] " — that breaks consumers that
+// parse the benchmark's single JSON line from stdout. Inherit the parent
+// process's stdout/stderr instead so program output passes through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

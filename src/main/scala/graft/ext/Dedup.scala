@@ -40,11 +40,25 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
 
+  /** Universal-hash family for the MinHash slots: slot_j(h) =
+    * ((h mod p) · a_j + b_j) mod p over the Mersenne prime p = 2³¹−1, with
+    * a_j, b_j derived from j by fixed integer arithmetic. Every
+    * intermediate stays below 2⁶² (h mod p < 2³¹, a_j < 2³¹), so the math
+    * is overflow-free BIGINT in both the JVM and DuckDB — what makes the
+    * signatures engine-portable without per-slot string hashing.
+    * (2654435761 is Knuth's multiplicative constant — same family as the
+    * LSH planes in Similarity.scala; p prime and a_j ≢ 0 keep each slot
+    * map a bijection of Z_p.) */
+  private val SlotP = 2147483647L
+  private def slotA(j: Int): Long = (2654435761L * (j + 1)) % SlotP
+  private def slotB(j: Int): Long = (40503L * (j + 1)) % SlotP
+
   /** 16-slot MinHash signature over 3-word shingles. Shingles become ROWS,
-    * md5-hashed once each; the 16 signature slots are map-side partial
-    * `min` aggregates of per-slot re-hashes `md5("j:" || h)` — min over
-    * lowercase-hex strings is plain byte-lexicographic in both Spark and
-    * DuckDB, which is what makes the signature engine-portable.
+    * md5-hashed ONCE each into a 60-bit integer (first 15 hex digits via
+    * `conv`); the 16 signature slots are map-side partial `min` aggregates
+    * of the cheap universal re-hashes above. An earlier formulation
+    * re-md5'd every shingle once per slot — 17 string hashes per shingle —
+    * which benchmarked 4× slower at sf0.1 for identical dedup quality.
     * (A per-row lambda formulation is tempting but CollapseProject inlines
     * the whole shingle build into each of the 16 slot lambdas — 16× the
     * string hashing — and giant per-row arrays don't scale to long
@@ -59,9 +73,10 @@ object Dedup {
         """array_distinct(transform(sequence(0, size(tokens) - 3),
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin))
         .as("s"))
-      .select(col("doc_id"), md5(col("s")).as("h"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % SlotP).as("h"))
     val slots = (0 until 16).map(j =>
-      min(md5(concat_ws(":", lit(j), col("h")))).as(s"m$j"))
+      min((col("h") * slotA(j) + slotB(j)) % SlotP).as(s"m$j"))
     shingleHashes.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
   }
 
@@ -82,13 +97,19 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("sig_key"))).as("n_sig_mates"))
 
   /** Shared oracle-SQL fragments replaying minhashSlots in DuckDB: the
-    * shingle CTE, the 16 `min(md5('j:' || h))` slot aggregates, and the
-    * band concatenations — interpolated into both the signature oracle and
-    * the pipeline oracle so the twins cannot drift from each other. */
+    * shingle CTE, the hex→BIGINT fold (DuckDB lacks `conv`, so the first
+    * 15 md5 hex digits fold via `list_reduce(acc·16 + digit)` — identical
+    * value), the 16 universal-hash slot aggregates with a_j/b_j
+    * interpolated from the SAME Scala constants the operator uses, and the
+    * band concatenations — shared by the signature oracle and the pipeline
+    * oracle so the twins cannot drift from each other. */
   private val slotMinsSql: String =
-    (0 until 16).map(j => s"min(md5('$j:' || h)) AS m$j").mkString(", ")
+    (0 until 16)
+      .map(j => s"min((h * ${slotA(j)} + ${slotB(j)}) % $SlotP) AS m$j")
+      .mkString(", ")
   private def bandSql(b: Int): String =
-    (4 * b until 4 * b + 4).map(j => s"m$j").mkString(" || ',' || ")
+    (4 * b until 4 * b + 4)
+      .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ',' || ")
   private val sigCtesSql: String =
     s"""docs0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
@@ -96,7 +117,14 @@ object Dedup {
        |    range(0, len(toks) - 2),
        |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
        |  FROM docs0 WHERE len(toks) >= 3),
-       |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+       |hh0 AS (SELECT doc_id, md5(s) AS hx FROM sh),
+       |hh AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_transform(range(0, 15),
+       |           p -> CAST(strpos('0123456789abcdef',
+       |                  substr(hx, CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |           (a, b) -> a * 16 + b) % $SlotP AS h
+       |  FROM hh0),
        |sig AS (SELECT doc_id, $slotMinsSql FROM hh GROUP BY doc_id)""".stripMargin
 
   val dedupMinhashSql: String =
@@ -105,7 +133,7 @@ object Dedup {
        |       md5(${bandSql(0)}) AS band0, md5(${bandSql(1)}) AS band1,
        |       md5(${bandSql(2)}) AS band2, md5(${bandSql(3)}) AS band3,
        |       CAST(count(*) OVER (PARTITION BY
-       |         ${(0 until 16).map(j => s"m$j").mkString(" || ',' || ")}) AS BIGINT) AS n_sig_mates
+       |         ${(0 until 16).map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ',' || ")}) AS BIGINT) AS n_sig_mates
        |FROM sig
        |ORDER BY doc_id""".stripMargin
 
@@ -483,6 +511,95 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)
   }
+
+  /** Fuzzy (edit-distance) dedup: near-identical documents that differ by
+    * small in-place edits — the family MinHash/Jaccard under-serves
+    * because token-set measures ignore token ORDER and small substitutions.
+    * Scale shape: block on a short exact prefix (the classic sorted-
+    * neighborhood/blocking compromise: an O(n²) metric is only ever paid
+    * within a block), then score block-mates by Levenshtein distance over
+    * a fixed-length head — bounding the per-pair cost at headLen² char
+    * ops regardless of document size. Both `levenshtein` and the blocking
+    * are byte-identical in DuckDB, so the operator is fully oracled. */
+  def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyOnDocs(Tables.documents(spark, sfDir))
+
+  def fuzzyOnDocs(documents: DataFrame, blockLen: Int = 16,
+      headLen: Int = 80, maxDist: Int = 24): DataFrame = {
+    val d = documents.select(col("doc_id"),
+      substring(col("text"), 1, blockLen).as("blk"),
+      substring(col("text"), 1, headLen).as("head"))
+    d.as("a")
+      .join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+
+  }
+
+  val dedupFuzzySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 80) AS head
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+      |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 24
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash estimator accuracy, first-class: for every band-candidate
+    * pair, the signature-estimated Jaccard (matching slots / 16 — an exact
+    * power-of-two division, bit-identical everywhere) next to the exact
+    * token-set Jaccard. This is the operator that tells a 100 TB pipeline
+    * whether its sketch parameters (16 slots, 4×4 bands) are tight enough
+    * to skip exact verification — and being fully oracled, it proves the
+    * whole signature math end-to-end across engines. */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sig = minhashSlots(docs)
+    def side(tag: String) = sig.select(
+      col("doc_id").as(s"doc_$tag") +:
+        (0 until 16).map(j => col(s"m$j").as(s"${tag}m$j")): _*)
+    val matches = (0 until 16)
+      .map(j => when(col(s"am$j") === col(s"bm$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = bandCandidates(docs)
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / 16.0).as("est_jaccard"))
+    val exact = jaccardVerify(docs, est.select(col("doc_a"), col("doc_b")),
+      threshold = 0.0)
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  val minhashEstimateSql: String =
+    s"""WITH $sigCtesSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |         (${(0 until 16).map(j =>
+                    s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+                    .mkString(" + ")}) / 16.0 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+       |            JOIN sig sb ON sb.doc_id = doc_b),
+       |docsd AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM docs0)
+       |SELECT doc_a, doc_b, est_jaccard,
+       |       round(len(list_intersect(da.dtoks, db.dtoks)) * 1.0
+       |             / (len(da.dtoks) + len(db.dtoks)
+       |                - len(list_intersect(da.dtoks, db.dtoks))) + 1e-9, 4) AS jaccard
+       |FROM est JOIN docsd da ON da.doc_id = doc_a
+       |         JOIN docsd db ON db.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val dedupPipelineSql: String =
     s"""WITH RECURSIVE $sigCtesSql,

@@ -131,7 +131,19 @@ object Similarity {
     * O(k·d) driver state, exactly like MLlib's; each iteration is one
     * corpus scan + one (cell × dim)-sized aggregate. `annIvfKMeans` keeps
     * the MLlib formulation as the library twin. */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfImpl(spark, sfDir, probes = 1)
+
+  /** Multiprobe IVF: queries probe their `probes` nearest cells instead of
+    * one. The standard recall lever when a query lands near a Voronoi
+    * boundary — candidate volume grows to ≈ probes·n/k while staying
+    * corpus-shuffle-free (probing only widens the tiny broadcast query
+    * side). Same deterministic quantizer, so the full oracle replays. */
+  def annIvfProbe2(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfImpl(spark, sfDir, probes = 2)
+
+  private def annIvfImpl(spark: SparkSession, sfDir: String,
+      probes: Int): DataFrame = {
     val k = 16
     val iters = 2
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -161,7 +173,16 @@ object Similarity {
       cents = next
     }
     val assigned = assign(cents)
-    val queries = assigned.filter(col("vec_id") < 10)
+    // Query side: rank ALL cells by distance (ties to the smaller cell id,
+    // matching assign()'s array_position-of-min) and probe the top
+    // `probes`. probes=1 reproduces the plain own-cell lookup exactly.
+    val pw = Window.partitionBy(col("vec_id")).orderBy(asc("dist"), asc("cell"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .withColumn("darr", array(cents.map(sqDist).toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("darr")).as(Seq("cell", "dist")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= probes)
       .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
     assigned.join(broadcast(queries), Seq("cell"))
@@ -173,12 +194,16 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("sim"))
   }
 
-  /** DuckDB twin of annIvf: the same seeds, two unrolled Lloyd rounds
-    * (assignment = row_number argmin over the cross join — same doubles,
-    * same smallest-cell tie-break as Spark's array_position-of-min — and
-    * centroid update = round(avg + 1e-9, 6) with empty-cell carry-over),
-    * then the same in-cell cosine top-3. */
-  val annIvfSql: String = {
+  /** DuckDB twin of annIvf/annIvfProbe2: the same seeds, two unrolled
+    * Lloyd rounds (assignment = row_number argmin over the cross join —
+    * same doubles, same smallest-cell tie-break as Spark's
+    * array_position-of-min — and centroid update = round(avg + 1e-9, 6)
+    * with empty-cell carry-over), then the same in-cell cosine top-3; the
+    * query side keeps its `probes` nearest cells (rn <= probes). */
+  val annIvfSql: String = ivfSql(probes = 1)
+  val annIvfProbe2Sql: String = ivfSql(probes = 2)
+
+  private def ivfSql(probes: Int): String = {
     def assignCte(a: String, c: String): String =
       s"""$a AS (SELECT vec_id, v, cell FROM (
          |  SELECT e.vec_id, e.v, c.cell,
@@ -210,6 +235,12 @@ object Similarity {
        |${assignCte("a2", "c1")},
        |${updateCte("m2", "a2", "c1l2", "c2l", "c2")},
        |${assignCte("a3", "c2")},
+       |aq AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_sum(list_transform(list_zip(e.v, c.cv),
+       |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
+       |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= $probes),
        |sims AS (
        |  SELECT q.q_id, a.cell, a.vec_id AS neighbor_id,
        |    round(
@@ -218,7 +249,7 @@ object Similarity {
        |      / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |      + 1e-9, 4) AS sim
-       |  FROM (SELECT vec_id AS q_id, cell FROM a3 WHERE vec_id < 10) q
+       |  FROM (SELECT vec_id AS q_id, cell FROM aq) q
        |  JOIN a3 a ON a.cell = q.cell AND a.vec_id != q.q_id
        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
        |  JOIN embeddings eq ON eq.vec_id = q.q_id)
@@ -266,7 +297,12 @@ object Similarity {
   def cosineDedupExactSmall(spark: SparkSession, sfDir: String,
       maxRows: Long = 100000L): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val probed = emb.limit((maxRows + 1).toInt).count()
+    // Clamp before toInt: limit() takes an Int, and maxRows near Long.Max
+    // would otherwise overflow to a negative limit and throw an unrelated
+    // error instead of the guard message below.
+    val probeN =
+      if (maxRows >= Int.MaxValue - 1L) Int.MaxValue else (maxRows + 1).toInt
+    val probed = emb.limit(probeN).count()
     require(probed <= maxRows,
       s"cosineDedupExactSmall is the O(n²) verifier twin (corpus exceeds " +
         s"$maxRows vectors); use cosineDedupLsh, the bucketed scale path")

@@ -97,7 +97,16 @@ object CosineSimilarity {
     * `expr("cosine_sim(a, b)")` resolves to the native expression.
     * (Production sessions can instead install [[graft.GraftExtensions]]
     * via `spark.sql.extensions`.) */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    // Registering is cheap but createOrReplaceTempFunction logs a
+    // "replaced a previously registered function" WARN on every repeat
+    // call; skip when the session already has it so benchmark loops and
+    // per-query helpers stay silent.
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+      registry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    }
+  }
 }

@@ -1094,4 +1094,69 @@ object Relational {
       |             ('large', 300000.0, 1000000000.0)) AS bands(band, lo, hi)
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Regexp surface: extract/replace/match — the remaining scalar string
+    * family (LIKE is covered by likeFilter). All three run inside one
+    * codegen'd projection over a pruned 2-column scan. DuckDB parity
+    * notes: regexp_extract returns '' on no-match in BOTH engines;
+    * Spark's regexp_replace is global by default, so the oracle passes
+    * the 'g' flag explicitly. */
+  def regexpFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_name").rlike("[02468]$")) // even-numbered customers
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "#(\\d+)", 1).as("cust_num"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_masked"))
+
+  val regexpFuncsSql: String =
+    """SELECT c_custkey,
+      |       regexp_extract(c_name, '#(\d+)', 1) AS cust_num,
+      |       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked
+      |FROM customer
+      |WHERE regexp_matches(c_name, '[02468]$')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Salted two-phase join+aggregate — the skew-mitigation pattern at
+    * 100 TB: when one join key is hot enough to overwhelm a single
+    * reducer, split EACH key's rows across `SaltBuckets` deterministic
+    * salts (hash of the fact row's unique key — no RNG, so plans replay),
+    * replicate the small build side once per salt, join on (key, salt),
+    * then partially aggregate per (key, salt) before the final key-level
+    * merge. The oracle is the PLAIN unsalted join/aggregate — salting is
+    * a physical rewrite and must be semantically invisible. Here the
+    * skew axis is o_orderpriority (5 hot values over 10k orders: a real
+    * 5-reducer bottleneck shape at scale). */
+  val SaltBuckets = 8
+
+  def skewJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prio = Seq(
+      ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+      ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("o_orderpriority", "prio_rank")
+    // Replicate the 5-row dim ×8 salts; fact rows pick a deterministic
+    // salt from their primary key so the hot key's rows spread across 8
+    // (key, salt) shuffle partitions instead of one.
+    val saltedDim = prio.crossJoin(
+      spark.range(SaltBuckets.toLong).select(col("id").cast("int").as("salt")))
+    val fact = Tables.orders(spark, sfDir)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(SaltBuckets)).cast("int"))
+    fact.join(saltedDim, Seq("o_orderpriority", "salt"))
+      .groupBy(col("o_orderpriority"), col("salt"), col("prio_rank"))
+      .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("ps"))
+      .groupBy(col("o_orderpriority"), col("prio_rank"))
+      .agg(sum(col("pn")).as("n_orders"), round(sum(col("ps")), 2).as("total_price"))
+      .select(col("o_orderpriority"), col("prio_rank"),
+        col("n_orders"), col("total_price"))
+  }
+
+  /** Plain unsalted formulation — salting must not change the answer. */
+  val skewJoinSaltedSql: String =
+    """SELECT o_orderpriority, prio_rank,
+      |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+      |             ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+      |  AS p(o_orderpriority, prio_rank) USING (o_orderpriority)
+      |GROUP BY o_orderpriority, prio_rank
+      |ORDER BY o_orderpriority""".stripMargin
 }
