@@ -42,15 +42,21 @@ object Dedup {
 
   /** Universal-hash family for the MinHash slots: slot_j(h) =
     * ((h mod p) · a_j + b_j) mod p over the Mersenne prime p = 2³¹−1, with
-    * a_j, b_j derived from j by fixed integer arithmetic. Every
-    * intermediate stays below 2⁶² (h mod p < 2³¹, a_j < 2³¹), so the math
-    * is overflow-free BIGINT in both the JVM and DuckDB — what makes the
-    * signatures engine-portable without per-slot string hashing.
-    * (2654435761 is Knuth's multiplicative constant — same family as the
-    * LSH planes in Similarity.scala; p prime and a_j ≢ 0 keep each slot
-    * map a bijection of Z_p.) */
+    * multipliers a_j = K^(j+1) mod p (K = Knuth's 2654435761 — same family
+    * as the LSH planes in Similarity.scala; p prime and a_j ≢ 0 keep each
+    * slot map a bijection of Z_p). POWERS of K, not multiples: with
+    * a_j = K·(j+1) the slots are (j+1)·(K·h) mod p, so any shingle whose
+    * K·h mod p lands below p/16 wins EVERY slot without wrapping and the
+    * 16 slots collapse into one (observed: est 0.75 vs true 0.01 on
+    * shared-stopword pairs). With powers, slot_j = K·slot_{j−1} mod p,
+    * and multiplying any value ≥ 1 by K wraps the modulus, decorrelating
+    * consecutive slots. Every intermediate stays below 2⁶² (h mod p < 2³¹,
+    * a_j < 2³¹), so the math is overflow-free BIGINT in both the JVM and
+    * DuckDB — what makes the signatures engine-portable without per-slot
+    * string hashing. */
   private val SlotP = 2147483647L
-  private def slotA(j: Int): Long = (2654435761L * (j + 1)) % SlotP
+  private def slotA(j: Int): Long =
+    BigInt(2654435761L).modPow(BigInt(j + 1), BigInt(SlotP)).toLong
   private def slotB(j: Int): Long = (40503L * (j + 1)) % SlotP
 
   /** 16-slot MinHash signature over 3-word shingles. Shingles become ROWS,
@@ -551,10 +557,13 @@ object Dedup {
   /** MinHash estimator accuracy, first-class: for every band-candidate
     * pair, the signature-estimated Jaccard (matching slots / 16 — an exact
     * power-of-two division, bit-identical everywhere) next to the exact
-    * token-set Jaccard. This is the operator that tells a 100 TB pipeline
-    * whether its sketch parameters (16 slots, 4×4 bands) are tight enough
-    * to skip exact verification — and being fully oracled, it proves the
-    * whole signature math end-to-end across engines. */
+    * Jaccard over the SAME universe the signature sketches: the distinct
+    * 3-word shingle sets (comparing against token-set Jaccard would
+    * conflate sketch error with the shingle-vs-token measure gap). This is
+    * the operator that tells a 100 TB pipeline whether its sketch
+    * parameters (16 slots, 4×4 bands) are tight enough to skip exact
+    * verification — and being fully oracled, it proves the whole
+    * signature math end-to-end across engines. */
   def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sig = minhashSlots(docs)
@@ -568,10 +577,21 @@ object Dedup {
       .join(side("a"), "doc_a").join(side("b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / 16.0).as("est_jaccard"))
-    val exact = jaccardVerify(docs, est.select(col("doc_a"), col("doc_b")),
-      threshold = 0.0)
-    est.join(exact, Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+    val shingleSets = docs
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(tokens) - 3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin)
+        .as("shl"))
+    est
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("shl").as("shl_a")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("shl").as("shl_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("shl_a"), col("shl_b"))))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(col("i").cast("double")
+          / (size(col("shl_a")) + size(col("shl_b")) - col("i")) + lit(1e-9), 4)
+          .as("jaccard"))
   }
 
   val minhashEstimateSql: String =
@@ -592,13 +612,17 @@ object Dedup {
                     .mkString(" + ")}) / 16.0 AS est_jaccard
        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
        |            JOIN sig sb ON sb.doc_id = doc_b),
-       |docsd AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM docs0)
+       |docsh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(0, len(toks) - 2),
+       |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' '))) AS shl
+       |  FROM docs0 WHERE len(toks) >= 3)
        |SELECT doc_a, doc_b, est_jaccard,
-       |       round(len(list_intersect(da.dtoks, db.dtoks)) * 1.0
-       |             / (len(da.dtoks) + len(db.dtoks)
-       |                - len(list_intersect(da.dtoks, db.dtoks))) + 1e-9, 4) AS jaccard
-       |FROM est JOIN docsd da ON da.doc_id = doc_a
-       |         JOIN docsd db ON db.doc_id = doc_b
+       |       round(len(list_intersect(da.shl, db.shl)) * 1.0
+       |             / (len(da.shl) + len(db.shl)
+       |                - len(list_intersect(da.shl, db.shl))) + 1e-9, 4) AS jaccard
+       |FROM est JOIN docsh da ON da.doc_id = doc_a
+       |         JOIN docsh db ON db.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val dedupPipelineSql: String =

@@ -305,4 +305,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     assert(bg.forall(_.getString(0).split(" ").length == 2))
   }
+
+  test("fuzzy dedup finds injected small-edit twins and respects its bound") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("epsilon", "epsilom")),       // 1 substitution
+      (2L, "totally different text that shares no prefix at all"),
+      (3L, base.replace("zeta eta", "zeta XX eta"))   // small insertion
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyOnDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(got((0L, 1L)) == 1)
+    // the 3-char insertion also SHIFTS the fixed 80-char head window, so
+    // the measured distance is the edit plus the tail falling out of the
+    // window: 3 (insert) + 3 (shifted tail) here
+    assert(got((0L, 3L)) == 6)
+    // fixture run: canonical orientation and the distance cap hold
+    val fx = Dedup.dedupFuzzy(spark, sf001).collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(fx.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 24))
+  }
+
+  test("minhash estimate tracks exact jaccard on band candidates") {
+    val rows = Dedup.minhashEstimate(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(2)
+      val exact = r.getDouble(3)
+      assert(est >= 0.0 && est <= 1.0)
+      // 16 slots give a coarse estimator (stddev ~ sqrt(J(1-J)/16) ~ 0.1);
+      // band candidates are high-similarity, so a generous absolute band
+      // still catches sign/scale bugs without flaking on sketch variance.
+      assert(math.abs(est - exact) <= 0.5, s"est $est vs exact $exact")
+    }
+    val meanErr = rows.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).sum / rows.length
+    assert(meanErr <= 0.15, s"mean |est-exact| $meanErr")
+  }
+
+  test("probe-2 IVF never does worse than single-probe at any rank") {
+    def byQ(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    val p1 = byQ(Similarity.annIvf(spark, sf001))
+    val p2 = byQ(Similarity.annIvfProbe2(spark, sf001))
+    assert(p2.nonEmpty)
+    // widening the probe set can only add candidates, so the rank-r
+    // similarity is monotonically non-decreasing for every query
+    p1.foreach { case (key, sim1) =>
+      p2.get(key).foreach(sim2 => assert(sim2 >= sim1, s"$key: $sim2 < $sim1"))
+    }
+  }
 }

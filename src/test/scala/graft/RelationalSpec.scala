@@ -107,4 +107,21 @@ class RelationalSpec extends SparkSpec {
     assert(bands.map(_.getString(0)).sorted.toSeq == Seq("large", "mid", "small"))
     assert(bands.map(_.getLong(1)).sum == Tables.orders(spark, sf001).count())
   }
+
+  test("salted skew join is semantically invisible vs the plain join") {
+    import org.apache.spark.sql.functions._
+    val salted = Relational.skewJoinSalted(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val plain = Tables.orders(spark, sf001)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .withColumn("prio_rank",
+        substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .select(col("o_orderpriority"), col("prio_rank"),
+        col("n_orders"), col("total_price"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(salted == plain)
+  }
 }
