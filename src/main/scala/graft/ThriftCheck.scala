@@ -20,6 +20,10 @@ object ThriftCheck {
     // Ephemeral free port (bind 0, read the assignment, release): a fixed
     // port would collide with a stale server or a concurrent run and turn
     // into a 30 s retry spin ending in an unrelated-looking connect error.
+    // A probe-then-bind window remains (another process could grab the
+    // port between close and the server's bind) — accepted for this
+    // single-machine diagnostic; the connect loop below surfaces it as a
+    // plain connection failure rather than hanging.
     val port = {
       val probe = new java.net.ServerSocket(0)
       try probe.getLocalPort finally probe.close()

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.Num
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for an LLM training-data pipeline over the
   * `documents` table (north-star extensions, SURVEY.md §7.2 step 8):
@@ -192,4 +193,78 @@ object TextAnalysis {
       |             t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
       |         (a, b) -> (a * 131 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-stratum rates for the corpus-mixing sampler: upsample the
+    * under-represented languages relative to dominant English. Each rate
+    * is a 4-hex-digit md5 cutoff (rate ≈ cutoff/16⁴), so membership is a
+    * pure string compare on md5(doc_id) — deterministic, engine-portable,
+    * and stable under corpus growth (a doc's fate never depends on other
+    * rows, unlike rank-based quota sampling, which reshuffles the whole
+    * selection every time data is added). */
+  val StratRates: Seq[(String, String)] = Seq(
+    "en" -> "4000", // 25 %
+    "de" -> "8000", // 50 %
+    "es" -> "8000",
+    "fr" -> "8000",
+    "zh" -> "g") // 100 % — every hex digest sorts below 'g'
+
+  /** Stratified (per-language) hash sampling — the data-mixing stage of a
+    * training-data pipeline: reweight language composition by keeping a
+    * deterministic md5-keyed fraction per stratum. Shuffle-free: one
+    * codegen'd projection + filter over the scan; the per-stratum cutoff
+    * arrives via a CASE chain, not a join. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = StratRates.tail.foldLeft(
+      when(col("lang") === StratRates.head._1, lit(StratRates.head._2))) {
+      case (acc, (l, c)) => acc.when(col("lang") === l, lit(c))
+    }.otherwise(lit("0"))
+    Tables.documents(spark, sfDir)
+      .withColumn("skey", substring(md5(concat(lit("strat:"), col("doc_id"))), 1, 4))
+      .filter(col("skey") < cutoff)
+      .select(col("doc_id"), col("lang"), col("source"), col("skey"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = StratRates
+      .map { case (l, c) => s"WHEN lang = '$l' THEN '$c'" }.mkString(" ")
+    s"""SELECT doc_id, lang, source,
+       |       substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS skey
+       |FROM documents
+       |WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |      < (CASE $cases ELSE '0' END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token-budget shard packing — the sequence-packing stage: within each
+    * source (the parallelism unit, so no global ordering bottleneck),
+    * documents in doc_id order accumulate into shards of ≤ `budget`
+    * tokens (oversized docs get their own shard rather than splitting).
+    * shard_id = floor(exclusive-prefix-sum / budget) in pure integer
+    * arithmetic over ONE window shuffle keyed by source. At 100 TB the
+    * per-source window is the scale unit — packing parallelism equals
+    * source cardinality, and no stage sees more than one source's rows
+    * sorted. */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2000
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long").as("shard_id"))
+  }
+
+  val packChunksSql: String =
+    """SELECT doc_id, source, n_tokens,
+      |       CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+      |FROM (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         CAST(sum(len(string_split(text, ' '))) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_tokens
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

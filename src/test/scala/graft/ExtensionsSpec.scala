@@ -347,6 +347,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(meanErr <= 0.15, s"mean |est-exact| $meanErr")
   }
 
+  test("stratified sample keeps all of the 100% stratum and is deterministic") {
+    val docs = Tables.documents(spark, sf001)
+    val sampled = TextAnalysis.stratifiedSample(spark, sf001).cache()
+    // zh is rated 100% ('g' cutoff): every zh doc survives
+    assert(sampled.filter(col("lang") === "zh").count() ==
+      docs.filter(col("lang") === "zh").count())
+    // en is rated 25%: the kept fraction lands in a wide but real band
+    val enAll = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = sampled.filter(col("lang") === "en").count().toDouble
+    assert(enKept / enAll > 0.10 && enKept / enAll < 0.45,
+      s"en kept ${enKept / enAll}")
+    // same rows on a second evaluation (hash-keyed, no RNG)
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = TextAnalysis.stratifiedSample(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    sampled.unpersist()
+  }
+
+  test("packed shards respect the token budget and number contiguously") {
+    val budget = 2000
+    val packed = TextAnalysis.packChunks(spark, sf001).cache()
+    val perShard = packed.groupBy(col("source"), col("shard_id"))
+      .agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("n"),
+        max(col("n_tokens")).as("mx")).collect()
+    perShard.foreach { r =>
+      val toks = r.getLong(2)
+      // a shard only exceeds the budget by (at most) its final document —
+      // the greedy prefix-sum rule never starts a doc at >= budget
+      assert(toks - r.getInt(4) < budget,
+        s"shard ${r.getString(0)}/${r.getLong(1)} at $toks tokens")
+    }
+    // shard ids per source are 0..max with no gaps
+    packed.select("source", "shard_id").distinct().collect()
+      .groupBy(_.getString(0)).foreach { case (_, rows) =>
+        val ids = rows.map(_.getLong(1)).sorted
+        assert(ids.head == 0L && ids.last == ids.length - 1L)
+      }
+    packed.unpersist()
+  }
+
   test("probe-2 IVF never does worse than single-probe at any rank") {
     def byQ(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
