@@ -255,6 +255,38 @@ object TextAnalysis {
         ((col("cum_tokens") - col("n_tokens")) / budget).cast("long").as("shard_id"))
   }
 
+  /** Text normalization — the cleaning stage that runs BEFORE exact/near
+    * dedup in a training-data pipeline (casefold → strip non-alphanumerics
+    * → collapse runs of spaces → trim), plus the sha256 of the normalized
+    * form (the key normalized exact-dedup groups on) and a `changed` flag
+    * so the pipeline can measure how much of the corpus was non-canonical.
+    * Pure per-row projection: no shuffle, stays in whole-stage codegen,
+    * and every step (lower / regexp_replace / trim / sha256) is
+    * byte-identical in DuckDB. */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeOnDocs(Tables.documents(spark, sfDir))
+
+  def normalizeOnDocs(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"),
+        sha2(col("norm_text"), 256).as("norm_hash"))
+
+  val normalizeSql: String =
+    """SELECT doc_id, norm_text, norm_text != text AS changed,
+      |       sha256(norm_text) AS norm_hash
+      |FROM (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(
+      |           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |           ' +', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val packChunksSql: String =
     """SELECT doc_id, source, n_tokens,
       |       CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id

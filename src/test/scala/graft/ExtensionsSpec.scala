@@ -388,6 +388,25 @@ class ExtensionsSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("normalization is idempotent and flags exactly the changed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello,  World!"),          // case + punct + double space
+      (1L, "already clean text"),
+      (2L, "  padded  ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeOnDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(0L) == ("hello world", true))
+    assert(out(1L) == ("already clean text", false))
+    assert(out(2L) == ("padded", true))
+    // idempotence: normalizing the normalized text is a fixed point
+    val again = TextAnalysis.normalizeOnDocs(
+      TextAnalysis.normalizeOnDocs(docs)
+        .select(col("doc_id"), col("norm_text").as("text"))).collect()
+    assert(again.forall(!_.getBoolean(2)))
+  }
+
   test("probe-2 IVF never does worse than single-probe at any rank") {
     def byQ(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
