@@ -82,8 +82,13 @@ object Bench {
       val df = Tables.table(spark, sfDir, t)
       val n = df.count()
       val take = Math.toIntExact(math.max(1L, n * pct / 100))
-      df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
-        .limit(take).repartition(8)
+      // At 100 % the "fraction" is the whole table — skip the global
+      // sort+limit (pure waste) and just rewrite for layout parity.
+      val frac =
+        if (take >= n) df
+        else df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+          .limit(take)
+      frac.repartition(8)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     out

@@ -71,14 +71,24 @@ object Dedup {
     * documents anyway. Rows + partial agg do.) Docs under 3 tokens have no
     * shingle and drop out here; `dedupPipeline` re-admits them as CC
     * singletons. */
+  /** The 3-word-shingle set of `tokens` — THE single definition of the
+    * signature's sketch universe. minhashSlots explodes it to rows;
+    * minhashEstimate intersects it directly; the SQL twins replay it via
+    * [[shingleListSql]]. One definition on each side, so the estimator's
+    * "exact Jaccard over the same universe" contract cannot drift. */
+  private val shingleSetExpr =
+    expr("""array_distinct(transform(sequence(0, size(tokens) - 3),
+           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin)
+
+  /** (doc_id, shl: array<string>) for every doc with ≥ 3 tokens. */
+  private def shingleSets(documents: DataFrame): DataFrame = documents
+    .withColumn("tokens", split(col("text"), " "))
+    .filter(size(col("tokens")) >= 3)
+    .select(col("doc_id"), shingleSetExpr.as("shl"))
+
   private def minhashSlots(documents: DataFrame): DataFrame = {
-    val shingleHashes = documents
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(tokens) - 3),
-          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin))
-        .as("s"))
+    val shingleHashes = shingleSets(documents)
+      .select(col("doc_id"), explode(col("shl")).as("s"))
       .select(col("doc_id"),
         (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % SlotP).as("h"))
     val slots = (0 until 16).map(j =>
@@ -116,12 +126,16 @@ object Dedup {
   private def bandSql(b: Int): String =
     (4 * b until 4 * b + 4)
       .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ',' || ")
+  /** DuckDB twin of [[shingleSetExpr]] over a `toks` list column. */
+  private val shingleListSql: String =
+    """list_distinct(list_transform(
+      |    range(0, len(toks) - 2),
+      |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))""".stripMargin
+
   private val sigCtesSql: String =
     s"""docs0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(0, len(toks) - 2),
-       |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+       |  SELECT doc_id, unnest($shingleListSql) AS s
        |  FROM docs0 WHERE len(toks) >= 3),
        |hh0 AS (SELECT doc_id, md5(s) AS hx FROM sh),
        |hh AS (
@@ -566,27 +580,35 @@ object Dedup {
     * signature math end-to-end across engines. */
   def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val sig = minhashSlots(docs)
+    // Lazy localCheckpoint: the signature aggregation feeds THREE plan
+    // branches (band-candidate generation + both pair sides); without it
+    // each branch re-runs the corpus-wide shingle hashing. Lazy, so no
+    // job runs at query construction — the first action materializes the
+    // blocks once and all branches read them.
+    val sig = minhashSlots(docs).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCol(0), bandCol(1), bandCol(2), bandCol(3)))
+        .as(Seq("band_idx", "band")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     def side(tag: String) = sig.select(
       col("doc_id").as(s"doc_$tag") +:
         (0 until 16).map(j => col(s"m$j").as(s"${tag}m$j")): _*)
     val matches = (0 until 16)
       .map(j => when(col(s"am$j") === col(s"bm$j"), 1).otherwise(0))
       .reduce(_ + _)
-    val est = bandCandidates(docs)
+    val est = cand
       .join(side("a"), "doc_a").join(side("b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / 16.0).as("est_jaccard"))
-    val shingleSets = docs
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(tokens) - 3),
-          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))""".stripMargin)
-        .as("shl"))
+    val shl = shingleSets(docs)
     est
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("shl").as("shl_a")), "doc_a")
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("shl").as("shl_b")), "doc_b")
+      .join(shl.select(col("doc_id").as("doc_a"), col("shl").as("shl_a")), "doc_a")
+      .join(shl.select(col("doc_id").as("doc_b"), col("shl").as("shl_b")), "doc_b")
       .withColumn("i", size(array_intersect(col("shl_a"), col("shl_b"))))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         round(col("i").cast("double")
@@ -613,9 +635,7 @@ object Dedup {
        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
        |            JOIN sig sb ON sb.doc_id = doc_b),
        |docsh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(0, len(toks) - 2),
-       |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' '))) AS shl
+       |  SELECT doc_id, $shingleListSql AS shl
        |  FROM docs0 WHERE len(toks) >= 3)
        |SELECT doc_a, doc_b, est_jaccard,
        |       round(len(list_intersect(da.shl, db.shl)) * 1.0

@@ -239,20 +239,29 @@ object TextAnalysis {
     * source (the parallelism unit, so no global ordering bottleneck),
     * documents in doc_id order accumulate into shards of ≤ `budget`
     * tokens (oversized docs get their own shard rather than splitting).
-    * shard_id = floor(exclusive-prefix-sum / budget) in pure integer
-    * arithmetic over ONE window shuffle keyed by source. At 100 TB the
-    * per-source window is the scale unit — packing parallelism equals
-    * source cardinality, and no stage sees more than one source's rows
-    * sorted. */
-  def packChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    val budget = 2000
+    * The raw bucket is floor(exclusive-prefix-sum / budget) in pure
+    * integer arithmetic; a dense_rank over the same partition then
+    * compacts bucket ids so shard numbering stays contiguous even when a
+    * single document spans multiple budget multiples (a >2·budget doc
+    * would otherwise leave holes). Both windows share the one shuffle
+    * keyed by source (the second is orderBy a column monotone in the
+    * first's order — no re-exchange). At 100 TB the per-source window is
+    * the scale unit — packing parallelism equals source cardinality, and
+    * no stage sees more than one source's rows sorted. */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame =
+    packOnDocs(Tables.documents(spark, sfDir))
+
+  def packOnDocs(documents: DataFrame, budget: Int = 2000): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    val wd = Window.partitionBy(col("source")).orderBy(col("shard_raw"))
+    documents
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_raw",
+        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long").as("shard_id"))
+        (dense_rank().over(wd) - 1).cast("long").as("shard_id"))
   }
 
   /** Text normalization — the cleaning stage that runs BEFORE exact/near
@@ -289,14 +298,18 @@ object TextAnalysis {
 
   val packChunksSql: String =
     """SELECT doc_id, source, n_tokens,
-      |       CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+      |       CAST(dense_rank() OVER (PARTITION BY source ORDER BY shard_raw)
+      |            - 1 AS BIGINT) AS shard_id
       |FROM (
-      |  SELECT doc_id, source,
-      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-      |         CAST(sum(len(string_split(text, ' '))) OVER (
-      |           PARTITION BY source ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-      |           AS cum_tokens
-      |  FROM documents)
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_raw
+      |  FROM (
+      |    SELECT doc_id, source,
+      |           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |           CAST(sum(len(string_split(text, ' '))) OVER (
+      |             PARTITION BY source ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |             AS cum_tokens
+      |    FROM documents))
       |ORDER BY doc_id""".stripMargin
 }

@@ -97,15 +97,20 @@ object CosineSimilarity {
     * `expr("cosine_sim(a, b)")` resolves to the native expression.
     * (Production sessions can instead install [[graft.GraftExtensions]]
     * via `spark.sql.extensions`.) */
+  // Sessions this object has already registered into. Weak keys: a closed
+  // session's entry must not pin it in memory.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    // Registering is cheap but createOrReplaceTempFunction logs a
-    // "replaced a previously registered function" WARN on every repeat
-    // call; skip when the session already has it so benchmark loops and
-    // per-query helpers stay silent.
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
-      registry.createOrReplaceTempFunction(
+    // createOrReplaceTempFunction logs a "replaced a previously registered
+    // function" WARN on every repeat call, so register once per session —
+    // but track OUR registrations rather than probing functionExists: a
+    // foreign/stale "cosine_sim" in a reused session must be replaced by
+    // the native expression (first call wins it back), not silently used.
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     }
   }

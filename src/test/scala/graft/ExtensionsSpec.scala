@@ -388,6 +388,23 @@ class ExtensionsSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("packing stays contiguous when one document exceeds the budget") {
+    import spark.implicits._
+    // doc 1 spans >2 budgets (25 tokens, budget 10). Assignment is by
+    // START offset: doc 1 starts at token 8 (inside shard 0) so it joins
+    // shard 0; doc 2 starts at token 33 → raw bucket 3, which
+    // dense_rank compacts to shard 1 — no hole where raw buckets 1-2
+    // would have been.
+    val docs = Seq(
+      (0L, "s", (1 to 8).map(_ => "w").mkString(" ")),
+      (1L, "s", (1 to 25).map(_ => "w").mkString(" ")),
+      (2L, "s", (1 to 8).map(_ => "w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.packOnDocs(docs, budget = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+  }
+
   test("normalization is idempotent and flags exactly the changed docs") {
     import spark.implicits._
     val docs = Seq(
