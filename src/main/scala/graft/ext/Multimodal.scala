@@ -134,6 +134,60 @@ object Multimodal {
       |GROUP BY doc_id, bin
       |ORDER BY doc_id, bin""".stripMargin
 
+  /** STUB resize: a real pipeline would rescale decoded pixel data; this
+    * deterministic fake nearest-neighbor-samples the payload at `target`
+    * evenly-spaced byte offsets (position k ↦ byte ⌊k·n/target⌋ — the 1-D
+    * analog of nearest-neighbor image scaling) and fingerprints the
+    * resampled bytes with the same modular fold as the frame decoder. */
+  val ResizeTarget = 32
+
+  def fakeResize(payload: Array[Byte], target: Int): (Int, Long) = {
+    val n = payload.length
+    var h = FrameHashSeed
+    var k = 0
+    val m = math.min(target, n)
+    while (k < m) {
+      val b = payload((k.toLong * n / m).toInt) & 0xff
+      h = (h * 31 + b) % 2147483647L
+      k += 1
+    }
+    (m, h)
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("resized_bytes", IntegerType, nullable = false),
+    StructField("resized_hash", LongType, nullable = false)))
+
+  /** Resize stage: binary payload in, fixed-size resampled fingerprint
+    * out — per-partition imperative pass like the other codec stages, and
+    * fully oracled because the sampling positions and the fold are pure
+    * integer arithmetic over ASCII-coincident bytes. */
+  def resize(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rowEncoder = org.apache.spark.sql.Encoders.row(resizeSchema)
+    payloads.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val (m, h) = fakeResize(payload, ResizeTarget)
+        Row(r.getLong(0), payload.length, m, h)
+      }
+    }(rowEncoder)
+  }
+
+  val resizeSql: String =
+    s"""SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+       |       CAST(least($ResizeTarget, length(text)) AS INT) AS resized_bytes,
+       |       list_reduce(list_prepend(1125899906842597 % 2147483647,
+       |         list_transform(range(0, least($ResizeTarget, length(text))),
+       |           k -> CAST(ascii(substr(text,
+       |                  CAST(k * length(text) // least($ResizeTarget, length(text)) + 1 AS INT),
+       |                  1)) AS BIGINT))),
+       |         (a, b) -> (a*31 + b) % 2147483647) AS resized_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val frameSampleSql: String =
     """WITH idx AS (
       |  SELECT doc_id, text,

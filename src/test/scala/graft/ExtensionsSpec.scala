@@ -424,6 +424,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(again.forall(!_.getBoolean(2)))
   }
 
+  test("resize fingerprints are partitioning-independent and size-correct") {
+    val a = Multimodal.resize(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(a.nonEmpty)
+    // resized size is min(target, payload bytes)
+    Multimodal.resize(spark, sf001).collect().foreach { r =>
+      assert(r.getInt(2) == math.min(Multimodal.ResizeTarget, r.getInt(1)))
+    }
+    // byte-level: matches a direct recomputation on the driver
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.fakeResize(r.getString(1).getBytes("UTF-8"),
+          Multimodal.ResizeTarget))
+    docs.foreach { case (id, (m, h)) => assert(a(id) == ((m, h)), s"doc $id") }
+  }
+
   test("probe-2 IVF never does worse than single-probe at any rank") {
     def byQ(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
