@@ -168,6 +168,43 @@ object StreamIngest {
         col("r_sensor"), col("r_value"), col("r_ts"))
   }
 
+  /** Streaming contamination screen — decontamination AT INGEST: flag
+    * each arriving document that shares any verbatim `k`-token shingle
+    * with the (small, static) benchmark/eval set. Deliberately STATELESS:
+    * the eval set's distinct shingles are collected once (eval sets are
+    * small by construction — same argument as the batch screen's
+    * broadcast) and compiled into the plan as an array literal, and each
+    * streaming row computes `array_intersect` against it in one codegen'd
+    * projection. No streaming aggregation, no state store, append-mode
+    * safe — documents are seen once and never buffered, which is the
+    * 100 TB ingest shape. (A groupBy-per-bench-doc attribution would be a
+    * global stateful agg whose state grows with the corpus — exactly
+    * what a screen-on-ingest must avoid; run the batch `contamination`
+    * operator offline when per-bench attribution is needed.)
+    * Input stream schema: (doc_id LONG, text STRING, …); passes rows
+    * through with `n_shared_shingles`, keeping only contaminated ones. */
+  def contaminationStream(docs: DataFrame, benchDocs: DataFrame,
+      k: Int = 4): DataFrame = {
+    def shingleArr = expr(
+      s"""array_distinct(transform(sequence(0, size(tokens) - $k),
+         |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)
+    val benchShingles: Array[String] = benchDocs
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= k)
+      .select(explode(shingleArr).as("shingle")).distinct()
+      .collect().map(_.getString(0))
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shl",
+        when(size(col("tokens")) >= k, shingleArr)
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_shared_shingles",
+        size(array_intersect(col("shl"),
+          array(benchShingles.toIndexedSeq.map(lit): _*))))
+      .filter(col("n_shared_shingles") > 0)
+      .select(col("doc_id"), col("n_shared_shingles"))
+  }
+
   /** Checkpointed exactly-once sink into a room-partitioned parquet table
     * (the engine's analog of the reference's HBase writer, ST7). */
   def startSink(readings: DataFrame, outPath: String, checkpoint: String)

@@ -246,4 +246,30 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("avg_value") == 15.0 && rows(0).getAs[Long]("n_readings") == 2)
     assert(rows(1).getAs[Double]("avg_value") == 30.0)
   }
+
+  test("streaming contamination screen flags on ingest, statelessly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val screened = StreamIngest.contaminationStream(
+      mem.toDS().toDF("doc_id", "text"), bench)
+    // stateless per-row projection ⇒ append mode must be legal
+    val q = screened.writeStream.format("memory")
+      .queryName("screen").outputMode("append").start()
+    mem.addData(
+      (0L, "junk alpha beta gamma delta epsilon junk"), // 2 shared 4-grams
+      (1L, "completely clean document with no overlap at all"),
+      (2L, "one two three four")) // exactly one shared 4-gram
+    q.processAllAvailable()
+    mem.addData((3L, "alpha beta gamma delta")) // later batch, 1 shared
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_shared_shingles FROM screen")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    assert(got == Map(0L -> 2, 2L -> 1, 3L -> 1))
+  }
 }
