@@ -73,4 +73,30 @@ object GraftProps extends Properties("graft") {
           sig.map(_.getAs[String]("band0")).distinct.length == 1)
       }
     }
+
+  // --- spark: shard packing invariants -----------------------------
+
+  property("packOnDocs: budget bound, contiguous ids, docs preserved") =
+    forAll(
+      Gen.choose(10, 60),
+      Gen.listOfN(12, Gen.zip(Gen.oneOf("sA", "sB"), Gen.choose(1, 50)))
+    ) { (budget, specs) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val docs = specs.zipWithIndex.map { case ((src, nTok), i) =>
+        (i.toLong, src, (1 to nTok).map(_ => "w").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val packed = ext.TextAnalysis.packOnDocs(docs, budget).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      val bySrc = packed.groupBy(_._2)
+      val budgetOk = bySrc.values.forall(_.groupBy(_._4).values.forall { shard =>
+        shard.map(_._3).sum - shard.map(_._3).max < budget
+      })
+      val contiguous = bySrc.values.forall { rows =>
+        val ids = rows.map(_._4).distinct.sorted
+        ids.headOption.contains(0L) && ids.lastOption.contains(ids.length - 1L)
+      }
+      Prop(packed.length == specs.length && budgetOk && contiguous) :|
+        s"budget=$budget packed=${packed.toSeq}"
+    }
 }
