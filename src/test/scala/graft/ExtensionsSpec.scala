@@ -441,6 +441,22 @@ class ExtensionsSpec extends SparkSpec {
     docs.foreach { case (id, (m, h)) => assert(a(id) == ((m, h)), s"doc $id") }
   }
 
+  test("md5_prefix60 equals the conv(substring(md5)) string round-trip") {
+    import spark.implicits._
+    graft.functions.Md5Prefix60.register(spark)
+    val rows = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("s")).distinct()
+      .union(Seq("", "x", "multi word shingle", "0123456789abcdef").toDF("s"))
+      .select(
+        expr("md5_prefix60(s)").as("fast"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as long)").as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // non-negative by construction (60 bits)
+    rows.foreach(r => assert(r.getLong(0) >= 0L))
+  }
+
   test("probe-2 IVF never does worse than single-probe at any rank") {
     def byQ(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
