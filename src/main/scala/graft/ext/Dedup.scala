@@ -18,12 +18,14 @@ import org.apache.spark.sql.expressions.Window
   * WWW 2007) so the postings join stays bounded without the df heuristic
   * being load-bearing.
   *
-  * Hash portability: MinHash/SimHash signatures are derived from md5 hex
-  * strings — identical in Spark and DuckDB — so even the sketch operators
-  * are fully oracle-checkable (same trick family as the deterministic LSH
-  * planes in Similarity.scala). md5 is ~3× the cost of xxhash64 per call;
-  * at 100 TB swap the slot hash for xxhash64 (one line, same dataflow) if
-  * cross-engine verifiability is not needed.
+  * Hash portability: MinHash/SimHash signatures derive from md5 — one
+  * digest per shingle via the native `Md5Prefix60` expression (≡ DuckDB's
+  * hex fold, so even the sketch operators are fully oracle-checkable;
+  * same trick family as the deterministic LSH planes in
+  * Similarity.scala) followed by pure-BIGINT universal re-hashes. md5 is
+  * ~3× the cost of xxhash64 per digest; at 100 TB swap the shingle hash
+  * for xxhash64 (one line, same dataflow) if cross-engine verifiability
+  * is not needed.
   */
 object Dedup {
 
