@@ -546,6 +546,79 @@ object Dedup {
     dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)
   }
 
+  /** Incremental (cross-snapshot) near-dedup — the recurring production
+    * job: a NEW crawl snapshot arrives and must be deduplicated AGAINST
+    * the corpus already ingested, without re-deduplicating the old corpus
+    * against itself. Snapshot split here: sources src0-src9 are the
+    * standing corpus, src10-src19 the arriving snapshot. A new document is
+    * dropped when it band-collides with ≥ 1 old document (same MinHash
+    * 4×4 banding as [[dedupPipeline]]) AND the collision verifies at
+    * token-set Jaccard ≥ 0.8; every new document is emitted with its
+    * verdict (`kept`), its verified-match count, and the smallest old
+    * doc_id it duplicates (NULL when kept).
+    *
+    * 100 TB shape: the old side reduces to its band relation — 4 rows of
+    * (16-byte band, doc_id) per document, precomputable once and reusable
+    * across every future snapshot — so each incremental run shuffles the
+    * NEW snapshot's bands against a stored index, never old document
+    * bodies; the verify join then touches only candidate-matched old
+    * docs. Old-old pairs are never generated (the join is old×new by
+    * construction, not a self-join with an id inequality). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+    val oldDocs = docs.filter(col("src_num") < 10)
+    val newDocs = docs.filter(col("src_num") >= 10)
+    val cands = minhashBands(oldDocs).as("o")
+      .join(minhashBands(newDocs).as("n"),
+        col("o.band_idx") === col("n.band_idx") && col("o.band") === col("n.band"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val matches = jaccardVerify(docs, cands)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("doc_a")).as("matched_old"))
+    newDocs.select(col("doc_id"), col("source"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("matched_old"),
+        col("n_matches").isNull.as("kept"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $sigCtesSql,
+       |srcs AS (SELECT doc_id, source,
+       |                CAST(substr(source, 4) AS INT) AS src_num
+       |         FROM documents),
+       |bands AS (
+       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+       |  FROM bands o JOIN srcs so ON so.doc_id = o.doc_id
+       |       JOIN bands n ON o.bi = n.bi AND o.b = n.b
+       |       JOIN srcs sn ON sn.doc_id = n.doc_id
+       |  WHERE so.src_num < 10 AND sn.src_num >= 10),
+       |docsd AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM docs0),
+       |m AS (
+       |  SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |         min(doc_a) AS matched_old
+       |  FROM (
+       |    SELECT doc_a, doc_b, len(list_intersect(da.dtoks, db.dtoks)) AS i,
+       |           len(da.dtoks) AS na, len(db.dtoks) AS nb
+       |    FROM cand JOIN docsd da ON da.doc_id = doc_a
+       |              JOIN docsd db ON db.doc_id = doc_b)
+       |  WHERE i * 1.0 / (na + nb - i) >= 0.8
+       |  GROUP BY doc_b)
+       |SELECT s.doc_id, s.source,
+       |       coalesce(m.n_matches, 0) AS n_matches, m.matched_old,
+       |       m.n_matches IS NULL AS kept
+       |FROM srcs s LEFT JOIN m ON m.doc_id = s.doc_id
+       |WHERE s.src_num >= 10
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Fuzzy (edit-distance) dedup: near-identical documents that differ by
     * small in-place edits — the family MinHash/Jaccard under-serves
     * because token-set measures ignore token ORDER and small substitutions.

@@ -194,6 +194,61 @@ object TextAnalysis {
       |         (a, b) -> (a * 131 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition screen (the Gopher-style repetition rules:
+    * Rae et al. 2021 §A1.1 use duplicate-n-gram and top-n-gram fractions
+    * as quality gates). Two signals per document — the fraction of bigrams
+    * that are repeats of an earlier bigram in the SAME document, and the
+    * fraction of the document occupied by its single most frequent token —
+    * plus the keep/drop verdict. Emits every document with its signals and
+    * the `kept` flag (the drop itself is a trivial downstream filter, and
+    * pipelines want the scores for threshold tuning).
+    *
+    * Pure per-row projection over higher-order functions: no shuffle, no
+    * UDF; the nested filter-inside-transform stays a codegen'd expression.
+    * The top-token scan is O(distinct × tokens) per row — bounded by the
+    * document length the quality gate itself caps, so it does not grow
+    * with corpus size. Thresholds compare the ROUNDED values so the
+    * verdict is boundary-safe across engines (see Num.r4). */
+  def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOnDocs(Tables.documents(spark, sfDir))
+
+  def repetitionOnDocs(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      // Guard the 1-token edge: Spark's sequence(0, -1) DESCENDS while
+      // DuckDB's range(1, 1) is empty — pin both to dup_frac = 0.
+      .withColumn("dup_bigram_frac", Num.r4(when(col("n_tokens") < 2, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(expr(
+          """transform(sequence(0, size(tokens) - 2),
+            |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)))
+          .cast("double") / (col("n_tokens") - 1))))
+      .withColumn("top_token_frac", Num.r4(
+        expr("""array_max(transform(array_distinct(tokens),
+               |  d -> size(filter(tokens, t -> t = d))))""".stripMargin)
+          .cast("double") / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("dup_bigram_frac"), col("top_token_frac"),
+        (col("dup_bigram_frac") <= 0.05 && col("top_token_frac") <= 0.15)
+          .as("kept"))
+
+  val repetitionFilterSql: String =
+    """SELECT doc_id, n_tokens, dup_bigram_frac, top_token_frac,
+      |       dup_bigram_frac <= 0.05 AND top_token_frac <= 0.15 AS kept
+      |FROM (
+      |  SELECT doc_id,
+      |         len(toks) AS n_tokens,
+      |         round(CASE WHEN len(toks) < 2 THEN 0.0
+      |               ELSE 1.0 - len(list_distinct(list_transform(
+      |                 range(1, len(toks)),
+      |                 i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])))
+      |               * 1.0 / (len(toks) - 1) END + 1e-9, 4) AS dup_bigram_frac,
+      |         round(list_max(list_transform(list_distinct(toks),
+      |                 d -> len(list_filter(toks, t -> t = d))))
+      |               * 1.0 / len(toks) + 1e-9, 4) AS top_token_frac
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-stratum rates for the corpus-mixing sampler: upsample the
     * under-represented languages relative to dominant English. Each rate
     * is a 4-hex-digit md5 cutoff (rate ≈ cutoff/16⁴), so membership is a
@@ -234,6 +289,62 @@ object TextAnalysis {
        |      < (CASE $cases ELSE '0' END)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Temperature-weighted corpus mixing (the multilingual-sampling rule of
+    * Devlin et al. 2019 / Conneau & Lample 2019: sample languages
+    * ∝ p^α, α = 0.5 here): unlike [[stratifiedSample]]'s hand-pinned
+    * rates, the per-language keep-rates are COMPUTED from the corpus —
+    * rate_l = min(1, T·w_l/c_l) with w_l = √c_l / Σ_k √c_k and target
+    * total T = N/2 — so rare languages are boosted toward (but never past)
+    * full retention while dominant ones are thinned. Membership is the
+    * same deterministic md5-cutoff gate as every sampler here: doc fate
+    * never depends on other rows, so the selection is stable under
+    * re-partitioning and incremental corpus growth given fixed rates.
+    *
+    * Engine portability: √ and ÷ are IEEE correctly-rounded in both
+    * engines, and the rate is rounded to 6 decimals (tie-nudged, see
+    * Num.r4) before the 24-bit cutoff compare, so the Σ√c summation-order
+    * ulp can never flip a verdict. Scale shape: two tiny aggregates (per-
+    * language counts ⇒ 5 rows) broadcast back onto the scan — the corpus
+    * itself is never shuffled. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("c"))
+    val tot = byLang.agg(sum(sqrt(col("c"))).as("z"), sum(col("c")).as("n"))
+    val rates = byLang.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          lit(0.5) * col("n") * (sqrt(col("c")) / col("z")) / col("c")) + lit(1e-9), 6))
+      .select(col("lang"), col("rate"))
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("u24",
+        conv(substring(md5(concat(lit("temp:"), col("doc_id"))), 1, 6), 16, 10)
+          .cast("long"))
+      .filter(col("u24") < floor(col("rate") * lit(16777216.0)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rate"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH by_lang AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+      |tot AS (SELECT sum(sqrt(c)) AS z, sum(c) AS n FROM by_lang),
+      |rates AS (
+      |  SELECT lang,
+      |         round(least(1.0, 0.5 * n * (sqrt(c) / z) / c) + 1e-9, 6) AS rate
+      |  FROM by_lang, tot),
+      |gated AS (
+      |  SELECT doc_id, lang, source,
+      |         list_reduce(list_transform(range(0, 6),
+      |           p -> CAST(strpos('0123456789abcdef',
+      |                  substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+      |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+      |           (a, b) -> a * 16 + b) AS u24
+      |  FROM documents)
+      |SELECT g.doc_id, g.lang, g.source, r.rate
+      |FROM gated g JOIN rates r ON g.lang = r.lang
+      |WHERE g.u24 < CAST(floor(r.rate * 16777216.0) AS BIGINT)
+      |ORDER BY g.doc_id""".stripMargin
 
   /** Token-budget shard packing — the sequence-packing stage: within each
     * source (the parallelism unit, so no global ordering bottleneck),

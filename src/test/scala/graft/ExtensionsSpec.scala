@@ -424,6 +424,73 @@ class ExtensionsSpec extends SparkSpec {
     assert(again.forall(!_.getBoolean(2)))
   }
 
+  test("repetition filter scores the injected degenerate docs correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b a b a b"),            // one bigram repeated
+      (1L, "one two three four five six"),    // all distinct
+      (2L, "x x x x x x x x x y")             // top token dominates
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionOnDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // doc 0: 9 bigrams, 2 distinct -> dup frac 7/9; top token 5/10
+    assert(math.abs(out(0L)._1 - 7.0 / 9) < 1e-3 && !out(0L)._3)
+    // doc 1: fully diverse -> both signals 0-ish, kept
+    assert(out(1L)._1 == 0.0 && math.abs(out(1L)._2 - 1.0 / 6) < 1e-3)
+    // doc 2: top token 9/10 -> dropped on the top-token rule
+    assert(math.abs(out(2L)._2 - 0.9) < 1e-3 && !out(2L)._3)
+    // fixture sanity: the gate separates the corpus non-trivially
+    val kept = TextAnalysis.repetitionFilter(spark, sf001)
+      .filter(col("kept")).count()
+    val total = Tables.documents(spark, sf001).count()
+    assert(kept > 0 && kept < total, s"kept $kept of $total")
+  }
+
+  test("temperature mixing boosts rare languages and hits its target size") {
+    val docs = Tables.documents(spark, sf001)
+    val mixed = TextAnalysis.temperatureMix(spark, sf001).cache()
+    val rates = mixed.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α < 1 monotonicity: rarer language ⇒ strictly higher keep-rate
+    // (unless both are capped at 1.0)
+    for ((la, ca) <- counts; (lb, cb) <- counts if ca < cb)
+      assert(rates(la) >= rates(lb), s"$la($ca) rate < $lb($cb) rate")
+    // rates stay in (0, 1] and the realized total lands near T = N/2
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    val frac = mixed.count().toDouble / docs.count()
+    assert(frac > 0.35 && frac < 0.65, s"kept fraction $frac")
+    // deterministic: same rows on re-evaluation
+    val a = mixed.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = TextAnalysis.temperatureMix(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    mixed.unpersist()
+  }
+
+  test("incremental dedup verdicts are consistent and matches point old-ward") {
+    val out = Dedup.dedupIncremental(spark, sf001).cache()
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+    // one verdict per NEW doc, none for old docs
+    assert(out.count() == docs.filter(col("src_num") >= 10).count())
+    assert(out.filter(substring(col("source"), 4, 10).cast("int") < 10).count() == 0)
+    // kept <-> zero verified matches; dropped rows name their oldest match
+    assert(out.filter(col("kept") =!= (col("n_matches") === 0)).count() == 0)
+    assert(out.filter(!col("kept") && col("matched_old").isNull).count() == 0)
+    // every matched_old is an OLD-snapshot doc id
+    val oldIds = docs.filter(col("src_num") < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.filter(col("matched_old").isNotNull).collect()
+      .foreach(r => assert(oldIds.contains(r.getLong(3))))
+    // and the fixture exercises both branches
+    assert(out.filter(col("kept")).count() > 0)
+    assert(out.filter(!col("kept")).count() > 0)
+    out.unpersist()
+  }
+
   test("resize fingerprints are partitioning-independent and size-correct") {
     val a = Multimodal.resize(spark, sf001).collect()
       .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
