@@ -142,21 +142,26 @@ object Similarity {
   def annIvfProbe2(spark: SparkSession, sfDir: String): DataFrame =
     annIvfImpl(spark, sfDir, probes = 2)
 
-  private def annIvfImpl(spark: SparkSession, sfDir: String,
-      probes: Int): DataFrame = {
-    val k = 16
-    val iters = 2
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    def sqDist(cent: Array[Double]): Column = {
-      val centArr = array(cent.map(lit): _*)
-      aggregate(
-        zip_with(col("embedding"), centArr, (x, y) => {
-          val d = x.cast("double") - y; d * d
-        }),
-        lit(0.0), (acc, v) => acc + v)
-    }
+  /** Squared distance from `embedding` to a centroid literal — per-row
+    * fold against the broadcast constant, no shuffle. */
+  private def ivfSqDist(cent: Array[Double]): Column = {
+    val centArr = array(cent.map(lit): _*)
+    aggregate(
+      zip_with(col("embedding"), centArr, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** The deterministic Lloyd quantizer shared by the IVF family and
+    * [[semanticDedup]]: seeds = the k rank-smallest vec_ids' embeddings,
+    * `iters` assign/update rounds with centroid means rounded (+1e-9,
+    * 6 dp) for engine reproducibility. Returns the final full-corpus
+    * assignment (vec_id, cell, embedding) and the centroid array. */
+  private def ivfQuantize(emb: DataFrame, k: Int = 16,
+      iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
     def assign(cents: Array[Array[Double]]): DataFrame = emb
-      .withColumn("darr", array(cents.map(sqDist).toIndexedSeq: _*))
+      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
       .withColumn("cell", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
       .select(col("vec_id"), col("cell"), col("embedding"))
     var cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
@@ -172,7 +177,14 @@ object Similarity {
         .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       cents = next
     }
-    val assigned = assign(cents)
+    (assign(cents), cents)
+  }
+
+  private def annIvfImpl(spark: SparkSession, sfDir: String,
+      probes: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (assigned, cents) = ivfQuantize(emb)
+    def sqDist(cent: Array[Double]): Column = ivfSqDist(cent)
     // Query side: rank ALL cells by distance (ties to the smaller cell id,
     // matching assign()'s array_position-of-min) and probe the top
     // `probes`. probes=1 reproduces the plain own-cell lookup exactly.
@@ -203,24 +215,30 @@ object Similarity {
   val annIvfSql: String = ivfSql(probes = 1)
   val annIvfProbe2Sql: String = ivfSql(probes = 2)
 
-  private def ivfSql(probes: Int): String = {
-    def assignCte(a: String, c: String): String =
-      s"""$a AS (SELECT vec_id, v, cell FROM (
-         |  SELECT e.vec_id, e.v, c.cell,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |           list_sum(list_transform(list_zip(e.v, c.cv),
-         |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
-         |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-    def updateCte(m: String, a: String, prevL: String, cl: String, c: String): String =
-      s"""$m AS (SELECT cell, dim, round(avg(x) + 1e-9, 6) AS cv
-         |      FROM (SELECT cell, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
-         |                   unnest(v) AS x
-         |            FROM $a) u
-         |      GROUP BY cell, dim),
-         |$cl AS (SELECT p.cell, p.dim, COALESCE($m.cv, p.x) AS cv
-         |      FROM $prevL p LEFT JOIN $m ON $m.cell = p.cell AND $m.dim = p.dim),
-         |$c AS (SELECT cell, list(cv ORDER BY dim) AS cv FROM $cl GROUP BY cell)""".stripMargin
-    s"""WITH e AS (
+  private def ivfAssignCte(a: String, c: String): String =
+    s"""$a AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_sum(list_transform(list_zip(e.v, c.cv),
+       |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
+       |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+  private def ivfUpdateCte(m: String, a: String, prevL: String, cl: String,
+      c: String): String =
+    s"""$m AS (SELECT cell, dim, round(avg(x) + 1e-9, 6) AS cv
+       |      FROM (SELECT cell, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+       |                   unnest(v) AS x
+       |            FROM $a) u
+       |      GROUP BY cell, dim),
+       |$cl AS (SELECT p.cell, p.dim, COALESCE($m.cv, p.x) AS cv
+       |      FROM $prevL p LEFT JOIN $m ON $m.cell = p.cell AND $m.dim = p.dim),
+       |$c AS (SELECT cell, list(cv ORDER BY dim) AS cv FROM $cl GROUP BY cell)""".stripMargin
+
+  /** Shared CTE chain replaying [[ivfQuantize]] in DuckDB: seeds c0, two
+    * unrolled Lloyd rounds, final full-corpus assignment `a3(vec_id, v,
+    * cell)` — used by the IVF-query oracles and the semantic-dedup oracle
+    * so the twins cannot drift from each other. */
+  private lazy val ivfCellCtesSql: String =
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |c0 AS (
@@ -229,12 +247,15 @@ object Similarity {
        |c0l AS (SELECT cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
        |               unnest(cv) AS x
        |        FROM c0),
-       |${assignCte("a1", "c0")},
-       |${updateCte("m1", "a1", "c0l", "c1l", "c1")},
+       |${ivfAssignCte("a1", "c0")},
+       |${ivfUpdateCte("m1", "a1", "c0l", "c1l", "c1")},
        |c1l2 AS (SELECT cell, dim, cv AS x FROM c1l),
-       |${assignCte("a2", "c1")},
-       |${updateCte("m2", "a2", "c1l2", "c2l", "c2")},
-       |${assignCte("a3", "c2")},
+       |${ivfAssignCte("a2", "c1")},
+       |${ivfUpdateCte("m2", "a2", "c1l2", "c2l", "c2")},
+       |${ivfAssignCte("a3", "c2")}""".stripMargin
+
+  private def ivfSql(probes: Int): String = {
+    s"""WITH $ivfCellCtesSql,
        |aq AS (SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -401,6 +422,59 @@ object Similarity {
       |SELECT vec_a, vec_b, round(sim_raw + 1e-9, 4) AS sim
       |FROM sims WHERE sim_raw >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the SAME
+    * deterministic Lloyd quantizer as the IVF family, then prune within
+    * each cluster — a vector is dropped when a LOWER-id cluster-mate sits
+    * at cosine ≥ 0.35 (the corpus's near-dup bar), so exactly one
+    * representative of every within-cell near-dup neighborhood survives
+    * (the smallest id, matching every other dedup family here). Every
+    * vector is emitted with its verdict, its pruning count, and the id
+    * that shadowed it (NULL when kept).
+    *
+    * This is the third near-dup-screen geometry beside the hyperplane-LSH
+    * bucketing (`cosineDedupLsh`) and the all-pairs verifier: clustering
+    * bounds candidate generation by CELL SIZE, not hash-collision rate,
+    * which is the SemDeDup argument — within-cluster pairs catch the
+    * semantic duplicates that differ in surface form. 100 TB shape: the
+    * pair join is keyed on the cell id; k grows with the corpus (cells of
+    * ~10⁴ vectors each), the model stays O(k·d) broadcast state, and the
+    * corpus shuffles once on cell assignment. Fully oracled via the shared
+    * quantizer CTEs — verdicts, counts, and shadow ids all replay. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (assigned, _) = ivfQuantize(emb)
+    val a = assigned.select(col("cell"), col("vec_id"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val matches = a.join(b, Seq("cell"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("sim_raw", cosine(spark, "ea", "eb"))
+      .filter(col("sim_raw") >= 0.35)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("vec_b")).as("pruned_by"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("pruned_by"), col("n_near").isNull.as("kept"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $ivfCellCtesSql,
+       |m AS (
+       |  SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_near,
+       |         min(b.vec_id) AS pruned_by
+       |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+       |        / sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |        / sqrt(list_sum(list_transform(b.v, x -> x * x))) >= 0.35
+       |  GROUP BY a.vec_id)
+       |SELECT a.vec_id, a.cell, coalesce(m.n_near, 0) AS n_near, m.pruned_by,
+       |       m.n_near IS NULL AS kept
+       |FROM a3 a LEFT JOIN m ON m.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   /** Per-label centroid vectors — the aggregation side of embedding
     * pipelines (class prototypes, cluster summaries). Long-format output

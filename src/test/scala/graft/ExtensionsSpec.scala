@@ -125,6 +125,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("semantic dedup prunes only toward real lower-id near-duplicates") {
+    val out = Similarity.semanticDedup(spark, sf001).cache()
+    val n = Tables.embeddings(spark, sf001).count()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    // verdict consistency
+    assert(out.filter(col("kept") =!= (col("n_near") === 0)).count() == 0)
+    assert(out.filter(!col("kept") && col("pruned_by").isNull).count() == 0)
+    assert(out.filter(col("pruned_by") >= col("vec_id")).count() == 0)
+    // every pruning edge is a genuine >= 0.35 cosine pair (subset of the
+    // exact all-pairs verifier)
+    val exactPairs = Similarity.cosineDedupExactSmall(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.filter(col("pruned_by").isNotNull).collect().foreach { r =>
+      val edge = (r.getLong(3), r.getLong(0))
+      assert(exactPairs.contains(edge), s"pruning edge $edge not a near-dup")
+    }
+    // the fixture exercises both verdicts
+    assert(out.filter(col("kept")).count() > 0)
+    assert(out.filter(!col("kept")).count() > 0)
+    out.unpersist()
+  }
+
   test("dedup groups form a partition consistent with the pair graph") {
     val groups = Dedup.dedupGroups(spark, sf001).cache()
     val nDocs = Tables.documents(spark, sf001).count()
