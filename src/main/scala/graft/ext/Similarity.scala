@@ -423,6 +423,63 @@ object Similarity {
       |FROM sims WHERE sim_raw >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Binary-code (sign-bit) ANN — the fourth search geometry beside brute
+    * cosine, hyperplane LSH, and IVF: each 64-dim float vector compresses
+    * to a 64-bit sign code (two 32-bit halves packed by a big-endian fold,
+    * kept apart so no intermediate touches the BIGINT sign bit in either
+    * engine), and neighbors rank by Hamming distance — two XOR+popcount
+    * ops per comparison instead of 64 fused-multiply-adds, the classic
+    * 32× memory / ~100× ALU reduction of binary embeddings. Query side
+    * (vec_id < 10, mirroring the kNN family) broadcasts; the corpus scans
+    * its 16-byte codes once; per-query top-3 via ranking window. At 100 TB
+    * the codes table is ~0.8 % the size of the float corpus, which is the
+    * entire point of this operator. Ties (equal Hamming) break by
+    * neighbor_id — pure integer arithmetic throughout, so the oracle
+    * replays exactly. */
+  def hammingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    def half(off: Int) = expr(
+      s"""aggregate(slice(embedding, $off, 32), CAST(0 AS BIGINT),
+         |  (acc, x) -> acc * 2 + IF(x > 0, 1, 0))""".stripMargin)
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), half(1).as("code_lo"), half(33).as("code_hi"))
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("hamming"), asc("neighbor_id"))
+    codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (expr("bit_count(code_lo ^ q_lo)") + expr("bit_count(code_hi ^ q_hi)"))
+          .cast("int").as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
+
+  val hammingAnnSql: String = {
+    def half(lo: Int, hi: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding[$lo:$hi],
+         |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+         |      (a, b) -> a * 2 + b)""".stripMargin
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    ${half(1, 32)} AS code_lo,
+       |    ${half(33, 64)} AS code_hi
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         CAST(bit_count(xor(c.code_lo, q.code_lo))
+       |              + bit_count(xor(c.code_hi, q.code_hi)) AS INT) AS hamming
+       |  FROM codes c JOIN codes q
+       |    ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+       |SELECT q_id, rank, neighbor_id, hamming FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the SAME
     * deterministic Lloyd quantizer as the IVF family, then prune within

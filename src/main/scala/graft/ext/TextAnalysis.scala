@@ -194,6 +194,72 @@ object TextAnalysis {
       |         (a, b) -> (a * 131 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BM25 keyword search (Robertson–Spärck Jones; k₁ = 1.2, b = 0.75) —
+    * the retrieval stage of corpus tooling (eval-set mining, targeted
+    * subset extraction): score every document against a fixed query-term
+    * set and keep the top 20. Corpus statistics (N, avg doc length, per-
+    * term document frequencies) reduce to ONE broadcast row, so scoring is
+    * a shuffle-free map-side projection over the scan and the top-k is a
+    * TakeOrderedAndProject — the same shape at 100 TB, where the scored
+    * corpus never shuffles. Ordering is the semantics (top-k): ranked by
+    * the ROUNDED score then doc_id, so the cutoff is engine-deterministic
+    * (raw-double ordering could disagree across engines in the last ulp of
+    * ln; rounded ties break identically — see Num.r4). */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("dl", size(col("tokens")))
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("tokens"), t), 1).otherwise(0))
+            .cast("double").as(s"df$i")
+        }
+    val corpusStats = docs.agg(statCols.head, statCols.tail: _*)
+    val score = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("tokens"), x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(corpusStats))
+      .select(col("doc_id"), Num.r4(score).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Query terms for the BM25 demonstrator (any set works — the operator
+    * is parametric in spirit; pinned so the oracle replays). */
+  val Bm25Terms: Seq[String] = Seq("spark", "window", "merge")
+
+  val bm25SearchSql: String = {
+    val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"""ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))
+         |         * len(list_filter(toks, x -> x = '$t')) * 2.2
+         |         / (len(list_filter(toks, x -> x = '$t'))
+         |            + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))""".stripMargin
+    }.mkString("\n       + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS dl
+       |  FROM documents),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       |             $dfCols
+       |      FROM d)
+       |SELECT doc_id, score FROM (
+       |  SELECT doc_id,
+       |         round($terms + 1e-9, 4) AS score
+       |  FROM d, s)
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   /** Intra-document repetition screen (the Gopher-style repetition rules:
     * Rae et al. 2021 §A1.1 use duplicate-n-gram and top-n-gram fractions
     * as quality gates). Two signals per document — the fraction of bigrams

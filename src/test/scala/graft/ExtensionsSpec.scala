@@ -125,6 +125,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("bm25 returns term-bearing docs in monotone score order") {
+    val top = TextAnalysis.bm25Search(spark, sf001).collect()
+    assert(top.length == 20)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every hit actually contains at least one query term
+    val hitIds = top.map(_.getLong(0)).toSet
+    val texts = Tables.documents(spark, sf001)
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hitIds.foreach { id =>
+      val toks = texts(id).split(" ").toSet
+      assert(TextAnalysis.Bm25Terms.exists(toks.contains), s"doc $id has no term")
+    }
+  }
+
+  test("hamming ann matches a driver-side sign-code model exactly") {
+    val got = Similarity.hammingAnn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getInt(3))).toMap
+    // independent model: recompute sign codes + top-3 from raw embeddings
+    val vecs = Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val codes = vecs.map { case (id, v) =>
+      id -> v.map(x => if (x > 0f) 1L else 0L).foldLeft(0L)((acc, b) => acc * 2 + b)
+    } // 64 bits via a single fold is fine driver-side (no engine overflow issue)
+    for ((qId, qCode) <- codes if qId < 10) {
+      val expect = codes.filter(_._1 != qId)
+        .map { case (id, c) => (id, java.lang.Long.bitCount(qCode ^ c)) }
+        .sortBy { case (id, h) => (h, id) }.take(3)
+      expect.zipWithIndex.foreach { case ((id, h), i) =>
+        assert(got((qId, i + 1)) == ((id, h)),
+          s"q$qId rank ${i + 1}: got ${got((qId, i + 1))}, want ($id,$h)")
+      }
+    }
+  }
+
   test("semantic dedup prunes only toward real lower-id near-duplicates") {
     val out = Similarity.semanticDedup(spark, sf001).cache()
     val n = Tables.embeddings(spark, sf001).count()
