@@ -666,4 +666,244 @@ object Similarity {
       |LEFT JOIN counts c ON c.bucket = v.bucket
       |LEFT JOIN best ON best.vec_id = v.vec_id
       |ORDER BY v.vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search") — the fifth search geometry and the one
+  // production 100 TB ANN systems actually ship (FAISS IVFPQ): split each
+  // 64-dim vector into M=4 16-dim subspaces, learn an 8-centroid codebook
+  // per subspace with the same deterministic Lloyd recipe as the IVF
+  // family, and store each vector as 4 small codes. Compression here:
+  // 256 B of floats → 4 codes (4 B as ints, 12 bits information); at a
+  // realistic M=16/K=256 that is 16 B per vector, a 16× memory cut that
+  // lets the scan side of a 100 TB corpus fit hot storage. Queries score
+  // candidates with an asymmetric-distance (ADC) lookup table — M table
+  // probes + adds per candidate instead of d multiply-adds — built once
+  // per query against the broadcast codebook; the corpus never shuffles
+  // and never rehydrates floats.
+  // --------------------------------------------------------------------
+
+  private val PqM = 4     // subspaces
+  private val PqK = 8     // centroids per subspace
+  private val PqD = 16    // dims per subspace (64 / PqM)
+
+  /** Subvector explode: one row per (vec_id, m) with the m-th 16-dim
+    * slice cast to double. The transform is exploded INLINE (never bound
+    * to a named column first) — see the InferFiltersFromGenerate
+    * recompute trap documented on [[graft.ext.Dedup]]. */
+  private def pqSubvectors(emb: DataFrame): DataFrame = emb.select(
+    col("vec_id"),
+    posexplode(expr(
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  transform(slice(embedding, m * $PqD + 1, $PqD),
+         |            x -> CAST(x AS DOUBLE)))""".stripMargin)).as(Seq("m", "v")))
+
+  /** Nested codebook literal cb(m)(cell)(dim) → array<array<array<double>>>
+    * column, broadcast to every task as a plan constant. */
+  private def pqCbLit(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.map(cells =>
+      array(cells.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+  /** Per-(row, m) nearest-centroid assignment against the codebook
+    * literal: distance array via nested higher-order folds (same
+    * accumulation order DuckDB's list_sum replays), argmin with
+    * smallest-cell tie-break — identical contract to the IVF assign. */
+  private def pqAssign(sv: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = sv
+    .withColumn("darr", transform(
+      element_at(pqCbLit(cb), col("m") + 1),
+      c => aggregate(
+        zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)))
+    .withColumn("code", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+    .drop("darr")
+
+  /** Deterministic per-subspace Lloyd: seeds = the PqK rank-smallest
+    * vec_ids' subvectors, `iters` assign/update rounds with means rounded
+    * (+1e-9, 6 dp) — the same engine-reproducibility contract as
+    * [[ivfQuantize]], learned jointly for all M subspaces in one pass per
+    * round (the m column rides along as a grouping key). Codebook is
+    * O(M·K·d) driver state, exactly the PQ training shape: at 100 TB the
+    * training scan samples; encoding stays a full map-side pass. */
+  private def pqQuantize(emb: DataFrame,
+      iters: Int = 2): (DataFrame, Array[Array[Array[Double]]]) = {
+    val sv = pqSubvectors(emb)
+    val seedRows = emb.orderBy(col("vec_id")).limit(PqK)
+      .select(expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  transform(slice(embedding, m * $PqD + 1, $PqD),
+           |            x -> CAST(x AS DOUBLE)))""".stripMargin).as("svs"))
+      .collect()
+      .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
+    var cb = Array.tabulate(PqM, PqK)((m, cell) => seedRows(cell)(m))
+    for (_ <- 0 until iters) {
+      val next = cb.map(_.map(_.clone()))
+      pqAssign(sv, cb)
+        .select(col("m"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(round(avg(col("x")) + lit(1e-9), 6).as("cv"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cb = next
+    }
+    val codes = pqAssign(sv, cb)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+    (codes, cb)
+  }
+
+  /** ADC scoring core shared by [[annPq]] and [[annPqRefine]]: per query
+    * (vec_id < 10) build the M×K lookup table of subvector-to-centroid
+    * squared distances, broadcast it, and score every corpus code word
+    * with M table probes + adds (fixed m-order fold, so the double sum is
+    * engine-reproducible). Returns (q_id, neighbor_id, adc) unranked. */
+  private def pqAdcScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (codes, cb) = pqQuantize(emb)
+    val qt = pqSubvectors(emb.filter(col("vec_id") < 10))
+      .withColumn("dt", transform(
+        element_at(pqCbLit(cb), col("m") + 1),
+        c => aggregate(
+          zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, dt))), s -> s.dt)")
+        .as("dtabs"))
+      .withColumnRenamed("vec_id", "q_id")
+    codes.crossJoin(broadcast(qt))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Num.r4(expr(
+          """aggregate(zip_with(codes, dtabs, (c, t) -> element_at(t, c + 1)),
+            |          0D, (acc, v) -> acc + v)""".stripMargin)).as("adc"))
+  }
+
+  /** PQ ANN: rank the corpus by ADC distance per query, keep the top 3.
+    * Ties break by neighbor_id on the rounded distance, so the oracle
+    * replays the cutoff exactly. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    pqAdcScores(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
+  /** Two-stage PQ retrieval — the production pattern (FAISS `refine`):
+    * ADC shortlist of 16 from the compressed codes, then exact cosine
+    * re-rank of only those 16 float vectors per query. At 100 TB the
+    * expensive float reads touch shortlist·queries rows instead of the
+    * corpus; the shortlist join is a broadcast of (q_id, neighbor_id)
+    * pairs against the embeddings scan. */
+  def annPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val sw = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    val shortlist = pqAdcScores(spark, sfDir)
+      .withColumn("srank", row_number().over(sw))
+      .filter(col("srank") <= 16)
+      .select(col("q_id"), col("neighbor_id"))
+    val qe = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    shortlist
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  private def pqAssignCte(a: String, c: String): String =
+    s"""$a AS (SELECT vec_id, m, sv, cell FROM (
+       |  SELECT s.vec_id, s.m, s.sv, c.cell,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |           list_sum(list_transform(list_zip(s.sv, c.cv),
+       |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
+       |  FROM sv s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+
+  private def pqUpdateCte(mm: String, a: String, prevL: String, cl: String,
+      c: String): String =
+    s"""$mm AS (SELECT m, cell, dim, round(avg(x) + 1e-9, 6) AS cv
+       |      FROM (SELECT m, cell, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS dim,
+       |                   unnest(sv) AS x
+       |            FROM $a) u
+       |      GROUP BY m, cell, dim),
+       |$cl AS (SELECT p.m, p.cell, p.dim, COALESCE($mm.cv, p.x) AS cv
+       |      FROM $prevL p LEFT JOIN $mm
+       |        ON $mm.m = p.m AND $mm.cell = p.cell AND $mm.dim = p.dim),
+       |$c AS (SELECT m, cell, list(cv ORDER BY dim) AS cv FROM $cl GROUP BY m, cell)""".stripMargin
+
+  /** Shared CTE chain replaying [[pqQuantize]] in DuckDB: per-subspace
+    * seeds, two unrolled Lloyd rounds over (m, cell), final codes, and the
+    * per-query ADC tables — used by both PQ oracles so they cannot drift
+    * from each other. Yields `codes(vec_id, codes)` and
+    * `qts(q_id, dtabs)`. */
+  private lazy val pqCtesSql: String =
+    s"""se AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, m, v[m * $PqD + 1 : m * $PqD + $PqD] AS sv
+       |  FROM se CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)),
+       |c0 AS (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cell,
+       |         sv AS cv
+       |  FROM sv WHERE vec_id IN (SELECT vec_id FROM se ORDER BY vec_id LIMIT $PqK)),
+       |c0l AS (SELECT m, cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
+       |               unnest(cv) AS x
+       |        FROM c0),
+       |${pqAssignCte("a1", "c0")},
+       |${pqUpdateCte("m1", "a1", "c0l", "c1l", "c1")},
+       |c1l2 AS (SELECT m, cell, dim, cv AS x FROM c1l),
+       |${pqAssignCte("a2", "c1")},
+       |${pqUpdateCte("m2", "a2", "c1l2", "c2l", "c2")},
+       |${pqAssignCte("a3", "c2")},
+       |codes AS (SELECT vec_id, list(cell ORDER BY m) AS codes FROM a3 GROUP BY vec_id),
+       |qd AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.cell,
+       |         list_sum(list_transform(list_zip(s.sv, c.cv),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM sv s JOIN c2 c ON c.m = s.m WHERE s.vec_id < 10),
+       |qt AS (SELECT q_id, m, list(d ORDER BY cell) AS dt FROM qd GROUP BY q_id, m),
+       |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id),
+       |adcs AS (
+       |  SELECT q.q_id, c.vec_id AS neighbor_id,
+       |         round(list_sum(list_transform(list_zip(c.codes, q.dtabs),
+       |           p -> p[2][p[1] + 1])) + 1e-9, 4) AS adc
+       |  FROM codes c CROSS JOIN qts q WHERE c.vec_id != q.q_id)""".stripMargin
+
+  val annPqSql: String =
+    s"""WITH $pqCtesSql
+       |SELECT q_id, rank, neighbor_id, adc FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM adcs)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  val annPqRefineSql: String =
+    s"""WITH $pqCtesSql,
+       |short AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY adc ASC, neighbor_id ASC) AS srank
+       |    FROM adcs)
+       |  WHERE srank <= 16),
+       |sims AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(en.embedding, eq.embedding),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform(en.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      + 1e-9, 4) AS sim
+       |  FROM short s
+       |  JOIN embeddings en ON en.vec_id = s.neighbor_id
+       |  JOIN embeddings eq ON eq.vec_id = s.q_id)
+       |SELECT q_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 }

@@ -162,6 +162,47 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("pq adc ranks are well-formed and refine re-ranks with exact cosine") {
+    val pq = Similarity.annPq(spark, sf001).collect()
+    assert(pq.length == 30) // 10 queries x top-3
+    // per query: ranks 1..3 with non-decreasing ADC distance
+    pq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3), s"q$q ranks")
+      val adcs = byRank.map(_.getDouble(3))
+      assert(adcs.forall(_ >= 0.0), s"q$q negative adc")
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, s"q$q order")
+    }
+    // independent model: exact cosine top-3 per query (driver-side)
+    val vecs = Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val exact = (for ((q, qv) <- vecs if q < 10) yield
+      (q, vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet)).toMap
+    // refine stage returns EXACT cosine values for its pairs...
+    val refine = Similarity.annPqRefine(spark, sf001).collect()
+    val vmap = vecs.toMap
+    refine.foreach { r =>
+      val want = math.rint((cos(vmap(r.getLong(0)), vmap(r.getLong(2))) + 1e-9) * 1e4) / 1e4
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"refine sim drifts from exact cosine at q${r.getLong(0)}")
+    }
+    // ...and exact re-ranking of the shortlist must not hurt recall@3
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val hit = rows.count(r => exact(r.getLong(0)).contains(r.getLong(2)))
+      hit.toDouble / (10 * 3)
+    }
+    val (rPq, rRef) = (recall(pq), recall(refine))
+    assert(rRef >= rPq, s"refine recall $rRef < raw pq recall $rPq")
+    assert(rRef >= 0.3, s"refine recall $rRef") // measured 0.43 at sf0.001
+  }
+
   test("semantic dedup prunes only toward real lower-id near-duplicates") {
     val out = Similarity.semanticDedup(spark, sf001).cache()
     val n = Tables.embeddings(spark, sf001).count()
