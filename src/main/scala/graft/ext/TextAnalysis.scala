@@ -260,6 +260,70 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** Unigram-LM quality scoring — the CCNet recipe (Wenzek et al. 2020:
+    * score documents with a language model, then keep/drop by perplexity
+    * quantile). The "model" here is the corpus's own unigram distribution:
+    * token counts reduce to a tiny (vocabulary-sized) broadcast table, so
+    * scoring is a map-side lookup join plus a per-document aggregate, and
+    * the corpus text itself never shuffles. Two determinism devices make
+    * the operator fully oracle-able despite floating-point aggregation:
+    * (1) per-token log-probs are integer-scaled (round(ln(p)·1e6)) BEFORE
+    * the per-document sum, so the aggregate is an exact integer fold —
+    * order-independent, hence identical across engines and partitionings;
+    * (2) quartile bucketing uses exact-percentile cutoffs computed as a
+    * 1-row broadcast aggregate and compared map-side (bucket 1 = most
+    * fluent), NOT a global ntile window — the same comparison at 100 TB
+    * swaps `percentile` for the approx_percentile sketch and keeps the
+    * plan shuffle-free past the vocabulary count. */
+  def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt") / col("n_total")) * lit(1e6) + lit(1e-9), 0)
+          .cast("long").as("lp_int"))
+    val scored = toks.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_int")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        Num.r4(-col("lp_sum") / (col("n_tokens") * lit(1e6))).as("nll"))
+    val cuts = scored.agg(
+      expr("percentile(nll, array(0.25D, 0.5D, 0.75D))").as("q"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("nll"),
+        when(col("nll") <= element_at(col("q"), 1), 1)
+          .when(col("nll") <= element_at(col("q"), 2), 2)
+          .when(col("nll") <= element_at(col("q"), 3), 3)
+          .otherwise(4).as("ppl_bucket"))
+  }
+
+  val lmQualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks),
+      |vocab AS (
+      |  SELECT token,
+      |         CAST(round(ln(CAST(count(*) AS DOUBLE) / n_total) * 1000000 + 1e-9)
+      |              AS BIGINT) AS lp_int
+      |  FROM toks, tot GROUP BY token, n_total),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens, sum(lp_int) AS lp_sum
+      |  FROM toks JOIN vocab USING (token) GROUP BY doc_id),
+      |sc AS (
+      |  SELECT doc_id, n_tokens,
+      |         round(-lp_sum / (n_tokens * 1000000.0) + 1e-9, 4) AS nll
+      |  FROM scored),
+      |cuts AS (SELECT quantile_cont(nll, [0.25, 0.5, 0.75]) AS q FROM sc)
+      |SELECT doc_id, n_tokens, nll,
+      |       CASE WHEN nll <= q[1] THEN 1
+      |            WHEN nll <= q[2] THEN 2
+      |            WHEN nll <= q[3] THEN 3
+      |            ELSE 4 END AS ppl_bucket
+      |FROM sc, cuts ORDER BY doc_id""".stripMargin
+
   /** Intra-document repetition screen (the Gopher-style repetition rules:
     * Rae et al. 2021 §A1.1 use duplicate-n-gram and top-n-gram fractions
     * as quality gates). Two signals per document — the fraction of bigrams

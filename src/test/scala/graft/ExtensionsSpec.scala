@@ -162,6 +162,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("lm quality replays a driver-side unigram model and buckets by quartile") {
+    val out = TextAnalysis.lmQuality(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    val texts = Tables.documents(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    assert(out.size == texts.size)
+    // independent model: unigram log-probs, integer-scaled exactly as spec'd
+    val all = texts.values.flatten.toSeq
+    val total = all.size.toDouble
+    val lpInt = all.groupBy(identity).map { case (t, xs) =>
+      t -> math.rint(math.log(xs.size / total) * 1e6 + 1e-9).toLong
+    }
+    texts.foreach { case (id, toks) =>
+      val (n, nll, _) = out(id)
+      assert(n == toks.size, s"doc $id token count")
+      val want = math.rint((-toks.map(lpInt).sum / (toks.size * 1e6) + 1e-9) * 1e4) / 1e4
+      assert(math.abs(nll - want) < 1e-9, s"doc $id nll $nll != $want")
+    }
+    // buckets: non-empty, ordered by nll (every bucket-k nll <= bucket-k+1 nll)
+    val byBucket = out.values.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set(1, 2, 3, 4))
+    for (k <- 1 to 3)
+      assert(byBucket(k).max <= byBucket(k + 1).min, s"bucket $k overlaps ${k + 1}")
+    // quartiles: roughly balanced (exact split modulo cutoff ties)
+    byBucket.values.foreach(b => assert(b.size >= 100 && b.size <= 150, b.size))
+  }
+
   test("pq adc ranks are well-formed and refine re-ranks with exact cosine") {
     val pq = Similarity.annPq(spark, sf001).collect()
     assert(pq.length == 30) // 10 queries x top-3
