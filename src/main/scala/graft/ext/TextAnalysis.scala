@@ -260,6 +260,74 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over corpus token
+    * frequencies — the fixed-memory sketch family a 100 TB vocabulary scan
+    * ships: the sketch is a depth×width (4×64) grid of counters, built by
+    * ONE map-side-combinable aggregate over at most depth·width fixed keys
+    * regardless of corpus size, and cells are sums, so per-shard sketches
+    * merge by addition (the reduce tree a 1000-executor count uses anyway).
+    * Hashing reuses the engine's portable family: one md5-prefix fold per
+    * token, then cheap BIGINT universal re-hashes per row (same a_j/b_j
+    * constants as MinHash — [[Dedup.slotA]] — so the DuckDB twin replays
+    * bit-for-bit). The query side here estimates the 20 head tokens and
+    * reports estimate vs truth: est = min over rows of the token's cell,
+    * CMS's one-sided guarantee (est ≥ true, spec-asserted). The
+    * truth join is the validation harness; production keeps only the
+    * 256-cell grid. */
+  def cmsTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(spark)
+    val (depth, width) = (4, 64)
+    def bucketArr = array((0 until depth).map(j =>
+      (col("h") * Dedup.slotA(j) + Dedup.slotB(j)) % Dedup.SlotP % width): _*)
+    val hashed = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), (expr("md5_prefix60(token)") % Dedup.SlotP).as("h"))
+    val cells = hashed
+      .select(posexplode(bucketArr).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val truth = hashed.groupBy(col("token"), col("h"))
+      .agg(count(lit(1)).as("true_cnt"))
+    truth
+      .select(col("token"), col("true_cnt"), posexplode(bucketArr).as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("token"), col("true_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(desc("true_cnt"), asc("token"))
+      .limit(20)
+  }
+
+  val cmsTokensSql: String = {
+    val aArr = (0 until 4).map(Dedup.slotA).mkString("[", ", ", "]")
+    val bArr = (0 until 4).map(Dedup.slotB).mkString("[", ", ", "]")
+    val p = Dedup.SlotP
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |hh AS (
+       |  SELECT token,
+       |         list_reduce(list_transform(range(0, 15),
+       |           q -> CAST(strpos('0123456789abcdef',
+       |                  substr(md5(token), CAST(q + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |           (a, b) -> a * 16 + b) % $p AS h
+       |  FROM toks),
+       |buck AS (
+       |  SELECT token, h, j,
+       |         ((h * ($aArr)[j + 1] + ($bArr)[j + 1]) % $p) % 64 AS bucket
+       |  FROM hh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |cells AS (SELECT j, bucket, count(*) AS c FROM buck GROUP BY j, bucket),
+       |truth AS (SELECT token, h, count(*) AS true_cnt FROM hh GROUP BY token, h),
+       |est AS (
+       |  SELECT t.token, t.true_cnt, min(c.c) AS est_cnt
+       |  FROM truth t
+       |  JOIN (SELECT DISTINCT token, j, bucket FROM buck) b ON b.token = t.token
+       |  JOIN cells c ON c.j = b.j AND c.bucket = b.bucket
+       |  GROUP BY t.token, t.true_cnt)
+       |SELECT token, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+       |FROM est ORDER BY true_cnt DESC, token ASC LIMIT 20""".stripMargin
+  }
+
   /** Unigram-LM quality scoring — the CCNet recipe (Wenzek et al. 2020:
     * score documents with a language model, then keep/drop by perplexity
     * quantile). The "model" here is the corpus's own unigram distribution:

@@ -162,6 +162,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cms estimates are one-sided and truth counts match a driver model") {
+    val out = TextAnalysis.cmsTokens(spark, sf001).collect()
+    assert(out.length == 20)
+    // driver model: true term frequencies
+    val tf = Tables.documents(spark, sf001).collect()
+      .flatMap(_.getString(1).split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val (tok, t, e, over) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t == tf(tok), s"$tok true_cnt $t != ${tf(tok)}")
+      assert(e >= t, s"$tok CMS under-estimates: $e < $t") // one-sided guarantee
+      assert(over == e - t)
+    }
+    // top-20 by true count descending
+    val ts = out.map(_.getLong(1))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lm quality replays a driver-side unigram model and buckets by quartile") {
     val out = TextAnalysis.lmQuality(spark, sf001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
