@@ -1159,4 +1159,59 @@ object Relational {
       |  AS p(o_orderpriority, prio_rank) USING (o_orderpriority)
       |GROUP BY o_orderpriority, prio_rank
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** MERGE / changefeed-apply — the incremental-maintenance primitive every
+    * warehouse pipeline runs (SQL:2003 MERGE, Delta/Iceberg upsert): apply
+    * a change set of updates, deletes, and inserts to a base table in one
+    * pass. The change set here derives deterministically from the fixture
+    * (keys ≡ 0 mod 3 get a repriced update, of those keys ≡ 0 mod 7 become
+    * deletes, and fresh keys = old + 10⁷ arrive as inserts), so the oracle
+    * replays it exactly. Shape: ONE left join base→changes resolves both
+    * update and delete (the op column discriminates), then inserts union
+    * in — no full-outer join, no second pass over the base. At 100 TB the
+    * base shuffles on its key once (or not at all if base and changefeed
+    * are co-bucketed on the key — see TableOps.writeBucketed); a small
+    * changefeed broadcasts instead. `src` labels each row's provenance for
+    * the audit trail. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val changes = base.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 1.1 + lit(1e-9), 2).as("new_price"),
+        when(col("o_orderkey") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"))
+    val inserts = changes.filter(col("op") === "U")
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("new_price").as("o_totalprice"),
+        lit("N").as("o_orderstatus"), lit("inserted").as("src"))
+    base.join(changes, Seq("o_orderkey"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"),
+        when(col("op") === "U", lit("updated")).otherwise(lit("base")).as("src"))
+      .unionAll(inserts)
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey,
+      |         round(o_totalprice * 1.1 + 1e-9, 2) AS new_price,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM base WHERE o_orderkey % 3 = 0),
+      |merged AS (
+      |  SELECT b.o_orderkey,
+      |         COALESCE(c.new_price, b.o_totalprice) AS o_totalprice,
+      |         b.o_orderstatus,
+      |         CASE WHEN c.op = 'U' THEN 'updated' ELSE 'base' END AS src
+      |  FROM base b LEFT JOIN changes c USING (o_orderkey)
+      |  WHERE c.op IS NULL OR c.op != 'D')
+      |SELECT * FROM merged
+      |UNION ALL
+      |SELECT o_orderkey + 10000000 AS o_orderkey, new_price AS o_totalprice,
+      |       'N' AS o_orderstatus, 'inserted' AS src
+      |FROM changes WHERE op = 'U'
+      |ORDER BY o_orderkey""".stripMargin
 }

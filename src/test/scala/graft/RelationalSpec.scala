@@ -124,4 +124,27 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(salted == plain)
   }
+
+  test("merge upsert applies updates, deletes, and inserts exactly once") {
+    val base = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = Relational.mergeUpsert(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(3)))).toMap
+    assert(out.size == out.keySet.size) // keys unique after merge
+    val deleted = base.keySet.filter(k => k % 3 == 0 && k % 7 == 0)
+    val updated = base.keySet.filter(k => k % 3 == 0 && k % 7 != 0)
+    assert(deleted.forall(!out.contains(_)), "deletes survived")
+    updated.foreach { k =>
+      val want = math.rint((base(k) * 1.1 + 1e-9) * 100) / 100
+      assert(out(k)._2 == "updated" && math.abs(out(k)._1 - want) < 1e-9, s"key $k")
+    }
+    (base.keySet -- deleted -- updated).foreach { k =>
+      assert(out(k) == ((base(k), "base")), s"untouched key $k changed")
+    }
+    updated.foreach { k =>
+      assert(out(k + 10000000L)._2 == "inserted", s"missing insert for $k")
+    }
+    assert(out.size == base.size - deleted.size + updated.size)
+  }
 }
