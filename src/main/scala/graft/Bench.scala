@@ -57,7 +57,9 @@ object Bench {
     * correctness gate for them runs at sf0.01 anyway. */
   val extended: Seq[String] = Seq(
     "e_cosine_dedup_lsh", "d_ngram_jaccard", "d_dedup_groups",
-    "d_dedup_pipeline", "q_asof_join")
+    "d_dedup_pipeline", "q_asof_join",
+    "e_ann_pq_refine", "e_hamming_ann", "d_cms_tokens", "d_lm_quality",
+    "d_bm25_search", "q_merge_upsert")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically

@@ -260,6 +260,94 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** PageRank over the token co-occurrence graph — the iterative
+    * graph-compute family beside connected components (`d_dedup_groups`):
+    * nodes = tokens, directed edges = adjacent-token pairs weighted by
+    * occurrence count, damping 0.85, three unrolled power iterations from
+    * the uniform vector. Dataflow per iteration: ONE edge-keyed join
+    * (ranks joined to the edge list on source) + ONE target-keyed
+    * partial-sum aggregate — the standard Pregel-on-DataFrames shape. At
+    * web-graph scale the edge list is the big table and shuffles once per
+    * iteration on its join key (co-partitioning ranks and edges on the
+    * node key holds that to a local join); rank state is O(nodes).
+    * Determinism contract: per-edge contributions ((r·w)/w_out, a fixed
+    * operand order both engines evaluate identically) are integer-scaled
+    * to 1e9 BEFORE the per-target sum, so each iteration's aggregate is
+    * an exact BIGINT fold — order-independent under any partitioning —
+    * and the new rank re-rounds to 9 dp. Dangling nodes: none exist in
+    * this graph (every token is adjacent to another in some document);
+    * the general fix (redistribute dangling mass) is documented, not
+    * built, to keep the oracle 1:1. */
+  def tokenPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+    val edges = docs
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> struct(tokens[i] AS src, tokens[i+1] AS dst))""".stripMargin)).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(outw, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    var ranks = nodes.crossJoin(nc)
+      .select(col("node"), round(lit(1.0) / col("n") + lit(1e-9), 9).as("r"))
+    for (_ <- 0 until 3) {
+      val contribs = e.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          round((col("r") * col("w")) / col("wout") * lit(1e9) + lit(1e-9), 0)
+            .cast("long").as("c_int"))
+        .groupBy(col("dst")).agg(sum(col("c_int")).as("s"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(nc)
+        .select(col("node"),
+          round(lit(0.15) / col("n")
+            + lit(0.85) * (coalesce(col("s"), lit(0L)) / lit(1e9)) + lit(1e-9), 9)
+            .as("r"))
+    }
+    ranks.select(col("node").as("token"), round(col("r") + lit(1e-9), 6).as("rank"))
+      .orderBy(desc("rank"), asc("token"))
+  }
+
+  val tokenPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT dst, sum(CAST(round((r.r * e.w) / e.wout * 1000000000 + 1e-9)
+         |                       AS BIGINT)) AS s
+         |  FROM e JOIN r$prev r ON r.node = e.src GROUP BY dst),
+         |r$cur AS (
+         |  SELECT n.node,
+         |         round(0.15 / nc.n + 0.85 * (COALESCE(c.s, 0) / 1000000000.0)
+         |               + 1e-9, 9) AS r
+         |  FROM nodes n CROSS JOIN nc LEFT JOIN c$cur c ON c.dst = n.node)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS tokens FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |e0 AS (
+       |  SELECT unnest(list_transform(range(1, len(tokens)),
+       |           i -> struct_pack(src := tokens[CAST(i AS INT)],
+       |                            dst := tokens[CAST(i + 1 AS INT)]))) AS p
+       |  FROM toks),
+       |edges AS (SELECT p.src AS src, p.dst AS dst, count(*) AS w
+       |          FROM e0 GROUP BY p.src, p.dst),
+       |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, edges.w, outw.wout
+       |      FROM edges JOIN outw USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, round(1.0 / n + 1e-9, 9) AS r
+       |       FROM nodes CROSS JOIN nc),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT node AS token, round(r + 1e-9, 6) AS rank
+       |FROM r3 ORDER BY rank DESC, token ASC""".stripMargin
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over corpus token
     * frequencies — the fixed-memory sketch family a 100 TB vocabulary scan
     * ships: the sketch is a depth×width (4×64) grid of counters, built by
@@ -346,9 +434,12 @@ object TextAnalysis {
   def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
-    val vocab = toks.groupBy(col("token"))
+    // Corpus total derives from the vocabulary aggregate (a second tiny
+    // pass over |V| rows), NOT a separate corpus re-scan.
+    val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val vocab = counts
       .crossJoin(broadcast(total))
       .select(col("token"),
         round(log(col("cnt") / col("n_total")) * lit(1e6) + lit(1e-9), 0)

@@ -162,6 +162,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("token pagerank replays a driver-side power iteration exactly") {
+    val got = TextAnalysis.tokenPagerank(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent model: same graph, same 3 integer-scaled iterations
+    val texts = Tables.documents(spark, sf001).collect().map(_.getString(1))
+    val pairs = texts.map(_.split(" ").toSeq).filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail))
+    val w = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wout = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = (w.keys.map(_._1) ++ w.keys.map(_._2)).toSet
+    val n = nodes.size.toDouble
+    def r9(x: Double) = math.rint((x + 1e-9) * 1e9) / 1e9
+    var r = nodes.map(_ -> r9(1.0 / n)).toMap
+    for (_ <- 0 until 3) {
+      val s = w.toSeq
+        .map { case ((a, b), ww) => b -> math.rint(r(a) * ww / wout(a) * 1e9 + 1e-9).toLong }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v => v -> r9(0.15 / n + 0.85 * (s.getOrElse(v, 0L) / 1e9))).toMap
+    }
+    assert(got.keySet == nodes)
+    nodes.foreach { v =>
+      val want = math.rint((r(v) + 1e-9) * 1e6) / 1e6
+      assert(math.abs(got(v) - want) < 1e-12, s"$v: ${got(v)} != $want")
+    }
+    // no dangling nodes -> total rank mass conserved (within rounding)
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, got.values.sum)
+  }
+
   test("cms estimates are one-sided and truth counts match a driver model") {
     val out = TextAnalysis.cmsTokens(spark, sf001).collect()
     assert(out.length == 20)
