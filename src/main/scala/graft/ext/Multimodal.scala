@@ -188,6 +188,75 @@ object Multimodal {
        |         (a, b) -> (a*31 + b) % 2147483647) AS resized_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Audio-style OVERLAPPING window framing (window 32 bytes, hop 16 —
+    * the 50 %-overlap short-time analysis shape every audio featurizer
+    * uses; a real pipeline would put PCM decode + FFT here). Per window:
+    * integer energy (byte sum) and peak (byte max) — pure integer
+    * arithmetic, so fully oracle-checkable. Same per-partition batch
+    * plumbing as the codec stages; output rows ≈ 2× payload/window,
+    * embarrassingly parallel, no shuffle anywhere. */
+  val AudioWindowBytes = 32
+  val AudioHopBytes = 16
+  val AudioMaxWindows = 12
+
+  def fakeAudioWindows(payload: Array[Byte]): Iterator[(Int, Int, Int, Long, Int)] = {
+    val n = payload.length
+    Iterator.range(0, n, AudioHopBytes).take(AudioMaxWindows).map { start =>
+      val end = math.min(start + AudioWindowBytes, n)
+      var energy = 0L
+      var peak = 0
+      var i = start
+      while (i < end) {
+        val b = payload(i) & 0xff
+        energy += b
+        if (b > peak) peak = b
+        i += 1
+      }
+      (start / AudioHopBytes, start, end - start, energy, peak)
+    }
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("win_idx", IntegerType, nullable = false),
+    StructField("start_byte", IntegerType, nullable = false),
+    StructField("win_bytes", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  def audioWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rowEncoder = org.apache.spark.sql.Encoders.row(audioSchema)
+    payloads.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        fakeAudioWindows(r.getAs[Array[Byte]](1)).map {
+          case (wi, start, len, energy, peak) => Row(docId, wi, start, len, energy, peak)
+        }
+      }
+    }(rowEncoder)
+  }
+
+  val audioWindowsSql: String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(0, least(CAST(ceil(length(text) / $AudioHopBytes.0) AS BIGINT),
+       |                               $AudioMaxWindows))) AS wi
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(wi AS INT) AS win_idx,
+       |         CAST(wi * $AudioHopBytes AS INT) AS start_byte,
+       |         substr(text, CAST(wi * $AudioHopBytes + 1 AS INT), $AudioWindowBytes) AS frame
+       |  FROM idx)
+       |SELECT doc_id, win_idx, start_byte,
+       |       CAST(length(frame) AS INT) AS win_bytes,
+       |       CAST(list_sum(list_transform(range(1, length(frame) + 1),
+       |              i -> ascii(substr(frame, CAST(i AS INT), 1)))) AS BIGINT) AS energy,
+       |       CAST(list_max(list_transform(range(1, length(frame) + 1),
+       |              i -> ascii(substr(frame, CAST(i AS INT), 1)))) AS INT) AS peak
+       |FROM w ORDER BY doc_id, win_idx""".stripMargin
+
   val frameSampleSql: String =
     """WITH idx AS (
       |  SELECT doc_id, text,

@@ -407,6 +407,30 @@ class ExtensionsSpec extends SparkSpec {
       Tables.documents(spark, sf001).count())
   }
 
+  test("audio windows overlap at half-hop and replay a driver model") {
+    // unit model: window/hop geometry on a known payload
+    val p = (0 until 100).map(i => ('a' + i % 26).toChar).mkString.getBytes("UTF-8")
+    val ws = Multimodal.fakeAudioWindows(p).toSeq
+    assert(ws.map(_._1) == (0 until 7)) // ceil(100/16) = 7 windows
+    assert(ws.map(_._2) == (0 until 7).map(_ * 16))
+    // len = min(32, n - start): full until the tail windows truncate
+    assert(ws.map(_._3) == Seq(32, 32, 32, 32, 32, 20, 4))
+    assert(ws.forall { case (_, s, len, e, pk) =>
+      val bytes = p.slice(s, s + len).map(_ & 0xff)
+      e == bytes.map(_.toLong).sum && pk == bytes.max
+    })
+    // operator side: geometry invariants hold for every row
+    val rows = Multimodal.audioWindows(spark, sf001).collect()
+    assert(rows.forall(r => r.getInt(2) == r.getInt(1) * Multimodal.AudioHopBytes))
+    assert(rows.forall(r => r.getInt(3) > 0 && r.getInt(3) <= Multimodal.AudioWindowBytes))
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.size == Tables.documents(spark, sf001).count())
+    perDoc.values.foreach { d =>
+      val idxs = d.map(_.getInt(1)).sorted
+      assert(idxs.toSeq == (0 until idxs.length), "window indices not dense")
+    }
+  }
+
   test("feature histogram bins account for every payload byte") {
     val byDoc = Multimodal.featureExtract(spark, sf001)
       .groupBy("doc_id").agg(sum("n_bytes").as("total")).cache()
