@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.ops.Num
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -362,22 +362,39 @@ object TextAnalysis {
     * CMS's one-sided guarantee (est ≥ true, spec-asserted). The
     * truth join is the validation harness; production keeps only the
     * 256-cell grid. */
+  private[ext] val CmsDepth = 4
+  private[ext] val CmsWidth = 64
+
+  private[graft] def cmsBucketArr: Column =
+    array((0 until CmsDepth).map(j =>
+      (col("h") * Dedup.slotA(j) + Dedup.slotB(j)) % Dedup.SlotP % CmsWidth): _*)
+
+  /** The CMS cell grid (j, bucket, c) for a documents relation. The
+    * dataflow is MODE-AGNOSTIC — explode + fixed-key groupBy — so the
+    * identical function runs as a batch aggregate here and as a streaming
+    * Update/Complete aggregate with permanently-bounded state (≤ 256
+    * groups) on a readStream input; StreamIngestSpec asserts the streamed
+    * sketch converges to this batch grid. */
+  private[graft] def cmsCellsOf(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix60.register(docs.sparkSession)
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select((expr("md5_prefix60(token)") % Dedup.SlotP).as("h"))
+      .select(posexplode(cmsBucketArr).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   def cmsTokens(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Md5Prefix60.register(spark)
-    val (depth, width) = (4, 64)
-    def bucketArr = array((0 until depth).map(j =>
-      (col("h") * Dedup.slotA(j) + Dedup.slotB(j)) % Dedup.SlotP % width): _*)
     val hashed = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
       .select(col("token"), (expr("md5_prefix60(token)") % Dedup.SlotP).as("h"))
-    val cells = hashed
-      .select(posexplode(bucketArr).as(Seq("j", "bucket")))
-      .groupBy(col("j"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val cells = cmsCellsOf(Tables.documents(spark, sfDir))
     val truth = hashed.groupBy(col("token"), col("h"))
       .agg(count(lit(1)).as("true_cnt"))
     truth
-      .select(col("token"), col("true_cnt"), posexplode(bucketArr).as(Seq("j", "bucket")))
+      .select(col("token"), col("true_cnt"), posexplode(cmsBucketArr).as(Seq("j", "bucket")))
       .join(broadcast(cells), Seq("j", "bucket"))
       .groupBy(col("token"), col("true_cnt"))
       .agg(min(col("c")).as("est_cnt"))

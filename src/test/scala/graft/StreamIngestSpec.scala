@@ -272,4 +272,30 @@ class StreamIngestSpec extends SparkSpec {
     q.stop()
     assert(got == Map(0L -> 2, 2L -> 1, 3L -> 1))
   }
+
+  test("streaming CMS sketch converges to the batch cell grid") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the IDENTICAL mode-agnostic dataflow (ext.TextAnalysis.cmsCellsOf)
+    // maintained incrementally: fixed-key groupBy => state bounded at
+    // depth x width cells forever, no watermark needed
+    val docs = Tables.documents(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val cells = graft.ext.TextAnalysis.cmsCellsOf(mem.toDS().toDF("doc_id", "text"))
+    val q = cells.writeStream.format("memory")
+      .queryName("cms_stream").outputMode("complete").start()
+    mem.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT j, bucket, c FROM cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ext.TextAnalysis
+      .cmsCellsOf(Tables.documents(spark, sf001)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "streamed sketch != batch sketch")
+  }
 }
