@@ -686,6 +686,9 @@ object Similarity {
   private val PqM = 4     // subspaces
   private val PqK = 8     // centroids per subspace
   private val PqD = 16    // dims per subspace (64 / PqM)
+  /** Lloyd rounds — the SINGLE source for both the Spark trainer and the
+    * SQL twin's unrolled CTE chain, so they cannot desynchronize. */
+  private val PqIters = 2
 
   /** Subvector explode: one row per (vec_id, m) with the m-th 16-dim
     * slice cast to double. The transform is exploded INLINE (never bound
@@ -724,8 +727,8 @@ object Similarity {
     * round (the m column rides along as a grouping key). Codebook is
     * O(M·K·d) driver state, exactly the PQ training shape: at 100 TB the
     * training scan samples; encoding stays a full map-side pass. */
-  private def pqQuantize(emb: DataFrame,
-      iters: Int = 2): (DataFrame, Array[Array[Array[Double]]]) = {
+  private def pqQuantize(
+      emb: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
     val sv = pqSubvectors(emb)
     val seedRows = emb.orderBy(col("vec_id")).limit(PqK)
       .select(expr(
@@ -735,7 +738,7 @@ object Similarity {
       .collect()
       .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
     var cb = Array.tabulate(PqM, PqK)((m, cell) => seedRows(cell)(m))
-    for (_ <- 0 until iters) {
+    for (_ <- 0 until PqIters) {
       val next = cb.map(_.map(_.clone()))
       pqAssign(sv, cb)
         .select(col("m"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -840,13 +843,24 @@ object Similarity {
     * per-query ADC tables — used by both PQ oracles so they cannot drift
     * from each other. Yields `codes(vec_id, codes)` and
     * `qts(q_id, dtabs)`. */
-  private lazy val pqCtesSql: String =
+  private lazy val pqCtesSql: String = {
+    val mList = (0 until PqM).mkString("[", ", ", "]")
+    // Unroll PqIters Lloyd rounds from the same constant the trainer uses.
+    val rounds = (1 to PqIters).map { k =>
+      val prevL = if (k == 1) "c0l" else s"c${k - 1}l2"
+      val pre =
+        if (k == 1) ""
+        else s"c${k - 1}l2 AS (SELECT m, cell, dim, cv AS x FROM c${k - 1}l),\n"
+      pre + s"${pqAssignCte(s"a$k", s"c${k - 1}")},\n" +
+        pqUpdateCte(s"m$k", s"a$k", prevL, s"c${k}l", s"c$k")
+    }.mkString(",\n")
+    val fin = PqIters + 1
     s"""se AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |sv AS (
        |  SELECT vec_id, m, v[m * $PqD + 1 : m * $PqD + $PqD] AS sv
-       |  FROM se CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)),
+       |  FROM se CROSS JOIN (SELECT unnest($mList) AS m)),
        |c0 AS (
        |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cell,
        |         sv AS cv
@@ -854,18 +868,14 @@ object Similarity {
        |c0l AS (SELECT m, cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
        |               unnest(cv) AS x
        |        FROM c0),
-       |${pqAssignCte("a1", "c0")},
-       |${pqUpdateCte("m1", "a1", "c0l", "c1l", "c1")},
-       |c1l2 AS (SELECT m, cell, dim, cv AS x FROM c1l),
-       |${pqAssignCte("a2", "c1")},
-       |${pqUpdateCte("m2", "a2", "c1l2", "c2l", "c2")},
-       |${pqAssignCte("a3", "c2")},
-       |codes AS (SELECT vec_id, list(cell ORDER BY m) AS codes FROM a3 GROUP BY vec_id),
+       |$rounds,
+       |${pqAssignCte(s"a$fin", s"c$PqIters")},
+       |codes AS (SELECT vec_id, list(cell ORDER BY m) AS codes FROM a$fin GROUP BY vec_id),
        |qd AS (
        |  SELECT s.vec_id AS q_id, s.m, c.cell,
        |         list_sum(list_transform(list_zip(s.sv, c.cv),
        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-       |  FROM sv s JOIN c2 c ON c.m = s.m WHERE s.vec_id < 10),
+       |  FROM sv s JOIN c$PqIters c ON c.m = s.m WHERE s.vec_id < 10),
        |qt AS (SELECT q_id, m, list(d ORDER BY cell) AS dt FROM qd GROUP BY q_id, m),
        |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id),
        |adcs AS (
@@ -873,6 +883,7 @@ object Similarity {
        |         round(list_sum(list_transform(list_zip(c.codes, q.dtabs),
        |           p -> p[2][p[1] + 1])) + 1e-9, 4) AS adc
        |  FROM codes c CROSS JOIN qts q WHERE c.vec_id != q.q_id)""".stripMargin
+  }
 
   val annPqSql: String =
     s"""WITH $pqCtesSql

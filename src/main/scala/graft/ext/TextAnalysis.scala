@@ -290,9 +290,13 @@ object TextAnalysis {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = edges.join(outw, Seq("src"))
+    // The edge list and node set are referenced by EVERY iteration;
+    // localCheckpoint materializes them once and flattens lineage (same
+    // hygiene as the CC contraction in Dedup) — without it each
+    // iteration's lazy plan re-runs the corpus tokenize + edge groupBy.
+    val e = edges.join(outw, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     var ranks = nodes.crossJoin(nc)
       .select(col("node"), round(lit(1.0) / col("n") + lit(1e-9), 9).as("r"))
@@ -387,12 +391,21 @@ object TextAnalysis {
 
   def cmsTokens(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Md5Prefix60.register(spark)
-    val hashed = Tables.documents(spark, sfDir)
+    // ONE corpus pass: the (token, h, tf) aggregate. The cell grid is then
+    // a weighted sum over this vocabulary-sized relation (cell count =
+    // Σ tf over tokens hashing into the cell — the map-side-combine view
+    // of per-occurrence increments; the streaming variant cmsCellsOf keeps
+    // the per-occurrence path). Both branches below share the identical
+    // truth subplan, so the corpus aggregate computes once (ReusedExchange).
+    val truth = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
       .select(col("token"), (expr("md5_prefix60(token)") % Dedup.SlotP).as("h"))
-    val cells = cmsCellsOf(Tables.documents(spark, sfDir))
-    val truth = hashed.groupBy(col("token"), col("h"))
+      .groupBy(col("token"), col("h"))
       .agg(count(lit(1)).as("true_cnt"))
+    val cells = truth
+      .select(col("true_cnt"), posexplode(cmsBucketArr).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_cnt")).as("c"))
     truth
       .select(col("token"), col("true_cnt"), posexplode(cmsBucketArr).as(Seq("j", "bucket")))
       .join(broadcast(cells), Seq("j", "bucket"))
@@ -405,8 +418,9 @@ object TextAnalysis {
   }
 
   val cmsTokensSql: String = {
-    val aArr = (0 until 4).map(Dedup.slotA).mkString("[", ", ", "]")
-    val bArr = (0 until 4).map(Dedup.slotB).mkString("[", ", ", "]")
+    val aArr = (0 until CmsDepth).map(Dedup.slotA).mkString("[", ", ", "]")
+    val bArr = (0 until CmsDepth).map(Dedup.slotB).mkString("[", ", ", "]")
+    val jList = (0 until CmsDepth).mkString("[", ", ", "]")
     val p = Dedup.SlotP
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -419,8 +433,8 @@ object TextAnalysis {
        |  FROM toks),
        |buck AS (
        |  SELECT token, h, j,
-       |         ((h * ($aArr)[j + 1] + ($bArr)[j + 1]) % $p) % 64 AS bucket
-       |  FROM hh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |         ((h * ($aArr)[j + 1] + ($bArr)[j + 1]) % $p) % $CmsWidth AS bucket
+       |  FROM hh CROSS JOIN (SELECT unnest($jList) AS j)),
        |cells AS (SELECT j, bucket, count(*) AS c FROM buck GROUP BY j, bucket),
        |truth AS (SELECT token, h, count(*) AS true_cnt FROM hh GROUP BY token, h),
        |est AS (
@@ -466,8 +480,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp_int")).as("lp_sum"))
       .select(col("doc_id"), col("n_tokens"),
         Num.r4(-col("lp_sum") / (col("n_tokens") * lit(1e6))).as("nll"))
+    // Cutoffs round to the same 4-dp grid as nll before the comparison:
+    // the raw interpolated percentile could differ between engines in the
+    // last ulp (lower+(hi-lo)·frac vs (1-frac)·lo+frac·hi), and a doc
+    // whose nll sits exactly on a cutoff would flip buckets. Snapped to
+    // the grid, both engines compare identical doubles.
     val cuts = scored.agg(
-      expr("percentile(nll, array(0.25D, 0.5D, 0.75D))").as("q"))
+      expr("transform(percentile(nll, array(0.25D, 0.5D, 0.75D)), x -> round(x + 1e-9, 4))")
+        .as("q"))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_tokens"), col("nll"),
         when(col("nll") <= element_at(col("q"), 1), 1)
@@ -492,7 +512,8 @@ object TextAnalysis {
       |  SELECT doc_id, n_tokens,
       |         round(-lp_sum / (n_tokens * 1000000.0) + 1e-9, 4) AS nll
       |  FROM scored),
-      |cuts AS (SELECT quantile_cont(nll, [0.25, 0.5, 0.75]) AS q FROM sc)
+      |cuts AS (SELECT list_transform(quantile_cont(nll, [0.25, 0.5, 0.75]),
+      |                                x -> round(x + 1e-9, 4)) AS q FROM sc)
       |SELECT doc_id, n_tokens, nll,
       |       CASE WHEN nll <= q[1] THEN 1
       |            WHEN nll <= q[2] THEN 2

@@ -1165,8 +1165,9 @@ object Relational {
     * a change set of updates, deletes, and inserts to a base table in one
     * pass. The change set here derives deterministically from the fixture
     * (keys ≡ 0 mod 3 get a repriced update, of those keys ≡ 0 mod 7 become
-    * deletes, and fresh keys = old + 10⁷ arrive as inserts), so the oracle
-    * replays it exactly. Shape: ONE left join base→changes resolves both
+    * deletes, and fresh keys = max(o_orderkey) + old — collision-free at
+    * any scale factor — arrive as inserts), so the oracle replays it
+    * exactly. Shape: ONE left join base→changes resolves both
     * update and delete (the op column discriminates), then inserts union
     * in — no full-outer join, no second pass over the base. At 100 TB the
     * base shuffles on its key once (or not at all if base and changefeed
@@ -1180,8 +1181,13 @@ object Relational {
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 1.1 + lit(1e-9), 2).as("new_price"),
         when(col("o_orderkey") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"))
-    val inserts = changes.filter(col("op") === "U")
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+    // Insert keys offset by the base's max key (1-row broadcast aggregate),
+    // so they cannot collide with existing keys at ANY scale factor — a
+    // fixed 10^7 offset would alias real orderkeys once max(o_orderkey)
+    // passes it (TPC-H reaches 6M·SF).
+    val mx = broadcast(base.agg(max(col("o_orderkey")).as("mx")))
+    val inserts = changes.filter(col("op") === "U").crossJoin(mx)
+      .select((col("mx") + col("o_orderkey")).as("o_orderkey"),
         col("new_price").as("o_totalprice"),
         lit("N").as("o_orderstatus"), lit("inserted").as("src"))
     base.join(changes, Seq("o_orderkey"), "left")
@@ -1210,8 +1216,9 @@ object Relational {
       |  WHERE c.op IS NULL OR c.op != 'D')
       |SELECT * FROM merged
       |UNION ALL
-      |SELECT o_orderkey + 10000000 AS o_orderkey, new_price AS o_totalprice,
+      |SELECT mx + o_orderkey AS o_orderkey, new_price AS o_totalprice,
       |       'N' AS o_orderstatus, 'inserted' AS src
-      |FROM changes WHERE op = 'U'
+      |FROM changes CROSS JOIN (SELECT max(o_orderkey) AS mx FROM base)
+      |WHERE op = 'U'
       |ORDER BY o_orderkey""".stripMargin
 }

@@ -129,9 +129,11 @@ class RelationalSpec extends SparkSpec {
     val base = Tables.orders(spark, sf001)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val out = Relational.mergeUpsert(spark, sf001).collect()
+    val rows = Relational.mergeUpsert(spark, sf001).collect()
+    // keys unique after merge (checked on rows, BEFORE any map collapse)
+    assert(rows.length == rows.map(_.getLong(0)).distinct.length)
+    val out = rows
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(3)))).toMap
-    assert(out.size == out.keySet.size) // keys unique after merge
     val deleted = base.keySet.filter(k => k % 3 == 0 && k % 7 == 0)
     val updated = base.keySet.filter(k => k % 3 == 0 && k % 7 != 0)
     assert(deleted.forall(!out.contains(_)), "deletes survived")
@@ -142,8 +144,9 @@ class RelationalSpec extends SparkSpec {
     (base.keySet -- deleted -- updated).foreach { k =>
       assert(out(k) == ((base(k), "base")), s"untouched key $k changed")
     }
+    val mx = base.keySet.max
     updated.foreach { k =>
-      assert(out(k + 10000000L)._2 == "inserted", s"missing insert for $k")
+      assert(out(mx + k)._2 == "inserted", s"missing insert for $k")
     }
     assert(out.size == base.size - deleted.size + updated.size)
   }
