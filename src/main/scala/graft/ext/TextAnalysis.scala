@@ -395,13 +395,16 @@ object TextAnalysis {
     // a weighted sum over this vocabulary-sized relation (cell count =
     // Σ tf over tokens hashing into the cell — the map-side-combine view
     // of per-occurrence increments; the streaming variant cmsCellsOf keeps
-    // the per-occurrence path). Both branches below share the identical
-    // truth subplan, so the corpus aggregate computes once (ReusedExchange).
+    // the per-occurrence path). localCheckpoint materializes the tiny
+    // vocabulary relation so the two consumers below cannot re-run the
+    // corpus scan (plan-identical subtrees are only reused at runtime by
+    // AQE stage reuse, which the checkpoint makes unconditional).
     val truth = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
       .select(col("token"), (expr("md5_prefix60(token)") % Dedup.SlotP).as("h"))
       .groupBy(col("token"), col("h"))
       .agg(count(lit(1)).as("true_cnt"))
+      .localCheckpoint()
     val cells = truth
       .select(col("true_cnt"), posexplode(cmsBucketArr).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket"))
