@@ -690,16 +690,21 @@ object Similarity {
     * SQL twin's unrolled CTE chain, so they cannot desynchronize. */
   private val PqIters = 2
 
+  /** Per-vector array of the M 16-dim subvector slices (cast to double)
+    * of `vecCol` — shared by the flat-PQ path (over raw embeddings) and
+    * the IVFPQ path (over coarse-cell residuals). */
+  private def pqSubvectorExpr(vecCol: String): Column = expr(
+    s"""transform(sequence(0, ${PqM - 1}), m ->
+       |  transform(slice($vecCol, m * $PqD + 1, $PqD),
+       |            x -> CAST(x AS DOUBLE)))""".stripMargin)
+
   /** Subvector explode: one row per (vec_id, m) with the m-th 16-dim
     * slice cast to double. The transform is exploded INLINE (never bound
     * to a named column first) — see the InferFiltersFromGenerate
     * recompute trap documented on [[graft.ext.Dedup]]. */
-  private def pqSubvectors(emb: DataFrame): DataFrame = emb.select(
-    col("vec_id"),
-    posexplode(expr(
-      s"""transform(sequence(0, ${PqM - 1}), m ->
-         |  transform(slice(embedding, m * $PqD + 1, $PqD),
-         |            x -> CAST(x AS DOUBLE)))""".stripMargin)).as(Seq("m", "v")))
+  private def pqSubvectors(src: DataFrame, vecCol: String = "embedding"): DataFrame =
+    src.select(col("vec_id"),
+      posexplode(pqSubvectorExpr(vecCol)).as(Seq("m", "v")))
 
   /** Nested codebook literal cb(m)(cell)(dim) → array<array<array<double>>>
     * column, broadcast to every task as a plan constant. */
@@ -727,14 +732,11 @@ object Similarity {
     * round (the m column rides along as a grouping key). Codebook is
     * O(M·K·d) driver state, exactly the PQ training shape: at 100 TB the
     * training scan samples; encoding stays a full map-side pass. */
-  private def pqQuantize(
-      emb: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
-    val sv = pqSubvectors(emb)
-    val seedRows = emb.orderBy(col("vec_id")).limit(PqK)
-      .select(expr(
-        s"""transform(sequence(0, ${PqM - 1}), m ->
-           |  transform(slice(embedding, m * $PqD + 1, $PqD),
-           |            x -> CAST(x AS DOUBLE)))""".stripMargin).as("svs"))
+  private def pqQuantize(src: DataFrame,
+      vecCol: String = "embedding"): (DataFrame, Array[Array[Array[Double]]]) = {
+    val sv = pqSubvectors(src, vecCol)
+    val seedRows = src.orderBy(col("vec_id")).limit(PqK)
+      .select(pqSubvectorExpr(vecCol).as("svs"))
       .collect()
       .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
     var cb = Array.tabulate(PqM, PqK)((m, cell) => seedRows(cell)(m))
@@ -818,13 +820,121 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  private def pqAssignCte(a: String, c: String): String =
+  /** IVFPQ — the composition production ANN systems actually deploy
+    * (Jégou et al. 2011 §IV; FAISS `IVFPQ`): the IVF coarse quantizer
+    * (same deterministic Lloyd cells as `e_ann_ivf`) partitions the
+    * corpus, PQ encodes each vector's RESIDUAL (v − coarse centroid, the
+    * part the cell id doesn't already capture — residuals cluster far
+    * tighter than raw vectors, so the same 12-bit budget buys much lower
+    * quantization error), and queries probe their nearest cell scoring
+    * in-cell candidates with an ADC table built from the QUERY's residual
+    * against the shared PQ codebook. At 100 TB this is the whole layout:
+    * the corpus lives as (cell, 4 codes) — cell-partitioned storage, so a
+    * probe touches one partition and reads codes only; both codebooks are
+    * tiny broadcasts; nothing ever shuffles the floats. Fully oracled:
+    * coarse cells, residuals, PQ training, and ADC all replay in DuckDB
+    * (the residual arithmetic is float-cast-double minus rounded-double —
+    * identical in both engines). */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (assigned, cents) = ivfQuantize(emb)
+    val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    def residual(vecCol: String) = zip_with(
+      col(vecCol), element_at(centLit, col("cell") + 1),
+      (x, c) => x.cast("double") - c)
+    // Checkpoint: the PQ trainer's per-round actions would otherwise
+    // re-run the coarse assignment each time (at scale the encoded corpus
+    // persists as (cell, codes) anyway — this is that materialization).
+    val resid = assigned.select(col("vec_id"), col("cell"),
+      residual("embedding").as("rv")).localCheckpoint()
+    val (codes, cb) = pqQuantize(resid, "rv")
+    val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // Queries: probe the single nearest cell (same argmin contract as
+    // annIvf), PQ-score its members against the query-residual ADC table.
+    val pw = Window.partitionBy(col("vec_id")).orderBy(asc("dist"), asc("cell"))
+    val qcell = emb.filter(col("vec_id") < 10)
+      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("darr")).as(Seq("cell", "dist")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("cell"), residual("embedding").as("rv"))
+    val qt = pqSubvectors(qcell, "rv")
+      .withColumn("dt", transform(
+        element_at(pqCbLit(cb), col("m") + 1),
+        c => aggregate(
+          zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, dt))), s -> s.dt)")
+        .as("dtabs"))
+      .join(qcell.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("cell"), col("dtabs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    codesWithCell.join(broadcast(qt), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        Num.r4(expr(
+          """aggregate(zip_with(codes, dtabs, (c, t) -> element_at(t, c + 1)),
+            |          0D, (acc, v) -> acc + v)""".stripMargin)).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("adc"))
+  }
+
+  /** DuckDB twin of [[annIvfPq]]: the shared IVF cell chain (`e`…`a3`,
+    * `c2`) + residuals + a "p"-namespaced PQ training over them + the
+    * query-residual ADC scoring, all in one WITH. */
+  lazy val annIvfPqSql: String =
+    s"""WITH $ivfCellCtesSql,
+       |cres AS (
+       |  SELECT a.vec_id, a.cell,
+       |         list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS rv
+       |  FROM a3 a JOIN c2 c ON c.cell = a.cell),
+       |psv AS (
+       |  ${pqSvCteSql("cres", "rv")}),
+       |${pqTrainCtes("p", "psv")},
+       |qcell AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_sum(list_transform(list_zip(e.v, c.cv),
+       |               p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn = 1),
+       |qres AS (
+       |  SELECT q.vec_id, q.cell,
+       |         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
+       |  FROM qcell q JOIN e ON e.vec_id = q.vec_id JOIN c2 c ON c.cell = q.cell),
+       |qsv AS (
+       |  ${pqSvCteSql("qres", "rv")}),
+       |qd AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.cell AS pcell,
+       |         list_sum(list_transform(list_zip(s.sv, c.cv),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM qsv s JOIN pc$PqIters c ON c.m = s.m),
+       |qt AS (SELECT q_id, m, list(d ORDER BY pcell) AS dt FROM qd GROUP BY q_id, m),
+       |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id),
+       |adcs AS (
+       |  SELECT qc.vec_id AS q_id, qc.cell, pc.vec_id AS neighbor_id,
+       |         round(list_sum(list_transform(list_zip(pc.codes, q.dtabs),
+       |           p -> p[2][p[1] + 1])) + 1e-9, 4) AS adc
+       |  FROM pcodes pc
+       |  JOIN a3 a ON a.vec_id = pc.vec_id
+       |  JOIN qcell qc ON a.cell = qc.cell AND pc.vec_id != qc.vec_id
+       |  JOIN qts q ON q.q_id = qc.vec_id)
+       |SELECT q_id, rank, neighbor_id, cell, adc FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM adcs)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  private def pqAssignCte(a: String, c: String, sv: String): String =
     s"""$a AS (SELECT vec_id, m, sv, cell FROM (
        |  SELECT s.vec_id, s.m, s.sv, c.cell,
        |         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |           list_sum(list_transform(list_zip(s.sv, c.cv),
        |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
-       |  FROM sv s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+       |  FROM $sv s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
 
   private def pqUpdateCte(mm: String, a: String, prevL: String, cl: String,
       c: String): String =
@@ -843,34 +953,49 @@ object Similarity {
     * per-query ADC tables — used by both PQ oracles so they cannot drift
     * from each other. Yields `codes(vec_id, codes)` and
     * `qts(q_id, dtabs)`. */
-  private lazy val pqCtesSql: String = {
-    val mList = (0 until PqM).mkString("[", ", ", "]")
-    // Unroll PqIters Lloyd rounds from the same constant the trainer uses.
+  /** Generic PQ training chain over a subvector CTE `sv(vec_id, m, sv)`,
+    * namespaced by `px` so two trainings (flat PQ over embeddings, IVFPQ
+    * over residuals) can coexist: seeds = the PqK rank-smallest vec_ids'
+    * subvectors, PqIters unrolled rounds (generated from the SAME constant
+    * the Spark trainer uses), final assignment + codes. Yields
+    * `${px}codes(vec_id, codes)`; final codebook = `${px}c$PqIters`. */
+  private def pqTrainCtes(px: String, sv: String): String = {
     val rounds = (1 to PqIters).map { k =>
-      val prevL = if (k == 1) "c0l" else s"c${k - 1}l2"
+      val prevL = if (k == 1) s"${px}c0l" else s"${px}c${k - 1}l2"
       val pre =
         if (k == 1) ""
-        else s"c${k - 1}l2 AS (SELECT m, cell, dim, cv AS x FROM c${k - 1}l),\n"
-      pre + s"${pqAssignCte(s"a$k", s"c${k - 1}")},\n" +
-        pqUpdateCte(s"m$k", s"a$k", prevL, s"c${k}l", s"c$k")
+        else s"${px}c${k - 1}l2 AS (SELECT m, cell, dim, cv AS x FROM ${px}c${k - 1}l),\n"
+      pre + s"${pqAssignCte(s"${px}a$k", s"${px}c${k - 1}", sv)},\n" +
+        pqUpdateCte(s"${px}m$k", s"${px}a$k", prevL, s"${px}c${k}l", s"${px}c$k")
     }.mkString(",\n")
     val fin = PqIters + 1
+    s"""${px}c0 AS (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cell,
+       |         sv AS cv
+       |  FROM $sv WHERE vec_id IN (SELECT DISTINCT vec_id FROM $sv ORDER BY vec_id LIMIT $PqK)),
+       |${px}c0l AS (SELECT m, cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
+       |               unnest(cv) AS x
+       |        FROM ${px}c0),
+       |$rounds,
+       |${pqAssignCte(s"${px}a$fin", s"${px}c$PqIters", sv)},
+       |${px}codes AS (SELECT vec_id, list(cell ORDER BY m) AS codes
+       |               FROM ${px}a$fin GROUP BY vec_id)""".stripMargin
+  }
+
+  /** DuckDB slice of `col` into the M subvectors, as a CTE body. */
+  private def pqSvCteSql(src: String, vCol: String): String = {
+    val mList = (0 until PqM).mkString("[", ", ", "]")
+    s"""SELECT vec_id, m, $vCol[m * $PqD + 1 : m * $PqD + $PqD] AS sv
+       |  FROM $src CROSS JOIN (SELECT unnest($mList) AS m)""".stripMargin
+  }
+
+  private lazy val pqCtesSql: String = {
     s"""se AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |sv AS (
-       |  SELECT vec_id, m, v[m * $PqD + 1 : m * $PqD + $PqD] AS sv
-       |  FROM se CROSS JOIN (SELECT unnest($mList) AS m)),
-       |c0 AS (
-       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS cell,
-       |         sv AS cv
-       |  FROM sv WHERE vec_id IN (SELECT vec_id FROM se ORDER BY vec_id LIMIT $PqK)),
-       |c0l AS (SELECT m, cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
-       |               unnest(cv) AS x
-       |        FROM c0),
-       |$rounds,
-       |${pqAssignCte(s"a$fin", s"c$PqIters")},
-       |codes AS (SELECT vec_id, list(cell ORDER BY m) AS codes FROM a$fin GROUP BY vec_id),
+       |  ${pqSvCteSql("se", "v")}),
+       |${pqTrainCtes("", "sv")},
        |qd AS (
        |  SELECT s.vec_id AS q_id, s.m, c.cell,
        |         list_sum(list_transform(list_zip(s.sv, c.cv),

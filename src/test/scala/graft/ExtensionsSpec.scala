@@ -275,6 +275,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(rRef >= 0.3, s"refine recall $rRef") // measured 0.43 at sf0.001
   }
 
+  test("ivfpq probes the same coarse cell as ivf and ranks by adc") {
+    val out = Similarity.annIvfPq(spark, sf001).collect()
+    assert(out.length == 30)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3), s"q$q ranks")
+      val adcs = byRank.map(_.getDouble(4))
+      assert(adcs.forall(_ >= 0.0) &&
+        adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, s"q$q adc order")
+      // all three candidates carry one probe cell
+      assert(rows.map(_.getInt(3)).distinct.length == 1, s"q$q cells")
+    }
+    // the probe cell must agree with annIvf's (identical argmin contract)
+    val ivfCells = Similarity.annIvf(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    out.foreach { r =>
+      assert(r.getInt(3) == ivfCells(r.getLong(0)),
+        s"q${r.getLong(0)} probe cell drifts from annIvf")
+    }
+  }
+
   test("semantic dedup prunes only toward real lower-id near-duplicates") {
     val out = Similarity.semanticDedup(spark, sf001).cache()
     val n = Tables.embeddings(spark, sf001).count()
