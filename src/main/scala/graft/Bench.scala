@@ -58,8 +58,9 @@ object Bench {
   val extended: Seq[String] = Seq(
     "e_cosine_dedup_lsh", "d_ngram_jaccard", "d_dedup_groups",
     "d_dedup_pipeline", "q_asof_join",
-    "e_ann_pq_refine", "e_hamming_ann", "d_cms_tokens", "d_lm_quality",
-    "d_bm25_search", "q_merge_upsert")
+    "e_ann_pq_refine", "e_ann_ivfpq", "e_hamming_ann", "d_cms_tokens",
+    "d_lm_quality", "d_bm25_search", "q_merge_upsert", "d_token_pagerank",
+    "m_audio_window")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically
