@@ -1160,6 +1160,84 @@ object Relational {
       |GROUP BY o_orderpriority, prio_rank
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Date-spine gap fill — the generate-and-join pattern behind every
+    * time-series report: build the complete daily calendar between the
+    * corpus's min and max order date (a 1-row bounds aggregate exploded
+    * through `sequence`, so the spine derives from data, not a literal),
+    * left-join the per-day aggregate onto it, and zero-fill silent days.
+    * At scale the spine is O(days) — trivially broadcast — while the
+    * daily aggregate is the usual map-side-partial groupBy; days with no
+    * orders surface as explicit zero rows, which is the semantics
+    * downstream charting/forecasting needs. */
+  def dateSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val bounds = orders.agg(
+      to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+  }
+
+  val dateSpineSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+      |         CAST(max(o_orderdate) AS DATE) AS d1
+      |  FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+      |       COALESCE(d.revenue, 0.0) AS revenue
+      |FROM spine s LEFT JOIN daily d ON d.day = s.day
+      |ORDER BY s.day""".stripMargin
+
+  /** Cohort retention — the canonical product-analytics rollup: customers
+    * grouped by first-order month (their cohort), activity bucketed by
+    * whole months since that cohort month, counted distinct per
+    * (cohort, offset) cell. Dataflow: one groupBy for the cohort
+    * assignment (per-customer min), a broadcast-join back onto the
+    * distinct activity months, and a final count-distinct — the
+    * customer-keyed shuffle happens once, and the output is O(cohorts ×
+    * horizon), independent of order volume. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+    val cohorts = orders.groupBy(col("o_custkey"))
+      .agg(min(col("month")).as("cohort_month"))
+    orders.distinct()
+      .join(cohorts, Seq("o_custkey"))
+      .select(col("o_custkey"), col("cohort_month"),
+        months_between(col("month"), col("cohort_month")).cast("int").as("months_since"))
+      .groupBy(col("cohort_month"), col("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS month
+      |  FROM orders),
+      |cohorts AS (
+      |  SELECT o_custkey, min(month) AS cohort_month FROM a GROUP BY o_custkey)
+      |SELECT c.cohort_month,
+      |       CAST(datediff('month', c.cohort_month, a.month) AS INT) AS months_since,
+      |       count(DISTINCT a.o_custkey) AS n_customers
+      |FROM a JOIN cohorts c USING (o_custkey)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_month, months_since""".stripMargin
+
   /** MERGE / changefeed-apply — the incremental-maintenance primitive every
     * warehouse pipeline runs (SQL:2003 MERGE, Delta/Iceberg upsert): apply
     * a change set of updates, deletes, and inserts to a base table in one

@@ -125,6 +125,32 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("date spine is dense, conserves order counts, and zero-fills") {
+    val rows = Relational.dateSpine(spark, sf001).collect()
+    val days = rows.map(_.getDate(0).toLocalDate).sorted
+    // dense daily calendar: consecutive days, no holes
+    days.zip(days.tail).foreach { case (a, b) => assert(b == a.plusDays(1)) }
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "spine loses/duplicates orders")
+    assert(rows.exists(_.getLong(1) == 0), "expected explicit zero-filled days")
+    rows.filter(_.getLong(1) == 0).foreach(r => assert(r.getDouble(2) == 0.0))
+  }
+
+  test("cohort retention's offset-0 cell equals the cohort size") {
+    val cells = Relational.cohortRetention(spark, sf001).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cells.keys.forall(_._2 >= 0))
+    // offset 0: every cohort member is active in their first month
+    val cohortSizes = Tables.orders(spark, sf001)
+      .groupBy(col("o_custkey"))
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort_month"))
+      .groupBy(col("cohort_month")).count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (m, n) =>
+      assert(cells((m, 0)) == n, s"cohort $m offset-0 ${cells((m, 0))} != $n")
+    }
+  }
+
   test("merge upsert applies updates, deletes, and inserts exactly once") {
     val base = Tables.orders(spark, sf001)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
