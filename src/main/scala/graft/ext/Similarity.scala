@@ -254,14 +254,21 @@ object Similarity {
        |${ivfUpdateCte("m2", "a2", "c1l2", "c2l", "c2")},
        |${ivfAssignCte("a3", "c2")}""".stripMargin
 
-  private def ivfSql(probes: Int): String = {
-    s"""WITH $ivfCellCtesSql,
-       |aq AS (SELECT vec_id, cell FROM (
+  /** Query-side coarse-cell argmin (the probe contract shared by the IVF
+    * oracles and the IVFPQ oracle — one definition so a tie-break or
+    * rounding change cannot desynchronize them): the `probes` nearest
+    * cells of `c2` for each vec_id < 10. */
+  private def ivfQueryCellCte(name: String, probes: Int): String =
+    s"""$name AS (SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |           list_sum(list_transform(list_zip(e.v, c.cv),
        |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
-       |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= $probes),
+       |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= $probes)""".stripMargin
+
+  private def ivfSql(probes: Int): String = {
+    s"""WITH $ivfCellCtesSql,
+       |${ivfQueryCellCte("aq", probes)},
        |sims AS (
        |  SELECT q.q_id, a.cell, a.vec_id AS neighbor_id,
        |    round(
@@ -852,6 +859,8 @@ object Similarity {
     // Queries: probe the single nearest cell (same argmin contract as
     // annIvf), PQ-score its members against the query-residual ADC table.
     val pw = Window.partitionBy(col("vec_id")).orderBy(asc("dist"), asc("cell"))
+    // 10 rows; checkpointed because BOTH the ADC-table build and the
+    // cell join below consume it (subtree reuse is AQE-conditional).
     val qcell = emb.filter(col("vec_id") < 10)
       .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding"),
@@ -859,6 +868,7 @@ object Similarity {
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") === 1)
       .select(col("vec_id"), col("cell"), residual("embedding").as("rv"))
+      .localCheckpoint()
     val qt = pqSubvectors(qcell, "rv")
       .withColumn("dt", transform(
         element_at(pqCbLit(cb), col("m") + 1),
@@ -894,26 +904,14 @@ object Similarity {
        |psv AS (
        |  ${pqSvCteSql("cres", "rv")}),
        |${pqTrainCtes("p", "psv")},
-       |qcell AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.cell,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             list_sum(list_transform(list_zip(e.v, c.cv),
-       |               p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
-       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn = 1),
+       |${ivfQueryCellCte("qcell", probes = 1)},
        |qres AS (
        |  SELECT q.vec_id, q.cell,
        |         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
        |  FROM qcell q JOIN e ON e.vec_id = q.vec_id JOIN c2 c ON c.cell = q.cell),
        |qsv AS (
        |  ${pqSvCteSql("qres", "rv")}),
-       |qd AS (
-       |  SELECT s.vec_id AS q_id, s.m, c.cell AS pcell,
-       |         list_sum(list_transform(list_zip(s.sv, c.cv),
-       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-       |  FROM qsv s JOIN pc$PqIters c ON c.m = s.m),
-       |qt AS (SELECT q_id, m, list(d ORDER BY pcell) AS dt FROM qd GROUP BY q_id, m),
-       |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id),
+       |${pqAdcTableCtes("qsv", s"pc$PqIters", "")},
        |adcs AS (
        |  SELECT qc.vec_id AS q_id, qc.cell, pc.vec_id AS neighbor_id,
        |         round(list_sum(list_transform(list_zip(pc.codes, q.dtabs),
@@ -948,11 +946,6 @@ object Similarity {
        |        ON $mm.m = p.m AND $mm.cell = p.cell AND $mm.dim = p.dim),
        |$c AS (SELECT m, cell, list(cv ORDER BY dim) AS cv FROM $cl GROUP BY m, cell)""".stripMargin
 
-  /** Shared CTE chain replaying [[pqQuantize]] in DuckDB: per-subspace
-    * seeds, two unrolled Lloyd rounds over (m, cell), final codes, and the
-    * per-query ADC tables — used by both PQ oracles so they cannot drift
-    * from each other. Yields `codes(vec_id, codes)` and
-    * `qts(q_id, dtabs)`. */
   /** Generic PQ training chain over a subvector CTE `sv(vec_id, m, sv)`,
     * namespaced by `px` so two trainings (flat PQ over embeddings, IVFPQ
     * over residuals) can coexist: seeds = the PqK rank-smallest vec_ids'
@@ -989,6 +982,20 @@ object Similarity {
        |  FROM $src CROSS JOIN (SELECT unnest($mList) AS m)""".stripMargin
   }
 
+  /** Per-query ADC lookup tables against codebook `cb`: squared distance
+    * from each query subvector to each centroid, assembled into the
+    * m-ordered nested list `qts(q_id, dtabs)` — ONE definition shared by
+    * the flat-PQ and IVFPQ oracles. `svSrc` must expose (vec_id, m, sv);
+    * `where` narrows to query rows (empty when svSrc is query-only). */
+  private def pqAdcTableCtes(svSrc: String, cb: String, where: String): String =
+    s"""qd AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.cell,
+       |         list_sum(list_transform(list_zip(s.sv, c.cv),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM $svSrc s JOIN $cb c ON c.m = s.m $where),
+       |qt AS (SELECT q_id, m, list(d ORDER BY cell) AS dt FROM qd GROUP BY q_id, m),
+       |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id)""".stripMargin
+
   private lazy val pqCtesSql: String = {
     s"""se AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -996,13 +1003,7 @@ object Similarity {
        |sv AS (
        |  ${pqSvCteSql("se", "v")}),
        |${pqTrainCtes("", "sv")},
-       |qd AS (
-       |  SELECT s.vec_id AS q_id, s.m, c.cell,
-       |         list_sum(list_transform(list_zip(s.sv, c.cv),
-       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-       |  FROM sv s JOIN c$PqIters c ON c.m = s.m WHERE s.vec_id < 10),
-       |qt AS (SELECT q_id, m, list(d ORDER BY cell) AS dt FROM qd GROUP BY q_id, m),
-       |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id),
+       |${pqAdcTableCtes("sv", s"c$PqIters", "WHERE s.vec_id < 10")},
        |adcs AS (
        |  SELECT q.q_id, c.vec_id AS neighbor_id,
        |         round(list_sum(list_transform(list_zip(c.codes, q.dtabs),
