@@ -260,6 +260,64 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** Bigram (conditional) LM quality — the word-ORDER-sensitive sibling
+    * of [[lmQuality]]: score each document by the mean negative log of
+    * p(tᵢ | tᵢ₋₁) = c(tᵢ₋₁tᵢ)/Σ_b c(tᵢ₋₁b), estimated from the corpus
+    * itself (scored corpus = training corpus, so every bigram is seen and
+    * no smoothing mass is needed — a held-out deployment would add it).
+    * A shuffled or word-salad document scores high nll2 even when its
+    * unigram mix is perfectly fluent, which is exactly the gap CCNet-style
+    * unigram screens leave open. Same portability contract as the unigram
+    * model (integer-scaled log-probs before the per-doc sum = exact fold),
+    * same broadcast shape (the conditional table is |V|² at worst — here
+    * 31² — and broadcasts; at a scale where it cannot, the lookup becomes
+    * a bigram-keyed shuffle join and everything else is unchanged). Docs
+    * under 2 tokens have no bigram and drop out. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> struct(tokens[i] AS a, tokens[i+1] AS b))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.a"), col("p.b"))
+    val c2 = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val lp = c2.join(c1, Seq("a"))
+      .select(col("a"), col("b"),
+        round(log(col("cab").cast("double") / col("ca")) * lit(1e6) + lit(1e-9), 0)
+          .cast("long").as("lp_int"))
+    pairs.join(broadcast(lp), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_int")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Num.r4(-col("s") / (col("n_bigrams") * lit(1e6))).as("nll2"))
+  }
+
+  val bigramLmSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |pr AS (
+      |  SELECT doc_id, p.a AS a, p.b AS b FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |             i -> struct_pack(a := toks[CAST(i AS INT)],
+      |                              b := toks[CAST(i + 1 AS INT)]))) AS p
+      |    FROM d)),
+      |c2 AS (SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
+      |c1 AS (SELECT a, sum(cab) AS ca FROM c2 GROUP BY a),
+      |lp AS (
+      |  SELECT a, b,
+      |         CAST(round(ln(CAST(cab AS DOUBLE) / ca) * 1000000 + 1e-9)
+      |              AS BIGINT) AS lp_int
+      |  FROM c2 JOIN c1 USING (a)),
+      |s AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, sum(lp_int) AS s
+      |  FROM pr JOIN lp USING (a, b) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |       round(-s / (n_bigrams * 1000000.0) + 1e-9, 4) AS nll2
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** PageRank over the token co-occurrence graph — the iterative
     * graph-compute family beside connected components (`d_dedup_groups`):
     * nodes = tokens, directed edges = adjacent-token pairs weighted by

@@ -162,6 +162,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bigram lm replays a driver-side conditional model exactly") {
+    val got = TextAnalysis.bigramLm(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val texts = Tables.documents(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val eligible = texts.filter(_._2.size >= 2)
+    assert(got.keySet == eligible.keySet)
+    val allPairs = eligible.values.flatMap(t => t.zip(t.tail)).toSeq
+    val cab = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = allPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val lp = cab.map { case (p, n) =>
+      p -> math.rint(math.log(n.toDouble / ca(p._1)) * 1e6 + 1e-9).toLong
+    }
+    eligible.foreach { case (id, toks) =>
+      val ps = toks.zip(toks.tail)
+      val (n, nll2) = got(id)
+      assert(n == ps.size)
+      val want = math.rint((-ps.map(lp).sum / (ps.size * 1e6) + 1e-9) * 1e4) / 1e4
+      assert(math.abs(nll2 - want) < 1e-9, s"doc $id nll2 $nll2 != $want")
+    }
+  }
+
   test("token pagerank replays a driver-side power iteration exactly") {
     val got = TextAnalysis.tokenPagerank(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
