@@ -842,7 +842,20 @@ object Similarity {
     * coarse cells, residuals, PQ training, and ADC all replay in DuckDB
     * (the residual arithmetic is float-cast-double minus rounded-double —
     * identical in both engines). */
-  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfPqImpl(spark, sfDir, probes = 1)
+
+  /** Multiprobe IVFPQ — the recall lever on the production layout:
+    * queries visit their `probes` nearest cells, building one ADC table
+    * per (query, probed cell) since residuals are cell-relative. ADC
+    * distances stay comparable across probed cells (each estimates
+    * ‖q − x‖² in that cell's residual frame), so one top-3 ranks the
+    * union. Candidate volume ≈ probes·n/k; the corpus side is untouched. */
+  def annIvfPqProbe2(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfPqImpl(spark, sfDir, probes = 2)
+
+  private def annIvfPqImpl(spark: SparkSession, sfDir: String,
+      probes: Int): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val (assigned, cents) = ivfQuantize(emb)
     val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
@@ -856,29 +869,28 @@ object Similarity {
       residual("embedding").as("rv")).localCheckpoint()
     val (codes, cb) = pqQuantize(resid, "rv")
     val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    // Queries: probe the single nearest cell (same argmin contract as
-    // annIvf), PQ-score its members against the query-residual ADC table.
+    // Queries: probe the `probes` nearest cells (same argmin contract as
+    // annIvf); one residual + ADC table per (query, probed cell), since
+    // residuals are relative to that cell's centroid.
     val pw = Window.partitionBy(col("vec_id")).orderBy(asc("dist"), asc("cell"))
-    // 10 rows; checkpointed because BOTH the ADC-table build and the
-    // cell join below consume it (subtree reuse is AQE-conditional).
     val qcell = emb.filter(col("vec_id") < 10)
       .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding"),
         posexplode(col("darr")).as(Seq("cell", "dist")))
       .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") === 1)
+      .filter(col("pr") <= probes)
       .select(col("vec_id"), col("cell"), residual("embedding").as("rv"))
-      .localCheckpoint()
-    val qt = pqSubvectors(qcell, "rv")
+    val qt = qcell
+      .select(col("vec_id"), col("cell"),
+        posexplode(pqSubvectorExpr("rv")).as(Seq("m", "v")))
       .withColumn("dt", transform(
         element_at(pqCbLit(cb), col("m") + 1),
         c => aggregate(
           zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, d) => acc + d)))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(m, dt))), s -> s.dt)")
         .as("dtabs"))
-      .join(qcell.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("cell"), col("dtabs"))
     val w = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
     codesWithCell.join(broadcast(qt), Seq("cell"))
@@ -892,10 +904,12 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("adc"))
   }
 
-  /** DuckDB twin of [[annIvfPq]]: the shared IVF cell chain (`e`…`a3`,
-    * `c2`) + residuals + a "p"-namespaced PQ training over them + the
-    * query-residual ADC scoring, all in one WITH. */
-  lazy val annIvfPqSql: String =
+  /** DuckDB twin of [[annIvfPqImpl]]: the shared IVF cell chain
+    * (`e`…`a3`, `c2`) + residuals + a "p"-namespaced PQ training over
+    * them + one ADC table per (query, probed cell), all in one WITH.
+    * `qts` here is keyed (q_id, pcell) because multiprobe residuals are
+    * cell-relative; candidates join on their own cell = pcell. */
+  private def ivfPqSql(probes: Int): String =
     s"""WITH $ivfCellCtesSql,
        |cres AS (
        |  SELECT a.vec_id, a.cell,
@@ -904,27 +918,29 @@ object Similarity {
        |psv AS (
        |  ${pqSvCteSql("cres", "rv")}),
        |${pqTrainCtes("p", "psv")},
-       |${ivfQueryCellCte("qcell", probes = 1)},
+       |${ivfQueryCellCte("qcell", probes)},
        |qres AS (
-       |  SELECT q.vec_id, q.cell,
+       |  SELECT q.vec_id, q.cell AS pcell,
        |         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
        |  FROM qcell q JOIN e ON e.vec_id = q.vec_id JOIN c2 c ON c.cell = q.cell),
        |qsv AS (
-       |  ${pqSvCteSql("qres", "rv")}),
-       |${pqAdcTableCtes("qsv", s"pc$PqIters", "")},
+       |  ${pqSvCteSql("qres", "rv", ", pcell")}),
+       |${pqAdcTableCtes("qsv", s"pc$PqIters", "", probeKey = true)},
        |adcs AS (
-       |  SELECT qc.vec_id AS q_id, qc.cell, pc.vec_id AS neighbor_id,
+       |  SELECT q.q_id, q.pcell AS cell, pc.vec_id AS neighbor_id,
        |         round(list_sum(list_transform(list_zip(pc.codes, q.dtabs),
        |           p -> p[2][p[1] + 1])) + 1e-9, 4) AS adc
        |  FROM pcodes pc
        |  JOIN a3 a ON a.vec_id = pc.vec_id
-       |  JOIN qcell qc ON a.cell = qc.cell AND pc.vec_id != qc.vec_id
-       |  JOIN qts q ON q.q_id = qc.vec_id)
+       |  JOIN qts q ON q.pcell = a.cell AND pc.vec_id != q.q_id)
        |SELECT q_id, rank, neighbor_id, cell, adc FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
        |            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
        |  FROM adcs)
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  lazy val annIvfPqSql: String = ivfPqSql(probes = 1)
+  lazy val annIvfPqProbe2Sql: String = ivfPqSql(probes = 2)
 
   private def pqAssignCte(a: String, c: String, sv: String): String =
     s"""$a AS (SELECT vec_id, m, sv, cell FROM (
@@ -975,26 +991,37 @@ object Similarity {
        |               FROM ${px}a$fin GROUP BY vec_id)""".stripMargin
   }
 
-  /** DuckDB slice of `col` into the M subvectors, as a CTE body. */
-  private def pqSvCteSql(src: String, vCol: String): String = {
+  /** DuckDB slice of `col` into the M subvectors, as a CTE body.
+    * `extraCols` passes additional key columns through (e.g. the probe
+    * cell for multiprobe IVFPQ). */
+  private def pqSvCteSql(src: String, vCol: String,
+      extraCols: String = ""): String = {
     val mList = (0 until PqM).mkString("[", ", ", "]")
-    s"""SELECT vec_id, m, $vCol[m * $PqD + 1 : m * $PqD + $PqD] AS sv
+    s"""SELECT vec_id$extraCols, m, $vCol[m * $PqD + 1 : m * $PqD + $PqD] AS sv
        |  FROM $src CROSS JOIN (SELECT unnest($mList) AS m)""".stripMargin
   }
 
   /** Per-query ADC lookup tables against codebook `cb`: squared distance
     * from each query subvector to each centroid, assembled into the
-    * m-ordered nested list `qts(q_id, dtabs)` — ONE definition shared by
-    * the flat-PQ and IVFPQ oracles. `svSrc` must expose (vec_id, m, sv);
-    * `where` narrows to query rows (empty when svSrc is query-only). */
-  private def pqAdcTableCtes(svSrc: String, cb: String, where: String): String =
+    * m-ordered nested list `qts(q_id[, pcell], dtabs)` — ONE definition
+    * shared by the flat-PQ and IVFPQ oracles. `svSrc` must expose
+    * (vec_id[, pcell], m, sv); `where` narrows to query rows (empty when
+    * svSrc is query-only); `probeKey` threads the multiprobe cell through
+    * as an extra grouping key. */
+  private def pqAdcTableCtes(svSrc: String, cb: String, where: String,
+      probeKey: Boolean = false): String = {
+    val pSel = if (probeKey) ", s.pcell" else ""
+    val pKey = if (probeKey) ", pcell" else ""
     s"""qd AS (
-       |  SELECT s.vec_id AS q_id, s.m, c.cell,
+       |  SELECT s.vec_id AS q_id$pSel, s.m, c.cell,
        |         list_sum(list_transform(list_zip(s.sv, c.cv),
        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
        |  FROM $svSrc s JOIN $cb c ON c.m = s.m $where),
-       |qt AS (SELECT q_id, m, list(d ORDER BY cell) AS dt FROM qd GROUP BY q_id, m),
-       |qts AS (SELECT q_id, list(dt ORDER BY m) AS dtabs FROM qt GROUP BY q_id)""".stripMargin
+       |qt AS (SELECT q_id$pKey, m, list(d ORDER BY cell) AS dt
+       |       FROM qd GROUP BY q_id$pKey, m),
+       |qts AS (SELECT q_id$pKey, list(dt ORDER BY m) AS dtabs
+       |        FROM qt GROUP BY q_id$pKey)""".stripMargin
+  }
 
   private lazy val pqCtesSql: String = {
     s"""se AS (

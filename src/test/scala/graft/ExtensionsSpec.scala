@@ -316,6 +316,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getInt(3) == ivfCells(r.getLong(0)),
         s"q${r.getLong(0)} probe cell drifts from annIvf")
     }
+    // multiprobe: a superset of candidates can only improve (or tie)
+    // the rank-wise ADC distance
+    val p1 = out.map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    Similarity.annIvfPqProbe2(spark, sf001).collect().foreach { r =>
+      val k = (r.getLong(0), r.getInt(1))
+      assert(r.getDouble(4) <= p1(k) + 1e-9,
+        s"probe2 adc ${r.getDouble(4)} worse than probe1 ${p1(k)} at $k")
+    }
   }
 
   test("semantic dedup prunes only toward real lower-id near-duplicates") {
