@@ -508,6 +508,127 @@ object TextAnalysis {
        |FROM est ORDER BY true_cnt DESC, token ASC LIMIT 20""".stripMargin
   }
 
+  /** Misra-Gries heavy hitters (Misra & Gries 1982) in its deterministic
+    * merged form (Agarwal et al. 2012, "Mergeable Summaries"): each shard's
+    * exact partial counts are a zero-error MG summary, and the k-way merge
+    * rule — add counts, subtract the (K+1)-th largest, drop non-positive —
+    * applied once over the combined counts yields the canonical summary
+    * `est(t) = max(0, c(t) − c₍K₊₁₎)`. Unlike the streaming one-pass MG,
+    * this is ORDER-INDEPENDENT (a pure function of the global counts), so
+    * the sketch itself is fully oracle-able, with the MG error bound
+    * `c(t) − est(t) = c₍K₊₁₎ ≤ N/(K+1)` spec-asserted. Dataflow: map-side
+    * partial token counts (only (token, count) pairs shuffle), then ONE
+    * vocabulary-sized global window for the rank — the corpus never sees a
+    * global sort, and the vocabulary relation is millions of rows when the
+    * corpus is 100 TB. Ties at the threshold break by token asc, so the
+    * K-row cut is engine-deterministic. */
+  private[ext] val MgK = 20
+
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(desc("true_cnt"), asc("token"))))
+    val thr = ranked.agg(
+      coalesce(max(when(col("rn") === MgK + 1, col("true_cnt"))), lit(0L)).as("thr"))
+    ranked.filter(col("rn") <= MgK)
+      .crossJoin(broadcast(thr))
+      .select(col("token"), col("true_cnt"),
+        (col("true_cnt") - col("thr")).as("est_cnt"))
+      .filter(col("est_cnt") > 0)
+      .orderBy(desc("est_cnt"), asc("token"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH counts AS (
+       |  SELECT token, count(*) AS true_cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token),
+       |ranked AS (
+       |  SELECT token, true_cnt,
+       |         row_number() OVER (ORDER BY true_cnt DESC, token ASC) AS rn
+       |  FROM counts),
+       |thr AS (
+       |  SELECT COALESCE(max(CASE WHEN rn = ${MgK + 1} THEN true_cnt END), 0) AS thr
+       |  FROM ranked)
+       |SELECT token, true_cnt, CAST(true_cnt - thr AS BIGINT) AS est_cnt
+       |FROM ranked, thr
+       |WHERE rn <= $MgK AND true_cnt - thr > 0
+       |ORDER BY est_cnt DESC, token ASC""".stripMargin
+
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch (Bar-Yossef
+    * et al. 2002; Beyer et al. 2007): per language, keep the K smallest
+    * 60-bit hashes of the distinct bigrams; the K-th smallest hₖ estimates
+    * the cardinality as (K−1)·2⁶⁰/hₖ. The bottom-K summary is mergeable
+    * (union = merge-and-truncate, the reduce tree a 1000-executor scan
+    * already has) and the estimate is a pure deterministic function of the
+    * hash set, so unlike HLL the sketch itself replays bit-for-bit in the
+    * oracle: hashes come from the engine's portable md5-prefix fold and
+    * the arithmetic is IEEE double on both engines. Groups with fewer than
+    * K distinct values report exactly. The rank≤K filter compiles to
+    * WindowGroupLimit — a per-partition bottom-K BEFORE the shuffle, i.e.
+    * the map-side summary, so only K rows per (partition, lang) ever move.
+    * `true_distinct` joins in as the validation harness (same contract as
+    * [[cmsTokens]]); production keeps only the K hashes per group. */
+  private[ext] val KmvK = 64
+  private[ext] val KmvDomain = 1.152921504606846976e18 // 2^60, exact in double
+
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(spark)
+    val bigrams = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)).as("bigram"))
+      .distinct()
+    val hashed = bigrams
+      .select(col("lang"), expr("md5_prefix60(bigram)").as("h"))
+    val bottomK = hashed
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("lang")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("lang"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n_seen"))
+    val exact = bigrams.groupBy(col("lang")).agg(count(lit(1)).as("true_distinct"))
+    exact.join(bottomK, Seq("lang"))
+      .select(col("lang"), col("true_distinct"),
+        Num.r4(when(col("n_seen") < KmvK, col("true_distinct").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvDomain) / col("hk").cast("double")))
+          .as("est_distinct"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH bg AS (
+       |  SELECT DISTINCT lang, bigram FROM (
+       |    SELECT lang, unnest(list_transform(range(1, len(toks)),
+       |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]))
+       |           AS bigram
+       |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+       |    WHERE len(toks) >= 2)),
+       |hh AS (
+       |  SELECT lang,
+       |         list_reduce(list_transform(range(0, 15),
+       |           q -> CAST(strpos('0123456789abcdef',
+       |                  substr(md5(bigram), CAST(q + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |           (a, b) -> a * 16 + b) AS h
+       |  FROM bg),
+       |bk AS (
+       |  SELECT lang, max(h) AS hk, count(*) AS n_seen FROM (
+       |    SELECT lang, h,
+       |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |    FROM hh)
+       |  WHERE rn <= $KmvK GROUP BY lang),
+       |ex AS (SELECT lang, count(*) AS true_distinct FROM bg GROUP BY lang)
+       |SELECT e.lang, e.true_distinct,
+       |       round(CASE WHEN b.n_seen < $KmvK THEN CAST(e.true_distinct AS DOUBLE)
+       |                  ELSE ${KmvK - 1}.0 * 1152921504606846976.0
+       |                       / CAST(b.hk AS DOUBLE) END + 1e-9, 4) AS est_distinct
+       |FROM ex e JOIN bk b USING (lang)
+       |ORDER BY lang""".stripMargin
+
   /** Unigram-LM quality scoring — the CCNet recipe (Wenzek et al. 2020:
     * score documents with a language model, then keep/drop by perplexity
     * quantile). The "model" here is the corpus's own unigram distribution:

@@ -610,6 +610,78 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** IGNORE NULLS offset/frame windows — the gap-fill family time-series
+    * pipelines run (last-observation-carried-forward, previous/next
+    * non-null reading). Nulls are injected deterministically (every 5th
+    * orderkey) so the fill paths are actually exercised; `locf` is the
+    * LOCF repair, `prev_nn`/`next_nn` the non-null offset lookups. One
+    * customer-keyed window shuffle serves all three functions — per-key
+    * windows, never a global sort, so the shape holds at 100 TB. */
+  def windowIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("v",
+        when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wf).as("locf"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nn"))
+  }
+
+  val windowIgnoreNullsSql: String =
+    """SELECT o_custkey, o_orderkey, v,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+      |       lag(v, 1 IGNORE NULLS) OVER w AS prev_nn,
+      |       lead(v, 1 IGNORE NULLS) OVER w AS next_nn
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |                  ELSE o_totalprice END AS v
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Gaps-and-islands: per customer, maximal runs of consecutive order
+    * MONTHS (the classic rn-difference formulation — row_number along the
+    * month sequence, anchor = month − rn months, runs share an anchor).
+    * Everything is keyed by customer: one window shuffle plus one
+    * group-by on the same key, no global ordering anywhere, so island
+    * detection parallelizes across keys at any scale. */
+  def gapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("mon"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), trunc(col("o_orderdate"), "month").as("mon"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", add_months(col("mon"), -col("rn")))
+      .groupBy(col("o_custkey"), col("anchor"))
+      .agg(min(col("mon")).as("island_start"),
+        max(col("mon")).as("island_end"),
+        count(lit(1)).as("n_months"))
+      .select(col("o_custkey"), col("island_start"), col("island_end"),
+        col("n_months"))
+  }
+
+  val gapsIslandsSql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT o_custkey,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_custkey, mon,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY mon) AS rn
+      |  FROM m)
+      |SELECT o_custkey, min(mon) AS island_start, max(mon) AS island_end,
+      |       count(*) AS n_months
+      |FROM (SELECT o_custkey, mon,
+      |             CAST(mon - to_months(CAST(rn AS INT)) AS DATE) AS anchor
+      |      FROM r)
+      |GROUP BY o_custkey, anchor
+      |ORDER BY o_custkey, island_start""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * >30-minute gaps (lag + cumulative sum of session-start flags — the
     * batch formulation of what `session_window` does in streaming), then

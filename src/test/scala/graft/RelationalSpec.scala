@@ -176,4 +176,48 @@ class RelationalSpec extends SparkSpec {
     }
     assert(out.size == base.size - deleted.size + updated.size)
   }
+
+  test("ignore-nulls windows replay a sequential per-customer scan") {
+    val got = Relational.windowIgnoreNulls(spark, sf001).collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // independent model: per customer in (o_orderdate, o_orderkey) order,
+    // LOCF / previous / next non-null by sequential scan
+    val orders = Tables.orders(spark, sf001)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    assert(got.size == orders.length)
+    orders.groupBy(_._1).values.foreach { rows =>
+      val seq = rows.sortBy(r => (r._3.getTime, r._2))
+        .map(r => r._2 -> (if (r._2 % 5 == 0) None else Some(r._4)))
+      val vs = seq.map(_._2)
+      seq.zipWithIndex.foreach { case ((key, v), i) =>
+        val locf = vs.take(i + 1).reverse.collectFirst { case Some(x) => x }
+        val prev = vs.take(i).reverse.collectFirst { case Some(x) => x }
+        val next = vs.drop(i + 1).collectFirst { case Some(x) => x }
+        assert(got(key) == ((v, locf, prev, next)), s"orderkey $key")
+      }
+    }
+  }
+
+  test("gaps-and-islands emits maximal consecutive-month runs per customer") {
+    val got = Relational.gapsIslands(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDate(2).toLocalDate, r.getLong(3))).toSet
+    // independent model: distinct order months per customer, split at gaps
+    val months = Tables.orders(spark, sf001)
+      .select("o_custkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toLocalDateTime.toLocalDate.withDayOfMonth(1))
+      .distinct
+    val want = months.groupBy(_._1).flatMap { case (cust, ms) =>
+      val sorted = ms.map(_._2).sorted
+      sorted.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (run :: rest, m) if run.head.plusMonths(1) == m => (m :: run) :: rest
+        case (acc, m) => List(m) :: acc
+      }.map(run => (cust, run.last, run.head, run.size.toLong))
+    }.toSet
+    assert(got == want)
+  }
 }
