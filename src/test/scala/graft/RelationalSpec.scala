@@ -187,10 +187,12 @@ class RelationalSpec extends SparkSpec {
     // LOCF / previous / next non-null by sequential scan
     val orders = Tables.orders(spark, sf001)
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3)))
     assert(got.size == orders.length)
     orders.groupBy(_._1).values.foreach { rows =>
-      val seq = rows.sortBy(r => (r._3.getTime, r._2))
+      val seq = rows.sortBy(r =>
+        (r._3.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, r._2))
         .map(r => r._2 -> (if (r._2 % 5 == 0) None else Some(r._4)))
       val vs = seq.map(_._2)
       seq.zipWithIndex.foreach { case ((key, v), i) =>
@@ -209,7 +211,7 @@ class RelationalSpec extends SparkSpec {
     // independent model: distinct order months per customer, split at gaps
     val months = Tables.orders(spark, sf001)
       .select("o_custkey", "o_orderdate").collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1).toLocalDateTime.toLocalDate.withDayOfMonth(1))
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1).toLocalDate.withDayOfMonth(1))
       .distinct
     val want = months.groupBy(_._1).flatMap { case (cust, ms) =>
       val sorted = ms.map(_._2).sorted
