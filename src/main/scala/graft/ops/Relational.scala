@@ -1216,7 +1216,8 @@ object Relational {
       .groupBy(col("o_orderpriority"), col("salt"), col("prio_rank"))
       .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("ps"))
       .groupBy(col("o_orderpriority"), col("prio_rank"))
-      .agg(sum(col("pn")).as("n_orders"), round(sum(col("ps")), 2).as("total_price"))
+      .agg(sum(col("pn")).as("n_orders"),
+        round(sum(col("ps")) + lit(1e-9), 2).as("total_price"))
       .select(col("o_orderpriority"), col("prio_rank"),
         col("n_orders"), col("total_price"))
   }
@@ -1224,7 +1225,8 @@ object Relational {
   /** Plain unsalted formulation — salting must not change the answer. */
   val skewJoinSaltedSql: String =
     """SELECT o_orderpriority, prio_rank,
-      |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice) + 1e-9, 2) AS total_price
       |FROM orders
       |JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
       |             ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
