@@ -157,19 +157,29 @@ object Similarity {
     * [[semanticDedup]]: seeds = the k rank-smallest vec_ids' embeddings,
     * `iters` assign/update rounds with centroid means rounded (+1e-9,
     * 6 dp) for engine reproducibility. Returns the final full-corpus
-    * assignment (vec_id, cell, embedding) and the centroid array. */
-  private def ivfQuantize(emb: DataFrame, k: Int = 16,
-      iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
-    def assign(cents: Array[Array[Double]]): DataFrame = emb
+    * assignment (vec_id, cell, embedding) and the centroid array.
+    *
+    * `maxTrainRows` caps the Lloyd training scans to a deterministic
+    * hash-ranked subset (top-n by xxhash64(vec_id) — no RNG, so plans
+    * replay): at 100 TB each training iteration must touch a bounded
+    * sample, not the corpus, while the final assignment stays a full
+    * map-side pass. None trains on everything and reproduces the oracle
+    * path bit-for-bit. */
+  private[graft] def ivfQuantize(emb: DataFrame, k: Int = 16,
+      iters: Int = 2,
+      maxTrainRows: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
+    val train = maxTrainRows.fold(emb)(n =>
+      emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n))
+    def assign(df: DataFrame, cents: Array[Array[Double]]): DataFrame = df
       .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
       .withColumn("cell", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
       .select(col("vec_id"), col("cell"), col("embedding"))
-    var cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+    var cents: Array[Array[Double]] = train.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       val next = cents.map(_.clone())
-      assign(cents)
+      assign(train, cents)
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("col").cast("double")) + lit(1e-9), 6).as("cv"))
@@ -177,7 +187,7 @@ object Similarity {
         .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       cents = next
     }
-    (assign(cents), cents)
+    (assign(emb, cents), cents)
   }
 
   private def annIvfImpl(spark: SparkSession, sfDir: String,
@@ -738,11 +748,16 @@ object Similarity {
     * [[ivfQuantize]], learned jointly for all M subspaces in one pass per
     * round (the m column rides along as a grouping key). Codebook is
     * O(M·K·d) driver state, exactly the PQ training shape: at 100 TB the
-    * training scan samples; encoding stays a full map-side pass. */
-  private def pqQuantize(src: DataFrame,
-      vecCol: String = "embedding"): (DataFrame, Array[Array[Array[Double]]]) = {
-    val sv = pqSubvectors(src, vecCol)
-    val seedRows = src.orderBy(col("vec_id")).limit(PqK)
+    * training scan samples via `maxTrainRows` (deterministic hash-ranked
+    * subset, same contract as [[ivfQuantize]]); encoding stays a full
+    * map-side pass. None trains on everything — the oracle path. */
+  private[graft] def pqQuantize(src: DataFrame,
+      vecCol: String = "embedding",
+      maxTrainRows: Option[Int] = None): (DataFrame, Array[Array[Array[Double]]]) = {
+    val trainSrc = maxTrainRows.fold(src)(n =>
+      src.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n))
+    val sv = pqSubvectors(trainSrc, vecCol)
+    val seedRows = trainSrc.orderBy(col("vec_id")).limit(PqK)
       .select(pqSubvectorExpr(vecCol).as("svs"))
       .collect()
       .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
@@ -757,7 +772,7 @@ object Similarity {
         .foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       cb = next
     }
-    val codes = pqAssign(sv, cb)
+    val codes = pqAssign(pqSubvectors(src, vecCol), cb)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
         .as("codes"))

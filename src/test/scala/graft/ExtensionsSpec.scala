@@ -297,6 +297,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(rRef >= 0.3, s"refine recall $rRef") // measured 0.43 at sf0.001
   }
 
+  test("sampled codebook training: full cap reproduces oracles, small cap stays valid") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count().toInt
+    // cap >= corpus: the hash-ranked subset IS the corpus, so centroids,
+    // assignments, and codes must be bit-identical to the full path
+    val (aFull, cFull) = Similarity.ivfQuantize(emb)
+    val (aCap, cCap) = Similarity.ivfQuantize(emb, maxTrainRows = Some(n))
+    assert(cFull.map(_.toSeq).toSeq == cCap.map(_.toSeq).toSeq)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(aFull) == cells(aCap))
+    val (pFull, cbFull) = Similarity.pqQuantize(emb)
+    val (pCap, cbCap) = Similarity.pqQuantize(emb, maxTrainRows = Some(n))
+    assert(cbFull.map(_.map(_.toSeq).toSeq).toSeq == cbCap.map(_.map(_.toSeq).toSeq).toSeq)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(pFull) == codes(pCap))
+    // small cap (>= k seeds): training sees half the corpus but encoding
+    // is still a full pass — every vector gets a valid cell / code word
+    val half = math.max(20, n / 2)
+    val (aS, cS) = Similarity.ivfQuantize(emb, maxTrainRows = Some(half))
+    assert(cS.length == 16 && cS.forall(_.length == 64))
+    val sCells = cells(aS)
+    assert(sCells.size == n)
+    assert(sCells.values.forall(c => c >= 0 && c < 16))
+    val (pS, cbS) = Similarity.pqQuantize(emb, maxTrainRows = Some(half))
+    assert(cbS.length == 4 && cbS.forall(_.length == 8))
+    val sCodes = codes(pS)
+    assert(sCodes.size == n)
+    assert(sCodes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+  }
+
   test("ivfpq probes the same coarse cell as ivf and ranks by adc") {
     val out = Similarity.annIvfPq(spark, sf001).collect()
     assert(out.length == 30)
