@@ -779,15 +779,16 @@ object Similarity {
     (codes, cb)
   }
 
-  /** ADC scoring core shared by [[annPq]] and [[annPqRefine]]: per query
-    * (vec_id < 10) build the M×K lookup table of subvector-to-centroid
-    * squared distances, broadcast it, and score every corpus code word
-    * with M table probes + adds (fixed m-order fold, so the double sum is
-    * engine-reproducible). Returns (q_id, neighbor_id, adc) unranked. */
-  private def pqAdcScores(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val (codes, cb) = pqQuantize(emb)
-    val qt = pqSubvectors(emb.filter(col("vec_id") < 10))
+  /** ADC scoring core shared by [[annPq]], [[annPqRefine]] and
+    * [[annOpq]]: per query (vec_id < 10) build the M×K lookup table of
+    * subvector-to-centroid squared distances, broadcast it, and score
+    * every corpus code word with M table probes + adds (fixed m-order
+    * fold, so the double sum is engine-reproducible). `src` supplies the
+    * (possibly rotated) vectors in `vecCol`; returns
+    * (q_id, neighbor_id, adc) unranked. */
+  private[graft] def pqAdcScoresOf(src: DataFrame, vecCol: String): DataFrame = {
+    val (codes, cb) = pqQuantize(src, vecCol)
+    val qt = pqSubvectors(src.filter(col("vec_id") < 10), vecCol)
       .withColumn("dt", transform(
         element_at(pqCbLit(cb), col("m") + 1),
         c => aggregate(
@@ -804,6 +805,11 @@ object Similarity {
           """aggregate(zip_with(codes, dtabs, (c, t) -> element_at(t, c + 1)),
             |          0D, (acc, v) -> acc + v)""".stripMargin)).as("adc"))
   }
+
+  private def pqAdcScores(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcScoresOf(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      "embedding")
 
   /** PQ ANN: rank the corpus by ADC distance per query, keep the top 3.
     * Ties break by neighbor_id on the rounded distance, so the oracle
@@ -917,6 +923,60 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("adc"))
+  }
+
+  /** OPQ-lite rotation, learned from data but restricted to the
+    * permutation subgroup of the orthogonal group: rank dimensions by
+    * corpus variance (rounded +1e-9 to 6 dp — the cross-engine
+    * determinism contract) and snake-allocate the ranked dimensions
+    * across the M subspaces, so every codebook trains on a balanced
+    * share of corpus energy. This is parametric OPQ's
+    * eigenvalue-allocation step (Ge et al., CVPR 2013) without the PCA
+    * basis change — the restriction that keeps the whole transform
+    * exactly replayable in the DuckDB oracle. O(d) driver state from a
+    * single corpus scan; applying the rotation is a map-side
+    * element_at shuffle-free projection. Returns perm where
+    * perm(newpos) = original dim; subspace m owns slots
+    * [m·PqD, (m+1)·PqD). */
+  private[graft] def opqPermutation(src: DataFrame, vecCol: String): Array[Int] = {
+    val ranked = src
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(var_samp(col("x").cast("double")) + lit(1e-9), 6).as("vr"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy { case (dim, v) => (-v, dim) }
+      .map(_._1)
+    val slots = Array.fill(PqM)(List.newBuilder[Int])
+    for ((dim, r) <- ranked.zipWithIndex) {
+      val j = r % PqM
+      val m = if ((r / PqM) % 2 == 0) j else PqM - 1 - j
+      slots(m) += dim
+    }
+    slots.flatMap(_.result())
+  }
+
+  /** Permuted copy of `embedding` as a new array column (1-based
+    * element_at against the broadcast permutation literal). */
+  private[graft] def opqRotate(perm: Array[Int]): Column =
+    transform(array(perm.map(p => lit(p)).toIndexedSeq: _*),
+      p => element_at(col("embedding"), p + 1))
+
+  /** OPQ ANN: the flat-PQ pipeline run over rotated vectors — learn the
+    * variance-balancing permutation, permute corpus and queries once
+    * (total distances are rotation-invariant; per-SUBSPACE distances are
+    * not, which is exactly the point: balanced subspace energy lowers
+    * quantization error, so ADC ranks get closer to exact ranks), then
+    * train/encode/score identically to [[annPq]]. */
+  def annOpq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val rot = emb.select(col("vec_id"),
+      opqRotate(opqPermutation(emb, "embedding")).as("rv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    pqAdcScoresOf(rot, "rv")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
   /** DuckDB twin of [[annIvfPqImpl]]: the shared IVF cell chain
@@ -1084,5 +1144,50 @@ object Similarity {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
        |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM sims)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB twin of [[annOpq]]: replay the variance ranking (same
+    * round(var_samp + 1e-9, 6) contract), the snake allocation, and the
+    * within-subspace slot layout, rebuild the permuted vectors, then run
+    * the IDENTICAL o-namespaced PQ training + ADC chain the flat-PQ
+    * oracle uses. */
+  val annOpqSql: String =
+    s"""WITH se AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dvar AS (
+       |  SELECT dim, round(var_samp(x) + 1e-9, 6) AS vr
+       |  FROM (SELECT CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+       |               unnest(v) AS x
+       |        FROM se) u
+       |  GROUP BY dim),
+       |dr AS (
+       |  SELECT dim,
+       |         CAST(row_number() OVER (ORDER BY vr DESC, dim ASC) - 1 AS INT) AS r
+       |  FROM dvar),
+       |pslot AS (
+       |  SELECT dim, r,
+       |         CAST(m * $PqD +
+       |              row_number() OVER (PARTITION BY m ORDER BY r) - 1 AS INT) AS newpos
+       |  FROM (SELECT dim, r,
+       |               CASE WHEN (r // $PqM) % 2 = 0 THEN r % $PqM
+       |                    ELSE $PqM - 1 - (r % $PqM) END AS m
+       |        FROM dr) a),
+       |re AS (
+       |  SELECT e.vec_id, list(e.v[p.dim + 1] ORDER BY p.newpos) AS v
+       |  FROM se e CROSS JOIN pslot p GROUP BY e.vec_id),
+       |osv AS (
+       |  ${pqSvCteSql("re", "v")}),
+       |${pqTrainCtes("o", "osv")},
+       |${pqAdcTableCtes("osv", s"oc$PqIters", "WHERE s.vec_id < 10")},
+       |adcs AS (
+       |  SELECT q.q_id, c.vec_id AS neighbor_id,
+       |         round(list_sum(list_transform(list_zip(c.codes, q.dtabs),
+       |           p -> p[2][p[1] + 1])) + 1e-9, 4) AS adc
+       |  FROM ocodes c CROSS JOIN qts q WHERE c.vec_id != q.q_id)
+       |SELECT q_id, rank, neighbor_id, adc FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM adcs)
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 }

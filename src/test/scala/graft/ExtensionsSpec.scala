@@ -297,6 +297,64 @@ class ExtensionsSpec extends SparkSpec {
     assert(rRef >= 0.3, s"refine recall $rRef") // measured 0.43 at sf0.001
   }
 
+  test("opq rotation: well-formed ranks on the fixture, decisive recall win on anisotropic data") {
+    val opq = Similarity.annOpq(spark, sf001).collect()
+    assert(opq.length == 30) // 10 queries x top-3
+    opq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3), s"q$q ranks")
+      val adcs = byRank.map(_.getDouble(3))
+      assert(adcs.forall(_ >= 0.0), s"q$q negative adc")
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, s"q$q order")
+    }
+    // The driver fixture is isotropic (per-dim variance 0.014-0.018, the
+    // natural contiguous split is already balanced), so no rotation can
+    // systematically help there. OPQ's value shows on anisotropic data:
+    // 16 independent high-variance signal dims that the natural split
+    // crams into ONE subspace (8 centroids vs 8^4 product cells) while
+    // the learned permutation spreads them 4-per-subspace.
+    import spark.implicits._
+    def h(i: Int, j: Int): Double =
+      (((i.toLong * 1315423911L) ^ (j.toLong * 2654435761L)) % 1000L) / 1000.0 - 0.5
+    val n = 120
+    val rows = (0 until n).map { i =>
+      val sig = (0 until 16).map(j => (h(i, j) * 4).toFloat)
+      val noise = (16 until 64).map(j => (h(i, j) * 0.1).toFloat)
+      (i.toLong, (sig ++ noise).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val perm = Similarity.opqPermutation(df, "embedding")
+    assert(perm.sorted.toSeq == (0 until 64).toSeq, "not a permutation")
+    (0 until 4).foreach { m => // variance balance: 4 signal dims per subspace
+      val hi = perm.slice(m * 16, (m + 1) * 16).count(_ < 16)
+      assert(hi == 4, s"subspace $m holds $hi signal dims, want 4")
+    }
+    val rot = df.select(col("vec_id"), Similarity.opqRotate(perm).as("rv"))
+    def top3(scored: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(pairs: Array[(Long, Long)]): Double =
+      pairs.count { case (q, nb) => exact(q).contains(nb) }.toDouble / (10 * 3)
+    val rPq = recall(top3(Similarity.pqAdcScoresOf(df, "embedding")))
+    val rOpq = recall(top3(Similarity.pqAdcScoresOf(rot, "rv")))
+    assert(rOpq > rPq, s"opq recall $rOpq not above pq recall $rPq")
+  }
+
   test("sampled codebook training: full cap reproduces oracles, small cap stays valid") {
     val emb = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding"))
