@@ -205,6 +205,51 @@ object StreamIngest {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Streaming Misra-Gries top-k — the one-pass heavy-hitter summary with
+    * permanently bounded state, the streaming twin of the batch
+    * `ext.TextAnalysis.heavyHitters` merged-MG (same `d_heavy_hitters`
+    * oracle family). Tokens shard by hash(token) % `shards`; each shard's
+    * GroupState holds ≤ `k` (token → counter) entries maintained with the
+    * mergeable-summaries rule (Agarwal et al. 2012): add the batch's
+    * EXACT counts, then if over k entries subtract the (k+1)-th largest
+    * combined count from all and drop non-positives. Unlike the classic
+    * per-token MG update this is independent of row order within a batch,
+    * so results are deterministic for a given batch split — and when all
+    * data arrives in one batch each shard reproduces the batch merged-MG
+    * exactly (spec-asserted). Total state is shards×k counters FOREVER —
+    * the same bounded-state contract as the CMS grid — and since a token
+    * maps to exactly one shard, the union of shard summaries carries the
+    * per-shard MG guarantee: c(t) − est(t) ≤ N_shard/(k+1), so every
+    * token with c(t) above that bound is present in the summary. Emits
+    * (shard, version, summary) per shard per batch; readers keep the
+    * max-version row per shard. Runs identically over batch Datasets
+    * (Spark executes mapGroupsWithState in both modes). */
+  def mgTopkStream(tokens: Dataset[String], k: Int = 20, shards: Int = 4)
+      : Dataset[(Int, Long, Seq[(String, Long)])] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .mapGroupsWithState[(Long, Map[String, Long]), (Int, Long, Seq[(String, Long)])](
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (ver, prev) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val batch = rows.foldLeft(Map.empty[String, Long]) { (m, t) =>
+            m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+          val combined = (prev.keySet ++ batch.keySet).iterator
+            .map(t => t -> (prev.getOrElse(t, 0L) + batch.getOrElse(t, 0L)))
+            .toMap
+          val pruned =
+            if (combined.size <= k) combined
+            else {
+              val thr = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
+              combined.collect { case (t, c) if c - thr > 0 => t -> (c - thr) }
+            }
+          state.update((ver + 1, pruned))
+          (shard, ver + 1, pruned.toSeq.sortBy { case (t, c) => (-c, t) })
+      }
+  }
+
   /** Checkpointed exactly-once sink into a room-partitioned parquet table
     * (the engine's analog of the reference's HBase writer, ST7). */
   def startSink(readings: DataFrame, outPath: String, checkpoint: String)

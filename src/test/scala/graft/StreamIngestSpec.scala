@@ -298,4 +298,63 @@ class StreamIngestSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch, "streamed sketch != batch sketch")
   }
+
+  test("streaming misra-gries covers every true heavy hitter within mg bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val shards = 4
+    val k = 20
+    val toks = Tables.documents(spark, sf001).collect()
+      .flatMap(_.getString(1).split(" ")).toIndexedSeq
+    val (first, second) = toks.splitAt(toks.length / 2)
+    val mem = MemoryStream[String]
+    val out = StreamIngest.mgTopkStream(mem.toDS(), k, shards)
+      .toDF("shard", "version", "summary")
+    val q = out.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("update").start()
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(second)
+    q.processAllAvailable()
+    val latest = spark.sql("SELECT shard, version, summary FROM mg_stream")
+      .collect()
+      .groupBy(_.getInt(0)).map { case (_, rs) => rs.maxBy(_.getLong(1)) }
+    q.stop()
+    val est = latest.flatMap(_.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => x.getString(0) -> x.getLong(1))).toMap
+    // independent model: exact counts + per-shard occurrence totals
+    def shardOf(t: String) = math.floorMod(t.hashCode, shards)
+    val trueCnt = toks.groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    val shardN = toks.groupBy(shardOf).map { case (s, ts) => s -> ts.size.toLong }
+    // summary entries never overestimate, and undercount within the MG bound
+    est.foreach { case (t, e) =>
+      val c = trueCnt(t)
+      val bound = shardN(shardOf(t)).toDouble / (k + 1)
+      assert(e <= c, s"$t estimate $e above true $c")
+      assert(c - e <= bound, s"$t undercount ${c - e} above bound $bound")
+    }
+    // guarantee: every token above its shard's N/(k+1) is in the summary
+    trueCnt.foreach { case (t, c) =>
+      if (c > shardN(shardOf(t)).toDouble / (k + 1))
+        assert(est.contains(t), s"true heavy hitter $t missing")
+    }
+    // batch twin: in ONE batch each shard is exactly the merged-MG of its
+    // counts — compare against a driver-side model of the merge rule
+    val one = StreamIngest.mgTopkStream(toks.toDS(), k, shards).collect()
+      .map { case (s, _, sm) => s -> sm }.toMap
+    toks.groupBy(shardOf).foreach { case (s, ts) =>
+      val counts = ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val want =
+        if (counts.size <= k) counts
+        else {
+          val thr = counts.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          counts.collect { case (t, c) if c - thr > 0 => t -> (c - thr) }
+        }
+      assert(one(s).toMap == want, s"shard $s batch twin mismatch")
+    }
+    // and the streamed union covers the batch d_heavy_hitters output
+    graft.ext.TextAnalysis.heavyHitters(spark, sf001).collect()
+      .map(_.getString(0))
+      .foreach(t => assert(est.contains(t), s"batch heavy hitter $t missing"))
+  }
 }
