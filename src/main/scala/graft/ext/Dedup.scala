@@ -56,10 +56,10 @@ object Dedup {
     * a_j < 2³¹), so the math is overflow-free BIGINT in both the JVM and
     * DuckDB — what makes the signatures engine-portable without per-slot
     * string hashing. */
-  private[ext] val SlotP = 2147483647L
-  private[ext] def slotA(j: Int): Long =
+  private[graft] val SlotP = 2147483647L
+  private[graft] def slotA(j: Int): Long =
     BigInt(2654435761L).modPow(BigInt(j + 1), BigInt(SlotP)).toLong
-  private[ext] def slotB(j: Int): Long = (40503L * (j + 1)) % SlotP
+  private[graft] def slotB(j: Int): Long = (40503L * (j + 1)) % SlotP
 
   /** 16-slot MinHash signature over 3-word shingles. Shingles become ROWS,
     * md5-hashed ONCE each into a 60-bit integer (first 15 hex digits via

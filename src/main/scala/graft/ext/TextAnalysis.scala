@@ -567,16 +567,20 @@ object TextAnalysis {
     * hash set, so unlike HLL the sketch itself replays bit-for-bit in the
     * oracle: hashes come from the engine's portable md5-prefix fold and
     * the arithmetic is IEEE double on both engines. Groups with fewer than
-    * K distinct values report exactly. The rank≤K filter compiles to
-    * WindowGroupLimit — a per-partition bottom-K BEFORE the shuffle, i.e.
-    * the map-side summary, so only K rows per (partition, lang) ever move.
-    * `true_distinct` joins in as the validation harness (same contract as
-    * [[cmsTokens]]); production keeps only the K hashes per group. */
+    * K distinct values report exactly. The bottom-K state lives in the
+    * native [[graft.functions.KmvSketch]] TypedImperativeAggregate: each
+    * map task folds its rows into a K-entry tree, and only those K-value
+    * buffers move through the merge tree — a one-pass aggregate with no
+    * per-row shuffle (the earlier rank≤K window formulation survives as
+    * the spec-asserted equivalence). `true_distinct` joins in as the
+    * validation harness (same contract as [[cmsTokens]]); production
+    * keeps only the K hashes per group. */
   private[ext] val KmvK = 64
   private[ext] val KmvDomain = 1.152921504606846976e18 // 2^60, exact in double
 
   def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Md5Prefix60.register(spark)
+    graft.functions.SketchAggs.register(spark)
     val bigrams = Tables.documents(spark, sfDir)
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 2)
@@ -587,11 +591,11 @@ object TextAnalysis {
     val hashed = bigrams
       .select(col("lang"), expr("md5_prefix60(bigram)").as("h"))
     val bottomK = hashed
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("lang")).orderBy(col("h"))))
-      .filter(col("rn") <= KmvK)
       .groupBy(col("lang"))
-      .agg(max(col("h")).as("hk"), count(lit(1)).as("n_seen"))
+      .agg(expr("kmv_sketch(h)").as("sk"))
+      .select(col("lang"),
+        element_at(col("sk"), size(col("sk"))).as("hk"),
+        size(col("sk")).cast("long").as("n_seen"))
     val exact = bigrams.groupBy(col("lang")).agg(count(lit(1)).as("true_distinct"))
     exact.join(bottomK, Seq("lang"))
       .select(col("lang"), col("true_distinct"),

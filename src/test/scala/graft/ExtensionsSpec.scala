@@ -297,6 +297,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(rRef >= 0.3, s"refine recall $rRef") // measured 0.43 at sf0.001
   }
 
+  test("native sketch aggregates reproduce their composable formulations") {
+    graft.functions.Md5Prefix60.register(spark)
+    graft.functions.SketchAggs.register(spark)
+    // KMV: the one-pass bottom-K aggregate == the rank<=K window
+    // formulation it replaced, per lang (same distinct-bigram hashes)
+    val bigrams = Tables.documents(spark, sf001)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)).as("bigram"))
+      .distinct()
+    val hashed = bigrams.select(col("lang"), expr("md5_prefix60(bigram)").as("h"))
+    val viaWindow = hashed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("h"))))
+      .filter(col("rn") <= 64)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("h"))).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = hashed.groupBy(col("lang")).agg(expr("kmv_sketch(h)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaWindow, "kmv aggregate != window bottom-K")
+    // partitioning independence — exercises serialize/merge across tasks
+    val repart = hashed.repartition(7)
+      .groupBy(col("lang")).agg(expr("kmv_sketch(h)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(repart == viaWindow, "kmv aggregate depends on partitioning")
+    // CMS: the one-pass grid aggregate == cmsCellsOf's explode+groupBy
+    val grid = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select((expr("md5_prefix60(token)") % 2147483647L).as("h"))
+      .agg(expr("cms_sketch(h)").as("grid"))
+      .collect()(0).getSeq[Long](0)
+    assert(grid.length == 4 * 64)
+    val cells = graft.ext.TextAnalysis.cmsCellsOf(Tables.documents(spark, sf001))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (j <- 0 until 4; b <- 0 until 64)
+      assert(grid(j * 64 + b) == cells.getOrElse((j, b.toLong), 0L), s"cell ($j,$b)")
+  }
+
   test("opq rotation: well-formed ranks on the fixture, decisive recall win on anisotropic data") {
     val opq = Similarity.annOpq(spark, sf001).collect()
     assert(opq.length == 30) // 10 queries x top-3
