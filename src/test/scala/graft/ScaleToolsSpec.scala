@@ -37,4 +37,19 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
+
+  test("orc round-trip is lossless and pushes the scan predicate") {
+    import graft.sources.OrcSource
+    val orc = OrcSource.ordersOrc(spark, sf001)
+    val pq = Tables.orders(spark, sf001)
+    assert(orc.schema == pq.schema, "orc round-trip changed the schema")
+    assert(orc.exceptAll(pq).count() == 0 && pq.exceptAll(orc).count() == 0,
+      "orc round-trip changed the rows")
+    val filtered = orc.filter(col("o_totalprice") > 150000)
+      .select("o_orderstatus", "o_totalprice")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,150000.0)]"),
+      s"o_totalprice predicate not pushed into the ORC scan:\n$plan")
+  }
 }
