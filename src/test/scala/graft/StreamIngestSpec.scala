@@ -357,4 +357,38 @@ class StreamIngestSpec extends SparkSpec {
       .map(_.getString(0))
       .foreach(t => assert(est.contains(t), s"batch heavy hitter $t missing"))
   }
+
+  test("native kmv aggregate in a streaming agg equals the batch sketch") {
+    // The TypedImperativeAggregate's serialize/merge path runs through the
+    // state store here (complete-mode agg re-merges buffers every batch);
+    // the sketch is a SET of bottom-K hashes, so incremental arrival must
+    // reproduce the batch result exactly. State is bounded at K longs per
+    // lang forever — no watermark needed.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.Md5Prefix60.register(spark)
+    graft.functions.SketchAggs.register(spark)
+    val docs = Tables.documents(spark, sf001).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val (first, second) = docs.splitAt(docs.length / 2)
+    def hashes(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .select(col("lang"), expr("md5_prefix60(token)").as("h"))
+    val mem = MemoryStream[(String, String)]
+    val agg = hashes(mem.toDS().toDF("lang", "text"))
+      .groupBy(col("lang")).agg(expr("kmv_sketch(h)").as("sk"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    mem.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT lang, sk FROM kmv_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    q.stop()
+    val batch = hashes(Tables.documents(spark, sf001))
+      .groupBy(col("lang")).agg(expr("kmv_sketch(h)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch, "streamed kmv sketch != batch kmv sketch")
+  }
 }
