@@ -388,6 +388,92 @@ object Dedup {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Bloom-prefiltered decontamination — same contract as [[contamination]]
+    * (flag corpus docs sharing a verbatim 4-token shingle with the eval
+    * set, docs 0-4), but the corpus is first screened map-side against a
+    * Bloom filter of the eval shingles before ANY join runs.
+    *
+    * Why this exists at 100 TB: the plain variant broadcasts the eval
+    * shingle SET and hash-joins every corpus shingle against it. That is
+    * already map-side, but the broadcast hash relation for a production
+    * eval suite (~1e6-1e7 shingles × ~50 B) is tens-to-hundreds of MB per
+    * executor, and every corpus shingle pays a hash-table probe. A Bloom
+    * filter at 10 bits/key is 1-12 MB REGARDLESS of shingle width, probes
+    * in k=5 cache-friendly bit tests, and eliminates the ~99.97 % of
+    * corpus shingles that match nothing before the exact join sees them.
+    * Exactness is preserved because Bloom filters have NO false negatives:
+    * every truly-shared shingle survives the screen, and the exact verify
+    * join on the survivors discards the false positives. Output is
+    * therefore bit-identical to [[contamination]] (shared oracle).
+    *
+    * Implementation notes: the filter is built by computing the k bit
+    * positions WITH Spark's own `xxhash64` expression on the (tiny,
+    * bounded — eval sets are small by definition) bench side and
+    * collecting just the positions, so driver code never re-implements the
+    * hash; the probe is pure codegen'd column algebra (element_at +
+    * shiftright + bitwise AND on a broadcast Array[Long] literal), no UDF
+    * in the hot path. m is sized at ~16 bits/key rounded up to a power of
+    * two (fpp ≈ 4e-4 at k=5); at 1e7 eval shingles that is a 20 MB bit
+    * array — still broadcast-trivial. */
+  def bloomDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 4
+    val numHashes = 5
+    val docs = Tables.documents(spark, sfDir)
+    def shingles(df: DataFrame, idCol: String): DataFrame = df
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id").as(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(tokens) - $k),
+           |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)).as("shingle"))
+    val bench = shingles(docs.filter(col("doc_id") < 5), "bench_id")
+    val corpus = shingles(docs.filter(col("doc_id") >= 5), "doc_id")
+
+    // Size m to ≥16 bits per eval shingle, power of two for cheap masking.
+    // The count is a 1-row agg on the eval side — bounded by construction.
+    val nBench = bench.select(countDistinct(col("shingle"))).head.getLong(0)
+    var mBits = 64L
+    while (mBits < nBench * 16) mBits <<= 1
+
+    def positions(c: org.apache.spark.sql.Column) = (0 until numHashes).map(i =>
+      pmod(xxhash64(c, lit(i)), lit(mBits)))
+
+    // Build: compute bit positions with the same expression the probe uses,
+    // collect only the positions (numHashes × |eval shingles| longs).
+    val bits = new Array[Long]((mBits / 64).toInt)
+    bench.select(array(positions(col("shingle")): _*).as("pos"))
+      .select(explode(col("pos")).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        bits((p / 64).toInt) |= (1L << (p % 64).toInt)
+      }
+
+    // Probe: all numHashes bits set ⇒ candidate. Pure column algebra over a
+    // broadcast literal array — stays inside whole-stage codegen. The shift
+    // amount is a column, so the bit test goes through the SQL-function
+    // form (functions.shiftleft only takes a literal Int).
+    val bitsCol = typedLit(bits.toSeq)
+    val probe = positions(col("shingle")).zipWithIndex.map { case (p, i) =>
+      p.as(s"h$i")
+    }
+    val withPos = corpus.select(col("doc_id") +: col("shingle") +: probe: _*)
+    val survives = (0 until numHashes).map(i =>
+      expr(s"(element_at(bloom_bits, cast(h$i div 64 as int) + 1) " +
+           s"& shiftleft(1L, cast(h$i % 64 as int))) <> 0L"))
+      .reduce(_ && _)
+    val screened = withPos.withColumn("bloom_bits", bitsCol)
+      .filter(survives).select(col("doc_id"), col("shingle"))
+
+    // Exact verify join restores exactness: false positives die here,
+    // false negatives cannot exist.
+    screened.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Oracle: identical to [[contaminationSql]] — the Bloom screen is a
+    * pure prefilter and must not change the result. */
+  val bloomDecontaminationSql: String = contaminationSql
+
   /** Connected components over an edge list via alternating large-star /
     * small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,
     * Vassilvitskii: "Connected Components in MapReduce and Beyond",

@@ -497,6 +497,84 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Two-stage binary retrieval — Hamming shortlist, exact-cosine re-rank
+    * (the binary-code analogue of [[annPqRefine]], and the standard
+    * deployment shape for sign-bit embeddings: scan the 16-byte codes for
+    * a shortlist of 16, then read ONLY those float vectors to re-rank by
+    * true cosine). At 100 TB the float corpus is touched for
+    * shortlist·queries rows (~160 reads here) while the full scan runs on
+    * codes that are ~0.8 % its size; the shortlist is a broadcast-join of
+    * (q_id, neighbor_id) pairs against the embeddings scan. Shortlist ties
+    * break by neighbor_id on integer Hamming, so stage-1's cutoff — and
+    * therefore the final ranking — replays exactly in the oracle. */
+  def hammingRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    def half(off: Int) = expr(
+      s"""aggregate(slice(embedding, $off, 32), CAST(0 AS BIGINT),
+         |  (acc, x) -> acc * 2 + IF(x > 0, 1, 0))""".stripMargin)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val codes = emb.select(col("vec_id"), half(1).as("code_lo"), half(33).as("code_hi"))
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val sw = Window.partitionBy(col("q_id")).orderBy(asc("hamming"), asc("neighbor_id"))
+    val shortlist = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (expr("bit_count(code_lo ^ q_lo)") + expr("bit_count(code_hi ^ q_hi)"))
+          .cast("int").as("hamming"))
+      .withColumn("srank", row_number().over(sw))
+      .filter(col("srank") <= 16)
+      .select(col("q_id"), col("neighbor_id"))
+    val qe = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    shortlist
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  val hammingRerankSql: String = {
+    def half(lo: Int, hi: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding[$lo:$hi],
+         |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+         |      (a, b) -> a * 2 + b)""".stripMargin
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    ${half(1, 32)} AS code_lo,
+       |    ${half(33, 64)} AS code_hi
+       |  FROM embeddings),
+       |shortlist AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             bit_count(xor(c.code_lo, q.code_lo))
+       |               + bit_count(xor(c.code_hi, q.code_hi)) ASC,
+       |             c.vec_id ASC) AS srank
+       |    FROM codes c JOIN codes q
+       |      ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+       |  WHERE srank <= 16),
+       |rer AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    round(list_sum(list_transform(list_zip(ne.embedding, qe.embedding),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      + 1e-9, 4) AS sim
+       |  FROM shortlist s JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |                   JOIN embeddings qe ON qe.vec_id = s.q_id)
+       |SELECT q_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM rer)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the SAME
     * deterministic Lloyd quantizer as the IVF family, then prune within

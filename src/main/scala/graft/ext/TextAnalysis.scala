@@ -260,6 +260,122 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** TF-IDF cosine retrieval — the vector-space sibling of [[bm25Search]]
+    * (same fixed query-term set, same top-20 contract): documents rank by
+    * the cosine between their tf·idf vector and the query's idf vector,
+    * so long documents are norm-penalized geometrically instead of via
+    * BM25's length saturation. Dataflow at 100 TB: postings
+    * (doc_id, term, tf) are one explode+groupBy; idf is |V| rows
+    * (broadcast here; at open-vocab scale the weight join shuffles on
+    * `term`, everything downstream is unchanged); per-doc norms are one
+    * more groupBy on doc_id; only docs containing a query term reach the
+    * scoring agg, and the top-k is a TakeOrderedAndProject. Ranked by the
+    * ROUNDED score then doc_id — same engine-determinism contract as
+    * BM25. */
+  def tfidfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val post = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), log(col("n_docs") / col("df")).as("idf"))
+    val w = post.join(broadcast(idf), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"),
+        col("idf"))
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("norm_d"))
+    val qNorm = idf.filter(col("term").isin(Bm25Terms: _*))
+      .agg(sqrt(sum(col("idf") * col("idf"))).as("norm_q"))
+    w.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id")).agg(sum(col("w") * col("idf")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        Num.r4(col("dot") / (col("norm_d") * col("norm_q"))).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val tfidfSearchSql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM post GROUP BY doc_id, term),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |idf AS (
+       |  SELECT term, ln(n_docs / count(*)) AS idf
+       |  FROM tf, nd GROUP BY term, n_docs),
+       |w AS (
+       |  SELECT doc_id, tf.term, tf * idf AS w, idf
+       |  FROM tf JOIN idf ON tf.term = idf.term),
+       |norms AS (
+       |  SELECT doc_id, sqrt(sum(w * w)) AS norm_d FROM w GROUP BY doc_id),
+       |qn AS (
+       |  SELECT sqrt(sum(idf * idf)) AS norm_q FROM idf
+       |  WHERE term IN ($inList)),
+       |dots AS (
+       |  SELECT doc_id, sum(w * idf) AS dot FROM w
+       |  WHERE term IN ($inList) GROUP BY doc_id)
+       |SELECT doc_id, score FROM (
+       |  SELECT d.doc_id, round(dot / (norm_d * norm_q) + 1e-9, 4) AS score
+       |  FROM dots d JOIN norms n ON d.doc_id = n.doc_id, qn)
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** Per-document keyword extraction: the top-3 terms by tf·idf weight —
+    * the topic-tagging primitive of corpus curation (cluster labeling,
+    * domain mixing diagnostics). Reuses the retrieval dataflow's postings
+    * and idf stages; the per-doc top-3 is a ranking window over the
+    * weight rows (partitioned by doc_id — bounded by each doc's DISTINCT
+    * term count, never the corpus). Ranked by the ROUNDED weight then
+    * term, so rank cutoffs replay across engines. */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val post = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), log(col("n_docs") / col("df")).as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("weight"), asc("term"))
+    post.join(broadcast(idf), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        Num.r4(col("tf") * col("idf")).as("weight"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("weight"))
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH post AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM post GROUP BY doc_id, term),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT term, ln(n_docs / count(*)) AS idf
+      |  FROM tf, nd GROUP BY term, n_docs),
+      |w AS (
+      |  SELECT doc_id, tf.term, round(tf * idf + 1e-9, 4) AS weight
+      |  FROM tf JOIN idf ON tf.term = idf.term)
+      |SELECT doc_id, rank, term, weight FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY weight DESC, term ASC) AS INT) AS rank
+      |  FROM w)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Bigram (conditional) LM quality — the word-ORDER-sensitive sibling
     * of [[lmQuality]]: score each document by the mean negative log of
     * p(tᵢ | tᵢ₋₁) = c(tᵢ₋₁tᵢ)/Σ_b c(tᵢ₋₁b), estimated from the corpus

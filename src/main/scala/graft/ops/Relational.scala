@@ -365,6 +365,37 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** Running DISTINCT count over a window — a gap in Spark's window
+    * surface (`count(DISTINCT x) OVER` is unsupported). The naive
+    * composition `size(array_distinct(collect_list(x) OVER w))` carries an
+    * O(rows-so-far) array per output row — quadratic memory on a hot
+    * partition key, dead at 100 TB. This formulation is O(1) per row: mark
+    * each (user, type)'s FIRST occurrence with a row_number, then a plain
+    * running sum of the markers. Two shuffles (on (user_id, event_type)
+    * then user_id) instead of one, but both are fixed-width rows and the
+    * second re-partitions by a prefix of the first key. */
+  def windowCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("is_first",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("is_first")).over(running).as("distinct_types_so_far"))
+  }
+
+  val windowCountDistinctSql: String =
+    """SELECT user_id, event_id,
+      |       count(DISTINCT event_type) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |       ) AS distinct_types_so_far
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Ranking-function family: dense_rank / ntile / lead over one window. */
   def windowRankings(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

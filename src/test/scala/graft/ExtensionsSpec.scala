@@ -980,4 +980,54 @@ class ExtensionsSpec extends SparkSpec {
     val recall = hit.toDouble / (20 * 3)
     assert(recall >= 0.5, s"mrl recall $recall")
   }
+
+  test("bloom decontamination is bit-identical to the exact screen") {
+    // Bloom filters have no false negatives and the exact verify join
+    // kills the false positives — the prefilter must be invisible in the
+    // result, at any fpp.
+    val exact = Dedup.contamination(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.bloomDecontamination(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty) // fixture must actually exercise the screen
+  }
+
+  test("hamming rerank: exact cosines, and >= the unrefined top-3 quality") {
+    val vecs = Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val refined = Similarity.hammingRerank(spark, sf001).collect()
+    assert(refined.length == 10 * 3)
+    refined.foreach { r =>
+      val want = math.rint((cos(vecs(r.getLong(0)), vecs(r.getLong(2))) + 1e-9) * 1e4) / 1e4
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"rerank sim drifts from exact cosine at q${r.getLong(0)}")
+    }
+    // The re-ranked top-3's mean exact cosine must be >= the Hamming-
+    // ordered top-3's: re-ranking a 16-superset by the true metric can
+    // only improve the picks.
+    val hammingTop = Similarity.hammingAnn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val meanOf = (pairs: Seq[(Long, Long)]) =>
+      pairs.map { case (q, n) => cos(vecs(q), vecs(n)) }.sum / pairs.size
+    assert(meanOf(refined.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+      >= meanOf(hammingTop.toSeq) - 1e-12)
+  }
+
+  test("O(1) windowed distinct count matches the naive collect_list form") {
+    val fast = graft.ops.Relational.windowCountDistinct(spark, sf001)
+    val naive = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"),
+        size(array_distinct(collect_list(col("event_type")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Long.MinValue, 0)))).cast("long")
+          .as("distinct_types_so_far"))
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0)
+  }
 }
