@@ -1404,4 +1404,119 @@ object Relational {
       |FROM changes CROSS JOIN (SELECT max(o_orderkey) AS mx FROM base)
       |WHERE op = 'U'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Ordered event funnel (view → click → purchase): how many users reach
+    * each stage IN ORDER — a stage counts only when it happens at-or-after
+    * the user's entry into the previous stage. The product-analytics
+    * staple Spark has no primitive for. Dataflow: three user-keyed
+    * conditional-min aggregates, each consuming the previous stage's entry
+    * time; all three shuffles key on user_id, so AQE/exchange-reuse keeps
+    * it one physical repartition of the events scan, and the output is
+    * 3 rows regardless of corpus size. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), lit("view").as("event_type"), col("n_users"))
+      .unionAll(t2.agg(count(lit(1)).as("n_users")).select(lit(2).as("stage"), lit("click").as("event_type"), col("n_users")))
+      .unionAll(t3.agg(count(lit(1)).as("n_users")).select(lit(3).as("stage"), lit("purchase").as("event_type"), col("n_users")))
+  }
+
+  val funnelSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM t1
+      |UNION ALL
+      |SELECT 2, 'click', count(*) FROM t2
+      |UNION ALL
+      |SELECT 3, 'purchase', count(*) FROM t3
+      |ORDER BY stage""".stripMargin
+
+  /** Equi-width numeric histogram — the profiling primitive behind every
+    * "distribution of column X" dashboard: 20 bins spanning the global
+    * [min, max]. Two passes: a 1-row (min, max) broadcast, then a map-side
+    * bucket assignment + groupBy on the bin id — O(bins) output at any
+    * corpus size, never a sort. The bucket formula is written with the
+    * IDENTICAL operation order in both engines ((v−mn)·20/(mx−mn), floor,
+    * clamp) — IEEE doubles make the same op sequence bit-deterministic, so
+    * bin edges cannot disagree in the last ulp. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = broadcast(ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx")))
+    ev.crossJoin(bounds)
+      .select(least(lit(19), floor((col("value") - col("mn")) * 20.0 / (col("mx") - col("mn"))))
+        .cast("int").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        Num.r4(col("mn") + col("bin") * (col("mx") - col("mn")) / 20.0).as("bin_lo"),
+        Num.r4(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / 20.0).as("bin_hi"),
+        col("n"))
+  }
+
+  val histogramSql: String =
+    """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      |binned AS (
+      |  SELECT CAST(least(19, floor((value - mn) * 20.0 / (mx - mn))) AS INT) AS bin,
+      |         mn, mx
+      |  FROM events, b)
+      |SELECT bin,
+      |       round(mn + bin * (mx - mn) / 20.0 + 1e-9, 4) AS bin_lo,
+      |       round(mn + (bin + 1) * (mx - mn) / 20.0 + 1e-9, 4) AS bin_hi,
+      |       count(*) AS n
+      |FROM binned GROUP BY bin, mn, mx
+      |ORDER BY bin""".stripMargin
+
+  /** Z-order (Morton) layout key — the data-skipping primitive of
+    * lakehouse table layout (Delta OPTIMIZE ZORDER, Iceberg sort orders):
+    * interleave the bits of two scan dimensions so that sorting by the
+    * single `zval` co-locates rows close in BOTH dimensions, giving
+    * parquet min/max row-group pruning on either predicate column from one
+    * physical order. Dimensions here: user_id and the event's epoch day,
+    * each masked to 16 bits (the production knob). Pure integer bit
+    * algebra — replays exactly in the oracle. At 100 TB this runs as the
+    * sort key of a `repartitionByRange(zval).sortWithinPartitions(zval)`
+    * rewrite; the key computation itself is the map-side expression tested
+    * here (see ScaleToolsSpec for the locality win it buys). */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .select(col("event_id"),
+        expr(
+          """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+            |  acc
+            |  + (shiftright(user_id % 65536, i) & 1) * shiftleft(CAST(1 AS BIGINT), 2 * i)
+            |  + (shiftright(epoch_day % 65536, i) & 1) * shiftleft(CAST(1 AS BIGINT), 2 * i + 1))"""
+            .stripMargin).as("zval"))
+
+  val zorderKeySql: String =
+    """SELECT event_id,
+      |  list_sum(list_transform(range(0, 16), i ->
+      |    (((user_id % 65536) >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
+      |    + (((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536) >> CAST(i AS INT)) & 1)
+      |      * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT)))) AS zval
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 }

@@ -52,4 +52,33 @@ class ScaleToolsSpec extends SparkSpec {
       "GreaterThan(o_totalprice,150000.0)]"),
       s"o_totalprice predicate not pushed into the ORC scan:\n$plan")
   }
+
+  test("zorder layout co-locates BOTH dimensions better than a 1-col sort") {
+    // Simulate 16 row groups: chunk the rows in sort order and measure the
+    // per-chunk span (max-min) of each dimension — the proxy for parquet
+    // min/max pruning selectivity. A z-ordered sort must beat the
+    // user_id-only sort on the OTHER dimension (epoch_day) by a wide
+    // margin while staying useful on user_id itself.
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("epoch_day"))
+    val z = graft.ops.Relational.zorderKey(spark, sf001)
+    val rows = ev.join(z, Seq("event_id"))
+      .select("user_id", "epoch_day", "zval").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def meanSpan(sorted: Array[(Long, Int, Long)], dim: ((Long, Int, Long)) => Long): Double = {
+      val chunks = sorted.grouped(math.max(1, sorted.length / 16)).toArray
+      chunks.map(c => (c.map(dim).max - c.map(dim).min).toDouble).sum / chunks.length
+    }
+    val byUser = rows.sortBy(r => (r._1, r._2))
+    val byZ = rows.sortBy(_._3)
+    val daySpanUserSort = meanSpan(byUser, _._2.toLong)
+    val daySpanZSort = meanSpan(byZ, _._2.toLong)
+    val userSpanZSort = meanSpan(byZ, _._1)
+    val userSpanGlobal = rows.map(_._1).max - rows.map(_._1).min
+    assert(daySpanZSort < daySpanUserSort / 2,
+      s"z-sort day span $daySpanZSort !< half of user-sort span $daySpanUserSort")
+    assert(userSpanZSort < userSpanGlobal.toDouble,
+      s"z-sort must still cluster user_id below the global span $userSpanGlobal")
+  }
 }
