@@ -415,6 +415,46 @@ object Dedup {
     * in the hot path. m is sized at ~16 bits/key rounded up to a power of
     * two (fpp ≈ 4e-4 at k=5); at 1e7 eval shingles that is a 20 MB bit
     * array — still broadcast-trivial. */
+  /** Build a Bloom bit array over a one-column (`shingle`) DataFrame. The
+    * k bit positions are computed WITH Spark's own `xxhash64` expression
+    * (seeds 0..numHashes-1) and only the positions are collected —
+    * bounded by numHashes × |keys|, and driver code never re-implements
+    * the hash, so [[bloomProbeSql]] probes the exact same function. m is
+    * sized at `bitsPerKey` per key rounded up to a power of two. */
+  def bloomBits(keys: DataFrame, numHashes: Int = 5,
+      bitsPerKey: Int = 16): Array[Long] = {
+    val n = keys.select(countDistinct(col("shingle"))).head.getLong(0)
+    var mBits = 64L
+    while (mBits < n * bitsPerKey) mBits <<= 1
+    val bits = new Array[Long]((mBits / 64).toInt)
+    keys.select(array((0 until numHashes).map(i =>
+        pmod(xxhash64(col("shingle"), lit(i)), lit(mBits))): _*).as("pos"))
+      .select(explode(col("pos")).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        bits((p / 64).toInt) |= (1L << (p % 64).toInt)
+      }
+    bits
+  }
+
+  /** SQL predicate testing all `numHashes` Bloom bits for the expression
+    * `term` — pure codegen'd column algebra (element_at + shiftleft +
+    * bitwise AND on an inline array literal), usable inside higher-order
+    * lambdas (streaming screens probe each element of a shingle array).
+    * The shift amount is a column, hence the SQL-function form
+    * (functions.shiftleft only takes a literal Int). */
+  def bloomProbeSql(bits: Array[Long], numHashes: Int, term: String): String = {
+    val mBits = bits.length * 64L
+    // No `L` literal suffix: Long.MinValue cannot be written as -(2^63)L
+    // (the positive half overflows at parse); CAST of the plain decimal
+    // literal is safe for every long.
+    val arr = bits.map(v => s"CAST($v AS BIGINT)").mkString("array(", ",", ")")
+    (0 until numHashes).map { i =>
+      s"((element_at($arr, cast(pmod(xxhash64($term, $i), $mBits) div 64 as int) + 1)" +
+        s" & shiftleft(1L, cast(pmod(xxhash64($term, $i), $mBits) % 64 as int))) <> 0L)"
+    }.mkString("(", " AND ", ")")
+  }
+
   def bloomDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 4
     val numHashes = 5
@@ -428,40 +468,10 @@ object Dedup {
     val bench = shingles(docs.filter(col("doc_id") < 5), "bench_id")
     val corpus = shingles(docs.filter(col("doc_id") >= 5), "doc_id")
 
-    // Size m to ≥16 bits per eval shingle, power of two for cheap masking.
-    // The count is a 1-row agg on the eval side — bounded by construction.
-    val nBench = bench.select(countDistinct(col("shingle"))).head.getLong(0)
-    var mBits = 64L
-    while (mBits < nBench * 16) mBits <<= 1
-
-    def positions(c: org.apache.spark.sql.Column) = (0 until numHashes).map(i =>
-      pmod(xxhash64(c, lit(i)), lit(mBits)))
-
-    // Build: compute bit positions with the same expression the probe uses,
-    // collect only the positions (numHashes × |eval shingles| longs).
-    val bits = new Array[Long]((mBits / 64).toInt)
-    bench.select(array(positions(col("shingle")): _*).as("pos"))
-      .select(explode(col("pos")).as("p")).distinct()
-      .collect().foreach { r =>
-        val p = r.getLong(0)
-        bits((p / 64).toInt) |= (1L << (p % 64).toInt)
-      }
-
-    // Probe: all numHashes bits set ⇒ candidate. Pure column algebra over a
-    // broadcast literal array — stays inside whole-stage codegen. The shift
-    // amount is a column, so the bit test goes through the SQL-function
-    // form (functions.shiftleft only takes a literal Int).
-    val bitsCol = typedLit(bits.toSeq)
-    val probe = positions(col("shingle")).zipWithIndex.map { case (p, i) =>
-      p.as(s"h$i")
-    }
-    val withPos = corpus.select(col("doc_id") +: col("shingle") +: probe: _*)
-    val survives = (0 until numHashes).map(i =>
-      expr(s"(element_at(bloom_bits, cast(h$i div 64 as int) + 1) " +
-           s"& shiftleft(1L, cast(h$i % 64 as int))) <> 0L"))
-      .reduce(_ && _)
-    val screened = withPos.withColumn("bloom_bits", bitsCol)
-      .filter(survives).select(col("doc_id"), col("shingle"))
+    // Screen: all numHashes bits set ⇒ candidate; runs map-side inside
+    // whole-stage codegen, before any join.
+    val bits = bloomBits(bench.select(col("shingle")), numHashes)
+    val screened = corpus.filter(expr(bloomProbeSql(bits, numHashes, "shingle")))
 
     // Exact verify join restores exactness: false positives die here,
     // false negatives cannot exist.

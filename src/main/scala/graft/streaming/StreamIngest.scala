@@ -205,6 +205,40 @@ object StreamIngest {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Bloom-screened decontamination on ingest — [[contaminationStream]]'s
+    * scale path. The exact screen compiles the full eval shingle SET into
+    * the plan (fine for thousands of shingles; plan-bloat and per-row
+    * array_intersect cost at production eval suites of 1e6-1e7). This
+    * variant compiles only a Bloom BIT ARRAY (~2 bytes/shingle regardless
+    * of shingle width) and counts, per streaming document, its shingles
+    * that probe positive — still stateless, append-safe, one codegen'd
+    * projection, no state store. Bloom filters have no false negatives,
+    * so every truly contaminated document is flagged (possibly with a
+    * small overcount / rare extra doc from false positives at fpp≈4e-4);
+    * route flagged docs to the batch `Dedup.contamination` verifier for
+    * the exact attribution. Emits (doc_id, n_candidate_shingles > 0). */
+  def bloomScreenStream(docs: DataFrame, benchDocs: DataFrame,
+      k: Int = 4): DataFrame = {
+    def shingleArr = expr(
+      s"""array_distinct(transform(sequence(0, size(tokens) - $k),
+         |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)
+    val benchShingles = benchDocs
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= k)
+      .select(explode(shingleArr).as("shingle")).distinct()
+    val bits = graft.ext.Dedup.bloomBits(benchShingles, numHashes = 5)
+    val probe = graft.ext.Dedup.bloomProbeSql(bits, numHashes = 5, term = "s")
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shl",
+        when(size(col("tokens")) >= k, shingleArr)
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_candidate_shingles",
+        size(expr(s"filter(shl, s -> $probe)")))
+      .filter(col("n_candidate_shingles") > 0)
+      .select(col("doc_id"), col("n_candidate_shingles"))
+  }
+
   /** Streaming Misra-Gries top-k — the one-pass heavy-hitter summary with
     * permanently bounded state, the streaming twin of the batch
     * `ext.TextAnalysis.heavyHitters` merged-MG (same `d_heavy_hitters`

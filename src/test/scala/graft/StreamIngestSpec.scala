@@ -273,6 +273,38 @@ class StreamIngestSpec extends SparkSpec {
     assert(got == Map(0L -> 2, 2L -> 1, 3L -> 1))
   }
 
+  test("bloom screen-on-ingest flags a superset of the exact screen") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val rows = Seq(
+      (0L, "junk alpha beta gamma delta epsilon junk"), // 2 shared 4-grams
+      (1L, "completely clean document with no overlap at all"),
+      (2L, "one two three four"), // exactly one shared 4-gram
+      (3L, "alpha beta gamma delta"))
+    val mem = MemoryStream[(Long, String)]
+    val screened = StreamIngest.bloomScreenStream(
+      mem.toDS().toDF("doc_id", "text"), bench)
+    val q = screened.writeStream.format("memory")
+      .queryName("bloom_screen").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_candidate_shingles FROM bloom_screen")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    // No false negatives: every exactly-contaminated doc is flagged with
+    // at least its exact shingle count. (At fpp≈4e-4 on this fixture the
+    // sets coincide, but only the superset direction is guaranteed.)
+    val exact = Map(0L -> 2, 2L -> 1, 3L -> 1)
+    exact.foreach { case (id, n) =>
+      assert(got.contains(id) && got(id) >= n, s"doc $id lost by bloom screen")
+    }
+    assert(!got.contains(1L) || got.size <= exact.size + 1) // fp slack: tiny
+  }
+
   test("streaming CMS sketch converges to the batch cell grid") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
