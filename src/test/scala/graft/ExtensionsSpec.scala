@@ -1019,6 +1019,34 @@ class ExtensionsSpec extends SparkSpec {
       >= meanOf(hammingTop.toSeq) - 1e-12)
   }
 
+  test("rabitq estimates track exact cosine and recall >= plain hamming") {
+    val vecs = Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val exactTop = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val rq = Similarity.rabitqAnn(spark, sf001).collect()
+    assert(rq.length == 10 * 3)
+    // The estimator must be metric-scaled: within the true cosine's range
+    // and close to it on the emitted (top-ranked) pairs.
+    val errs = rq.map(r => math.abs(r.getDouble(3) - cos(vecs(r.getLong(0)), vecs(r.getLong(2)))))
+    assert(errs.forall(_ <= 0.5) && errs.sum / errs.length <= 0.25,
+      f"estimation error mean ${errs.sum / errs.length}%.3f max ${errs.max}%.3f")
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => exactTop(r.getLong(0)).contains(r.getLong(2))).toDouble / rows.length
+    val rqRecall = recallOf(rq)
+    val hamRecall = recallOf(Similarity.hammingAnn(spark, sf001).collect())
+    assert(rqRecall >= hamRecall,
+      f"rabitq recall $rqRecall%.2f < hamming recall $hamRecall%.2f")
+  }
+
   test("O(1) windowed distinct count matches the naive collect_list form") {
     val fast = graft.ops.Relational.windowCountDistinct(spark, sf001)
     val naive = Tables.events(spark, sf001)
