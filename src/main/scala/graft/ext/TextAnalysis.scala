@@ -173,6 +173,64 @@ object TextAnalysis {
       |      / len(string_split(text, ' ')) >= 0.25
       |ORDER BY doc_id""".stripMargin
 
+  /** Model-based quality scoring — the classifier-filter family of modern
+    * corpus curation (fastText spam/quality gates, FineWeb-Edu's scorer,
+    * DCLM's logistic filter), as distinct from the heuristic gates
+    * ([[qualityFilter]], [[repetitionFilter]]) and the LM-perplexity
+    * screens ([[lmQuality]], [[bigramLm]]): a logistic model over
+    * interpretable per-document features. Weights are pinned constants (a
+    * production deployment would load trained ones — same dataflow); the
+    * features (stopword ratio, mean token length, type-token ratio, log
+    * length) are each one codegen'd fold over the token array, so the
+    * whole scorer is a shuffle-free map-pass — at 100 TB every row is
+    * scored in the scan, nothing aggregates until the quality histogram.
+    * Emits the rounded score and the keep/drop verdict at the 0.5 cut. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a")
+    val stopArr = s"array(${stop.map(s => s"'$s'").mkString(",")})"
+    Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")).cast("double"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(tokens, t -> array_contains($stopArr, t)))")
+          .cast("double") / col("n_tokens"))
+      .withColumn("mean_len",
+        expr("aggregate(tokens, 0D, (a, t) -> a + length(t))") / col("n_tokens"))
+      .withColumn("ttr",
+        size(array_distinct(col("tokens"))).cast("double") / col("n_tokens"))
+      .withColumn("z",
+        lit(-2.0) + lit(3.0) * col("stop_ratio") + lit(0.2) * col("mean_len")
+          + lit(1.5) * col("ttr") + lit(0.1) * log(col("n_tokens")))
+      .select(col("doc_id"),
+        Num.r4(lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"),
+        when(lit(1.0) / (lit(1.0) + exp(-col("z"))) >= 0.5, lit("keep"))
+          .otherwise(lit("drop")).as("verdict"))
+  }
+
+  val classifierScoreSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> list_contains(['the', 'a'], t)))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      |    list_sum(list_transform(string_split(text, ' '),
+      |        t -> CAST(length(t) AS DOUBLE)))
+      |      / len(string_split(text, ' ')) AS mean_len,
+      |    len(list_distinct(string_split(text, ' ')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+      |  FROM documents),
+      |z AS (
+      |  SELECT doc_id,
+      |    -2.0 + 3.0 * stop_ratio + 0.2 * mean_len + 1.5 * ttr
+      |      + 0.1 * ln(n_tokens) AS z
+      |  FROM f)
+      |SELECT doc_id,
+      |       round(1.0 / (1.0 + exp(-z)) + 1e-9, 4) AS score,
+      |       CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5
+      |            THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM z ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over per-token codes
     * (token length and leading byte), mod a Mersenne prime. A pure
     * higher-order fold — codegen-friendly, shuffle-free. */
