@@ -239,6 +239,54 @@ object StreamIngest {
       .select(col("doc_id"), col("n_candidate_shingles"))
   }
 
+  /** Streaming ordered funnel — the incremental twin of the batch
+    * `Relational.funnel` (view → click → purchase, each stage counted
+    * only at-or-after the user's entry into the previous one), maintained
+    * as a per-user state machine in `flatMapGroupsWithState`: state is
+    * ONE (stage, entry-ts) pair per live user — fixed-width, independent
+    * of event volume, the bounded-state contract every stateful op here
+    * keeps. Each update emits the user's current stage, so Update-mode
+    * consumers always hold the latest funnel position and stage counts
+    * are a groupBy away. Events are sorted within a micro-batch (same
+    * device as `throttle`); cross-batch regressions (an event older than
+    * the user's current stage entry) cannot retro-advance the machine —
+    * the watermark-bounded reorder window is the deployment knob, and
+    * the batch operator is the exact replay for audits. TTL eviction is
+    * opt-in for unbounded user spaces, same rationale as [[throttle]].
+    * Input schema: (user_id LONG, event_type STRING, ts LONG micros). */
+  def funnelStream(events: DataFrame,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    val stages = Array("view", "click", "purchase")
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int)](
+        OutputMode.Update, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            var (stage, tEntry) =
+              state.getOption.getOrElse((0, Long.MinValue))
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+              if (stage < stages.length && tpe == stages(stage) && ts >= tEntry) {
+                stage += 1; tEntry = ts
+              }
+            }
+            state.update((stage, tEntry))
+            Iterator.single((uid, stage))
+          }
+      }
+  }
+
   /** Streaming Misra-Gries top-k — the one-pass heavy-hitter summary with
     * permanently bounded state, the streaming twin of the batch
     * `ext.TextAnalysis.heavyHitters` merged-MG (same `d_heavy_hitters`

@@ -305,6 +305,51 @@ class StreamIngestSpec extends SparkSpec {
     assert(!got.contains(1L) || got.size <= exact.size + 1) // fp slack: tiny
   }
 
+  test("streaming funnel state machine replays the batch funnel exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._3, r._1))
+    // batch truth: per-user ordered stage progression
+    val truth = ev.groupBy(_._1).map { case (uid, rows) =>
+      var stage = 0; var tEntry = Long.MinValue
+      val stages = Array("view", "click", "purchase")
+      rows.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+        if (stage < 3 && tpe == stages(stage) && ts >= tEntry) {
+          stage += 1; tEntry = ts
+        }
+      }
+      uid -> stage
+    }
+    // two time-ordered micro-batches: cross-batch carryover must hold
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = StreamIngest.funnelStream(
+      mem.toDS().toDF("user_id", "event_type", "ts"))
+    val q = out.toDF("user_id", "stage").writeStream.format("memory")
+      .queryName("funnel_stream").outputMode("update").start()
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // stages only advance, so the final state is the per-user max update
+    val got = spark.sql(
+      "SELECT user_id, max(stage) AS stage FROM funnel_stream GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    assert(got == truth)
+    // and the stage totals line up with the batch operator's counts
+    val batchCounts = graft.ops.Relational.funnel(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    (1 to 3).foreach { s =>
+      assert(batchCounts(s) == truth.count(_._2 >= s),
+        s"stage $s count mismatch vs batch funnel")
+    }
+  }
+
   test("streaming CMS sketch converges to the batch cell grid") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
