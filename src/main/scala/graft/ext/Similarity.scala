@@ -753,6 +753,115 @@ object Similarity {
       |  FROM embeddings)
       |ORDER BY vec_id, dim""".stripMargin
 
+  /** SQ8 ANN — scalar-quantized retrieval, the middle rung of the
+    * compression ladder (float 4 B/dim → SQ8 1 B/dim → PQ ~0.75 bit/dim →
+    * binary 1 bit/dim): corpus vectors are stored as the SAME per-vector
+    * affine int8 codes as [[quantize]] (+2 rounded scale floats), queries
+    * stay float, and scoring is exact cosine against the DEQUANTIZED
+    * reconstruction — so ranking error is bounded by half a quantization
+    * step per dimension, far tighter than sign codes, at 3.5× memory
+    * reduction. At 100 TB: the float corpus is read once to encode; the
+    * scan side of every search is codes + 2 floats/row; queries
+    * broadcast. Dequantize-and-score is one codegen'd map expression
+    * (floor/affine per element), and the identical FP operation order
+    * replays in DuckDB, so even the reconstruction is oracle-exact. */
+  def annSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // Rounded scales (the stored form — what a table of codes would hold).
+    val dq = emb
+      .withColumn("mn", Num.r4(array_min(col("embedding")).cast("double")))
+      .withColumn("mx", Num.r4(array_max(col("embedding")).cast("double")))
+      .withColumn("dq", expr(
+        """transform(embedding, x -> IF(mx = mn, mn,
+          |  mn + floor((cast(x AS double) - mn) / (mx - mn) * 255.0 + 0.5)
+          |       * (mx - mn) / 255.0))""".stripMargin))
+      .select(col("vec_id"), col("dq"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("est"), asc("neighbor_id"))
+    dq.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Num.r4(
+          expr("""aggregate(zip_with(dq, qe, (a, b) -> a * b), 0D, (s, x) -> s + x)""")
+            / sqrt(expr("aggregate(dq, 0D, (s, x) -> s + x * x)"))
+            / sqrt(expr("aggregate(qe, 0D, (s, x) -> s + x * x)"))).as("est"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("est"))
+  }
+
+  val annSq8Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    round(CAST(list_min(embedding) AS DOUBLE) + 1e-9, 4) AS mn,
+      |    round(CAST(list_max(embedding) AS DOUBLE) + 1e-9, 4) AS mx
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN mx = mn THEN mn
+      |      ELSE mn + floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255.0 + 0.5)
+      |           * (mx - mn) / 255.0 END) AS dq
+      |  FROM s),
+      |q AS (
+      |  SELECT vec_id AS q_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |pairs AS (
+      |  SELECT q.q_id, d.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(d.dq, q.qe), p -> p[1] * p[2]))
+      |      / sqrt(list_sum(list_transform(d.dq, x -> x * x)))
+      |      / sqrt(list_sum(list_transform(q.qe, x -> x * x))) + 1e-9, 4) AS est
+      |  FROM d JOIN q ON d.vec_id != q.q_id)
+      |SELECT q_id, rank, neighbor_id, est FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY est DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Hard-negative mining — the contrastive-training data op (dense
+    * retriever / embedding-model training: each anchor needs the most
+    * CONFUSABLE wrong-class examples): per anchor (vec_id < 10), the
+    * top-3 most-cosine-similar vectors whose `label` DIFFERS from the
+    * anchor's. Same broadcast-queries/corpus-scan shape as the kNN
+    * family — the label predicate just lands in the pair filter, so the
+    * candidate volume can only shrink. In production the exact scan
+    * swaps for any of the ANN paths (IVF/PQ/binary) unchanged — mining
+    * quality degrades gracefully with the index's recall. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("sim"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH pairs AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.label,
+      |    round(list_sum(list_transform(list_zip(c.embedding, q.embedding),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      + 1e-9, 4) AS sim
+      |  FROM embeddings c JOIN embeddings q
+      |    ON q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label != q.label)
+      |SELECT q_id, rank, neighbor_id, label, sim FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** Random-hyperplane LSH — the approximate-NN scale path. 8 hyperplanes
     * give a 256-bucket signature; each vector's nearest neighbor is
     * searched WITHIN its bucket only (candidate set ≈ n/256 instead of n).

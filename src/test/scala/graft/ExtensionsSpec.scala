@@ -1047,6 +1047,61 @@ class ExtensionsSpec extends SparkSpec {
       f"rabitq recall $rqRecall%.2f < hamming recall $hamRecall%.2f")
   }
 
+  test("sq8 reconstruction error is bounded and recall beats binary codes") {
+    val vecs = Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val exactTop = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val sq8 = Similarity.annSq8(spark, sf001).collect()
+    assert(sq8.length == 10 * 3)
+    // half-step-per-dim error bound keeps the estimate within a few
+    // hundredths of the true cosine
+    sq8.foreach { r =>
+      val err = math.abs(r.getDouble(3) - cos(vecs(r.getLong(0)), vecs(r.getLong(2))))
+      assert(err <= 0.05, f"sq8 estimate off by $err%.4f at q${r.getLong(0)}")
+    }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => exactTop(r.getLong(0)).contains(r.getLong(2))).toDouble / rows.length
+    val sq8Recall = recallOf(sq8)
+    val hamRecall = recallOf(Similarity.hammingAnn(spark, sf001).collect())
+    assert(sq8Recall >= hamRecall && sq8Recall >= 0.75,
+      f"sq8 recall $sq8Recall%.2f (hamming $hamRecall%.2f)")
+  }
+
+  test("hard negatives are the exact top different-label neighbors") {
+    val rows = Tables.embeddings(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val byId = rows.map(r => r._1 -> r).toMap
+    val got = Similarity.hardNegatives(spark, sf001).collect()
+    assert(got.length == 10 * 3)
+    got.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(byId(nid)._3 != byId(qid)._3, s"negative $nid shares label with $qid")
+    }
+    // full replay: rank by rounded cosine then id among different-label vecs
+    val want = (0L until 10L).flatMap { q =>
+      rows.filter(r => r._1 != q && r._3 != byId(q)._3)
+        .map(r => (r._1, math.rint((cos(byId(q)._2, r._2) + 1e-9) * 1e4) / 1e4))
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, s), i) => (q, i + 1, id, s) }
+    }.toSet
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4))).toSet == want)
+  }
+
   test("O(1) windowed distinct count matches the naive collect_list form") {
     val fast = graft.ops.Relational.windowCountDistinct(spark, sf001)
     val naive = Tables.events(spark, sf001)
