@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.ops.Num
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -483,6 +484,52 @@ object Dedup {
   /** Oracle: identical to [[contaminationSql]] — the Bloom screen is a
     * pure prefilter and must not change the result. */
   val bloomDecontaminationSql: String = contaminationSql
+
+  /** Cross-modal dedup — candidates from one modality, verification in
+    * the other: embedding-space LSH proposes near-dup pairs (the
+    * `documents`/`embeddings` fixtures share ids — row i's text and
+    * vector describe the same item, as in any production corpus), and
+    * exact token-set Jaccard over the TEXT verifies each pair, labeling
+    * it `dup` (surface duplicate, J ≥ 0.8) or `semantic_only` (the pairs
+    * SemDeDup prunes and string dedup misses — the curation signal this
+    * op exists for). 100 TB shape: candidate volume is bounded by the
+    * LSH bucketing (never an all-pairs join in either modality), and the
+    * text verify joins candidates to documents on the id key — float
+    * vectors and text bodies never shuffle together. */
+  def crossmodalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = Similarity.cosineDedupLsh(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    cand
+      .join(toks.select(col("doc_id").as("vec_a"), col("toks").as("ta")), "vec_a")
+      .join(toks.select(col("doc_id").as("vec_b"), col("toks").as("tb")), "vec_b")
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("jr",
+        col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"),
+        Num.r4(col("jr")).as("jaccard"),
+        when(col("jr") >= 0.8, lit("dup"))
+          .otherwise(lit("semantic_only")).as("verdict"))
+  }
+
+  val crossmodalDedupSql: String =
+    s"""WITH cand AS (
+       |${Similarity.cosineDedupLshCoreSql}
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents
+       |), j AS (
+       |  SELECT cand.vec_a AS doc_a, cand.vec_b AS doc_b, cand.sim,
+       |         len(list_intersect(ta.toks, tb.toks)) AS i,
+       |         len(ta.toks) AS na, len(tb.toks) AS nb
+       |  FROM cand JOIN toks ta ON ta.doc_id = cand.vec_a
+       |            JOIN toks tb ON tb.doc_id = cand.vec_b)
+       |SELECT doc_a, doc_b, sim,
+       |       round(i * 1.0 / (na + nb - i) + 1e-9, 4) AS jaccard,
+       |       CASE WHEN i * 1.0 / (na + nb - i) >= 0.8
+       |            THEN 'dup' ELSE 'semantic_only' END AS verdict
+       |FROM j
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Connected components over an edge list via alternating large-star /
     * small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,

@@ -412,7 +412,9 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), Num.r4(col("sim_raw")).as("sim"))
   }
 
-  val cosineDedupLshSql: String =
+  /** [[cosineDedupLshSql]] without the presentation ORDER BY — reusable
+    * as a CTE body by composite oracles (cross-modal dedup). */
+  val cosineDedupLshCoreSql: String =
     """WITH b0 AS (
       |  SELECT vec_id, embedding, unnest(range(0, 16)) AS t
       |  FROM embeddings),
@@ -437,8 +439,10 @@ object Similarity {
       |  FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
       |             JOIN embeddings eb ON eb.vec_id = vec_b)
       |SELECT vec_a, vec_b, round(sim_raw + 1e-9, 4) AS sim
-      |FROM sims WHERE sim_raw >= 0.35
-      |ORDER BY vec_a, vec_b""".stripMargin
+      |FROM sims WHERE sim_raw >= 0.35""".stripMargin
+
+  val cosineDedupLshSql: String =
+    cosineDedupLshCoreSql + "\nORDER BY vec_a, vec_b"
 
   /** Binary-code (sign-bit) ANN — the fourth search geometry beside brute
     * cosine, hyperplane LSH, and IVF: each 64-dim float vector compresses
