@@ -99,4 +99,63 @@ object GraftProps extends Properties("graft") {
       Prop(packed.length == specs.length && budgetOk && contiguous) :|
         s"budget=$budget packed=${packed.toSeq}"
     }
+
+  // --- spark: bloom probe never loses an inserted key ---------------
+
+  property("bloom probe has no false negatives for any key set") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier).map(_.distinct.take(40))) { keys =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val df = keys.toDF("shingle")
+      val bits = ext.Dedup.bloomBits(df, numHashes = 5)
+      val probe = ext.Dedup.bloomProbeSql(bits, numHashes = 5, term = "shingle")
+      val survived = df.filter(org.apache.spark.sql.functions.expr(probe)).count()
+      Prop(survived == keys.length.toLong) :|
+        s"${keys.length} keys, $survived survived the probe"
+    }
+
+  // --- streaming: funnel state machine vs sequential model ----------
+
+  private val funnelEventsGen: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(25, Gen.zip(
+      Gen.choose(0L, 3L),
+      Gen.oneOf("view", "click", "purchase", "error"),
+      Gen.choose(0L, 1000L))).map(_.distinct)
+
+  property("streaming funnel == sequential model under any batch split") =
+    forAll(funnelEventsGen, Gen.choose(0, 24)) { (events, splitAt) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      // contract: batches arrive time-ordered; split anywhere in that order
+      val ordered = events.sortBy(e => (e._3, e._2, e._1))
+      val truth = ordered.groupBy(_._1).map { case (uid, rows) =>
+        val stages = Array("view", "click", "purchase")
+        var stage = 0; var tEntry = Long.MinValue
+        rows.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+          if (stage < 3 && tpe == stages(stage) && ts >= tEntry) {
+            stage += 1; tEntry = ts
+          }
+        }
+        uid -> stage
+      }
+      val (b1, b2) = ordered.splitAt(math.min(splitAt, ordered.length))
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+      val out = StreamIngest.funnelStream(
+        mem.toDS().toDF("user_id", "event_type", "ts"))
+      val name = s"funnel_prop_${System.nanoTime()}"
+      val q = out.toDF("user_id", "stage").writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        if (b1.nonEmpty) { mem.addData(b1: _*); q.processAllAvailable() }
+        if (b2.nonEmpty) { mem.addData(b2: _*); q.processAllAvailable() }
+        val got = spark.sql(
+          s"SELECT user_id, max(stage) FROM $name GROUP BY user_id")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        Prop(got == truth) :| s"split=$splitAt got=$got expected=$truth"
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    }
 }
