@@ -60,7 +60,10 @@ object Bench {
     "d_dedup_pipeline", "q_asof_join",
     "e_ann_pq_refine", "e_ann_ivfpq", "e_hamming_ann", "d_cms_tokens",
     "d_lm_quality", "d_bm25_search", "q_merge_upsert", "d_token_pagerank",
-    "m_audio_window")
+    "m_audio_window",
+    "d_bloom_decontam", "d_crossmodal_dedup", "d_tfidf_search",
+    "d_classifier_score", "e_rabitq_ann", "e_ann_sq8",
+    "q_window_count_distinct", "q_funnel", "q_histogram", "q_zorder_key")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically

@@ -1159,4 +1159,65 @@ object TextAnalysis {
       |             AS cum_tokens
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** Quality-gate ensemble — what a production pipeline actually ships:
+    * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
+    * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —
+    * pass = not the worst quartile, [[classifierScore]] model gate) voted
+    * into one per-document verdict (keep at ≥3 of 4). Disagreement
+    * BETWEEN gates is the actionable signal: a doc failing only the LM
+    * screen reads differently from one failing only the classifier, so
+    * every vote is emitted, not just the tally. Dataflow: each gate is
+    * its own shuffle-light pass (see their Scaladocs), and the votes
+    * join on the doc_id key — four co-partitioned joins at 100 TB, or
+    * one pass if the gates are fused map-side (they compose; the
+    * operator keeps them separate so each gate's output stays reusable
+    * and individually oracle-checked). */
+  def qualityEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val qf = qualityFilter(spark, sfDir)
+      .select(col("doc_id"), lit(true).as("heuristic_pass"))
+    val rep = repetitionFilter(spark, sfDir)
+      .select(col("doc_id"), col("kept").as("repetition_pass"))
+    val lm = lmQuality(spark, sfDir)
+      .select(col("doc_id"), (col("ppl_bucket") <= 3).as("lm_pass"))
+    val cls = classifierScore(spark, sfDir)
+      .select(col("doc_id"), (col("verdict") === "keep").as("classifier_pass"))
+    base
+      .join(qf, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(cls, Seq("doc_id"))
+      .withColumn("heuristic_pass", coalesce(col("heuristic_pass"), lit(false)))
+      .withColumn("n_pass",
+        (col("heuristic_pass").cast("int") + col("repetition_pass").cast("int")
+          + col("lm_pass").cast("int") + col("classifier_pass").cast("int")))
+      .withColumn("ensemble",
+        when(col("n_pass") >= 3, lit("keep")).otherwise(lit("drop")))
+  }
+
+  val qualityEnsembleSql: String =
+    s"""WITH qf AS ($qualityFilterSql),
+       |rep AS ($repetitionFilterSql),
+       |lm AS ($lmQualitySql),
+       |cls AS ($classifierScoreSql)
+       |SELECT d.doc_id,
+       |       COALESCE(qf.doc_id IS NOT NULL, FALSE) AS heuristic_pass,
+       |       rep.kept AS repetition_pass,
+       |       lm.ppl_bucket <= 3 AS lm_pass,
+       |       cls.verdict = 'keep' AS classifier_pass,
+       |       CAST((qf.doc_id IS NOT NULL) AS INT) + CAST(rep.kept AS INT)
+       |         + CAST(lm.ppl_bucket <= 3 AS INT)
+       |         + CAST(cls.verdict = 'keep' AS INT) AS n_pass,
+       |       CASE WHEN CAST((qf.doc_id IS NOT NULL) AS INT)
+       |                 + CAST(rep.kept AS INT)
+       |                 + CAST(lm.ppl_bucket <= 3 AS INT)
+       |                 + CAST(cls.verdict = 'keep' AS INT) >= 3
+       |            THEN 'keep' ELSE 'drop' END AS ensemble
+       |FROM documents d
+       |LEFT JOIN qf ON qf.doc_id = d.doc_id
+       |JOIN rep ON rep.doc_id = d.doc_id
+       |JOIN lm ON lm.doc_id = d.doc_id
+       |JOIN cls ON cls.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }
