@@ -67,5 +67,13 @@ class IngestSpec extends SparkSpec {
     assert(back.select("room").distinct().count() == 6)
     // humidity came out as INT per the reference Hive schema
     assert(back.schema("humidity").dataType.typeName == "integer")
+    // the point of partitionBy(room): a per-room predicate must prune
+    // directories at planning time, not scan-and-filter
+    val someRoom = back.select("room").head.getString(0)
+    val oneRoom = back.filter(col("room") === someRoom)
+    val plan = oneRoom.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(room"),
+      s"room predicate did not become a partition filter:\n$plan")
+    assert(oneRoom.count() > 0)
   }
 }
