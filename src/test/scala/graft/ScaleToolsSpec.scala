@@ -53,6 +53,15 @@ class ScaleToolsSpec extends SparkSpec {
       s"o_totalprice predicate not pushed into the ORC scan:\n$plan")
   }
 
+  test("json round-trip is lossless under the explicit schema") {
+    import graft.sources.JsonSource
+    val js = JsonSource.ordersJson(spark, sf001)
+    val pq = Tables.orders(spark, sf001)
+    assert(js.schema == pq.schema, "json round-trip changed the schema")
+    assert(js.exceptAll(pq).count() == 0 && pq.exceptAll(js).count() == 0,
+      "json round-trip changed the rows")
+  }
+
   test("zorder layout co-locates BOTH dimensions better than a 1-col sort") {
     // Simulate 16 row groups: chunk the rows in sort order and measure the
     // per-chunk span (max-min) of each dimension — the proxy for parquet
