@@ -1488,6 +1488,127 @@ object Relational {
       |FROM binned GROUP BY bin, mn, mx
       |ORDER BY bin""".stripMargin
 
+  /** Winsorization — robust-stats outlier clipping, the numeric-cleaning
+    * step of a feature/metrics pipeline: clip `value` to the exact
+    * [p05, p95] corpus percentiles and flag what was clipped. Two-pass
+    * shape like [[histogram]]: the percentile pair reduces to ONE
+    * broadcast row (exact `percentile` here; swap `approx_percentile`
+    * at 100 TB for a sketch-sized shuffle — same dataflow), then the
+    * clip is a map-side projection over the scan. Both engines use
+    * linear interpolation for the exact percentile, so the bounds
+    * replay. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = broadcast(ev.agg(
+      expr("percentile(value, 0.05D)").as("p05"),
+      expr("percentile(value, 0.95D)").as("p95")))
+    ev.crossJoin(bounds)
+      .select(col("event_id"),
+        Num.r4(greatest(col("p05"), least(col("p95"), col("value"))))
+          .as("value_w"),
+        (col("value") < col("p05") || col("value") > col("p95"))
+          .as("clipped"))
+  }
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(value, 0.05) AS p05,
+      |         quantile_cont(value, 0.95) AS p95
+      |  FROM events)
+      |SELECT event_id,
+      |       round(greatest(p05, least(p95, value)) + 1e-9, 4) AS value_w,
+      |       (value < p05 OR value > p95) AS clipped
+      |FROM events, b
+      |ORDER BY event_id""".stripMargin
+
+  /** Time-series resampling with linear interpolation — the gap-filling
+    * primitive of sensor analytics (the reference's domain: irregular
+    * IoT readings onto a fixed grid): each user's `value` series is
+    * sampled at every hour boundary inside its own [min ts, max ts]
+    * span, interpolating between the neighboring readings. Single-pass
+    * formulation: readings and grid points UNION into one frame, and one
+    * user-keyed sort gives both neighbors via last/first-ignore-nulls
+    * windows over mirrored frames (readings order before grid points at
+    * equal ts, so an exact-hit grid point reads its own reading
+    * backward). ONE shuffle total — both windows share the partitioning
+    * and ordering, so Catalyst plans a single sort, vs the two as-of
+    * joins (backward + forward) this replaces. Time math stays in the
+    * integer µs domain; the lerp is the only FP step and uses identical
+    * operation order in both engines. Duplicate (user, ts) readings
+    * pre-average so the series is a well-defined function. */
+  def resampleInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val r = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      .groupBy(col("user_id"), col("t")).agg(avg(col("value")).as("value"))
+    val grid = r.groupBy(col("user_id"))
+      .agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+      .select(col("user_id"), explode(sequence(
+        expr(s"((tmin + ${hourUs - 1}) div $hourUs) * $hourUs"),
+        col("tmax"), lit(hourUs))).as("t"))
+    val rows = r.select(col("user_id"), col("t"), col("value"), lit(0).as("is_grid"))
+      .unionByName(grid.select(col("user_id"), col("t"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid")))
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def reading(c: org.apache.spark.sql.Column) = when(col("is_grid") === 0, c)
+    rows
+      .withColumn("tp", last(reading(col("t")), ignoreNulls = true).over(wb))
+      .withColumn("vp", last(reading(col("value")), ignoreNulls = true).over(wb))
+      .withColumn("tn", first(reading(col("t")), ignoreNulls = true).over(wf))
+      .withColumn("vn", first(reading(col("value")), ignoreNulls = true).over(wf))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("t").as("grid_t"),
+        Num.r4(
+          when(col("tn").isNull, col("vp"))
+            .when(col("tp").isNull, col("vn"))
+            .when(col("tn") === col("tp"), col("vp"))
+            .otherwise(col("vp") + (col("vn") - col("vp"))
+              * ((col("t") - col("tp")).cast("double")
+                 / (col("tn") - col("tp")).cast("double")))).as("value_i"))
+  }
+
+  val resampleInterpolateSql: String =
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) AS t, avg(value) AS value
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM r GROUP BY 1),
+      |g AS (
+      |  SELECT user_id, unnest(generate_series(
+      |    (tmin + 3599999999) // 3600000000 * 3600000000,
+      |    tmax, 3600000000)) AS t
+      |  FROM s),
+      |u AS (
+      |  SELECT user_id, t, value, 0 AS is_grid FROM r
+      |  UNION ALL
+      |  SELECT user_id, t, NULL, 1 FROM g),
+      |w AS (
+      |  SELECT user_id, t, is_grid,
+      |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, is_grid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, is_grid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+      |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, is_grid
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+      |    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, is_grid
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+      |  FROM u)
+      |SELECT user_id, t AS grid_t,
+      |       round(CASE WHEN tn IS NULL THEN vp
+      |                  WHEN tp IS NULL THEN vn
+      |                  WHEN tn = tp THEN vp
+      |                  ELSE vp + (vn - vp)
+      |                       * (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+      |             END + 1e-9, 4) AS value_i
+      |FROM w WHERE is_grid = 1
+      |ORDER BY user_id, grid_t""".stripMargin
+
   /** Z-order (Morton) layout key — the data-skipping primitive of
     * lakehouse table layout (Delta OPTIMIZE ZORDER, Iceberg sort orders):
     * interleave the bits of two scan dimensions so that sorting by the
