@@ -721,6 +721,71 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Simplified silhouette — the cluster-quality diagnostic of an
+    * embedding corpus (label = cluster): per vector, a = distance to its
+    * OWN label centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1,1]. The centroid-based simplification
+    * (Hruschka et al.'s SSI; the standard large-n variant) replaces full
+    * silhouette's O(n²) pairwise means with k centroid distances per
+    * vector, which is what makes it a 100 TB diagnostic: centroids are a
+    * tiny broadcast (k·d rounded means, shared with [[centroids]]'
+    * determinism contract), and the whole score is one map-pass over the
+    * corpus + a k-row-per-vector conditional-min aggregate. Negative s
+    * surfaces mislabeled / boundary vectors — the rows a curation pass
+    * routes to review. */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centDims = emb
+      .select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(Num.r4(avg(col("col").cast("double"))).as("m"))
+    val carr = centDims.groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
+      .select(col("c_label"), expr("transform(sm, x -> x.m)").as("cvec"))
+    val ab = emb.crossJoin(broadcast(carr))
+      .withColumn("dist", sqrt(expr(
+        """aggregate(zip_with(embedding, cvec,
+          |  (v, c) -> (cast(v AS double) - c) * (cast(v AS double) - c)),
+          |  0D, (s, x) -> s + x)""".stripMargin)))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("label") === col("c_label"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("c_label"), col("dist"))).as("b"))
+    ab.select(col("vec_id"), col("label"),
+      Num.r4(col("a")).as("a_dist"), Num.r4(col("b")).as("b_dist"),
+      Num.r4(when(greatest(col("a"), col("b")) === 0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        .as("s"))
+  }
+
+  val silhouetteSql: String =
+    """WITH cd AS (
+      |  SELECT label AS c_label,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT c_label, dim, round(avg(x) + 1e-9, 4) AS m
+      |  FROM cd GROUP BY 1, 2),
+      |carr AS (
+      |  SELECT c_label, list(m ORDER BY dim) AS cvec FROM cent GROUP BY 1),
+      |d AS (
+      |  SELECT e.vec_id, e.label, c.c_label,
+      |    sqrt(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))) AS dist
+      |  FROM embeddings e CROSS JOIN carr c),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    min(CASE WHEN label = c_label THEN dist END) AS a,
+      |    min(CASE WHEN label != c_label THEN dist END) AS b
+      |  FROM d GROUP BY 1, 2)
+      |SELECT vec_id, label,
+      |       round(a + 1e-9, 4) AS a_dist,
+      |       round(b + 1e-9, 4) AS b_dist,
+      |       round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+      |             ELSE (b - a) / greatest(a, b) END + 1e-9, 4) AS s
+      |FROM ab ORDER BY vec_id""".stripMargin
+
   /** Scalar int8 quantization — the storage-compression stage of an
     * embedding store (4× smaller than float32 before ANN indexing). Each
     * vector gets a per-vector affine code: q = floor((x - min) /
