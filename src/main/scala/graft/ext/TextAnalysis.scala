@@ -1160,6 +1160,102 @@ object TextAnalysis {
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Triangle counting + local clustering coefficient over the token
+    * co-occurrence graph (same adjacent-bigram edges as
+    * [[tokenPagerank]]) — the third iterative-graph family member beside
+    * PageRank and the CC contraction, and the structure metric corpus
+    * linguistics uses for collocation cliques. Degree-ordered
+    * node-iterator (Schank & Wagner 2005): every edge orients from its
+    * lower-(degree, name) endpoint, each triangle is found EXACTLY once
+    * as a wedge at its lowest vertex closed by one edge lookup, and the
+    * wedge fan-out is bounded by graph arboricity instead of max degree
+    * — the difference between a hot stopword exploding the join and the
+    * O(m^1.5) bound that survives a web-scale graph. Wedge join and
+    * closing-edge lookup both key on node/edge ids; nothing is ever
+    * all-pairs. Output: per-token triangle count and local clustering
+    * coefficient 2T/(deg·(deg−1)), the mislabel/degeneracy signal. */
+  def tokenTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+    val und = docs
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> struct(tokens[i] AS a, tokens[i+1] AS b))""".stripMargin)).as("e"))
+      .select(least(col("e.a"), col("e.b")).as("u"),
+        greatest(col("e.a"), col("e.b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("w0"), col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val tri = wedges.join(und,
+      least(col("w1"), col("w2")) === col("u")
+        && greatest(col("w1"), col("w2")) === col("v"))
+      .select(col("w0"), col("w1"), col("w2"))
+    val perNode = tri
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("token"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        Num.r4(when(col("deg") < 2, 0.0)
+          .otherwise(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0
+            / (col("deg") * (col("deg") - 1)))).as("clustering"))
+  }
+
+  val tokenTrianglesSql: String =
+    """WITH bi AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(string_split(text, ' ')) - 1),
+      |           i -> {'a': string_split(text, ' ')[CAST(i + 1 AS INT)],
+      |                 'b': string_split(text, ' ')[CAST(i + 2 AS INT)]})) AS e
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |und AS (
+      |  SELECT DISTINCT least(e.a, e.b) AS u, greatest(e.a, e.b) AS v
+      |  FROM bi WHERE e.a != e.b),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY node),
+      |ori AS (
+      |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+      |  FROM und
+      |  JOIN (SELECT node AS u, deg AS du FROM deg) USING (u)
+      |  JOIN (SELECT node AS v, deg AS dv FROM deg) USING (v)),
+      |tri AS (
+      |  SELECT e1.src AS w0, e1.dst AS w1, e2.dst AS w2
+      |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  JOIN und ON least(e1.dst, e2.dst) = und.u
+      |          AND greatest(e1.dst, e2.dst) = und.v),
+      |pern AS (
+      |  SELECT node, count(*) AS n_triangles FROM (
+      |    SELECT w0 AS node FROM tri
+      |    UNION ALL SELECT w1 FROM tri
+      |    UNION ALL SELECT w2 FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node AS token,
+      |       COALESCE(p.n_triangles, 0) AS n_triangles,
+      |       round(CASE WHEN d.deg < 2 THEN 0.0
+      |             ELSE COALESCE(p.n_triangles, 0) * 2.0
+      |                  / (d.deg * (d.deg - 1)) END + 1e-9, 4) AS clustering
+      |FROM deg d LEFT JOIN pern p ON p.node = d.node
+      |ORDER BY token""".stripMargin
+
   /** Quality-gate ensemble — what a production pipeline actually ships:
     * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
     * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —

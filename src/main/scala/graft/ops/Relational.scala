@@ -1609,6 +1609,45 @@ object Relational {
       |FROM w WHERE is_grid = 1
       |ORDER BY user_id, grid_t""".stripMargin
 
+  /** Markov transition matrix over per-user event sequences — the
+    * behavior-modeling aggregate (next-action prediction, anomaly
+    * scoring): count every consecutive (prev → next) event-type pair
+    * within a user's timeline and normalize rows to probabilities. One
+    * lag window over the user-keyed sort + one groupBy on the (from, to)
+    * pair — the output is |types|² regardless of corpus size, and the
+    * probability normalization is a broadcast-join against the |types|
+    * row-sum aggregate, never a second corpus pass. */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        Num.r4(col("n").cast("double") / col("row_total")).as("p"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, sum(n) AS row_total FROM pairs GROUP BY 1)
+      |SELECT p.prev_type, p.next_type, p.n,
+      |       round(p.n * 1.0 / t.row_total + 1e-9, 4) AS p
+      |FROM pairs p JOIN tot t USING (prev_type)
+      |ORDER BY p.prev_type, p.next_type""".stripMargin
+
   /** Z-order (Morton) layout key — the data-skipping primitive of
     * lakehouse table layout (Delta OPTIMIZE ZORDER, Iceberg sort orders):
     * interleave the bits of two scan dimensions so that sorting by the
