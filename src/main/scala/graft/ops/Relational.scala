@@ -1648,6 +1648,38 @@ object Relational {
       |FROM pairs p JOIN tot t USING (prev_type)
       |ORDER BY p.prev_type, p.next_type""".stripMargin
 
+  /** Per-entity z-score anomaly flagging — the metric-monitoring screen
+    * (sensor glitches, metric spikes): each event's `value` scores
+    * against ITS USER's mean/σ and flags |z| > 2. Two-pass per-key
+    * shape: one groupBy computes the per-user moment pair (a |users|-row
+    * broadcast or key-join — never a window over the raw series), then
+    * the scoring is a map-side projection. Users with a degenerate σ=0
+    * (or a single event) cannot be scored and flag false. Sample stddev
+    * matches DuckDB's `stddev` default, so z replays bit-for-bit. */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy(col("user_id"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        Num.r4(when(col("sigma").isNull || col("sigma") === 0, 0.0)
+          .otherwise((col("value") - col("mu")) / col("sigma"))).as("z"),
+        (col("sigma").isNotNull && col("sigma") =!= 0
+          && abs((col("value") - col("mu")) / col("sigma")) > 2).as("is_anomaly"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH s AS (
+      |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY user_id)
+      |SELECT event_id, e.user_id,
+      |       round(CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+      |             ELSE (value - mu) / sigma END + 1e-9, 4) AS z,
+      |       (sigma IS NOT NULL AND sigma != 0
+      |        AND abs((value - mu) / sigma) > 2) AS is_anomaly
+      |FROM events e JOIN s USING (user_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Z-order (Morton) layout key — the data-skipping primitive of
     * lakehouse table layout (Delta OPTIMIZE ZORDER, Iceberg sort orders):
     * interleave the bits of two scan dimensions so that sorting by the
