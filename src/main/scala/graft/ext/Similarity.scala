@@ -721,6 +721,49 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** ANN recall evaluation as a first-class query — the index-selection
+    * loop of a production vector store (before trusting an index family
+    * at 100 TB you measure its recall against exact search on a query
+    * sample, and that measurement IS a data pipeline): recall@3 of the
+    * three compressed-domain families (Hamming sign codes, RaBitQ
+    * corrected codes, SQ8 scalar quantization) against the exact cosine
+    * top-3 on the shared q_id < 10 query set. Each method's pairs
+    * semi-join the exact pairs on (query, neighbor) and one count per
+    * method divides by the fixed |queries|·k — tiny output, and every
+    * input is one of the already-oracled deterministic operators, so
+    * even the EVALUATION replays in DuckDB. */
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = knnPerVec(spark, sfDir).filter(col("q_id") < 10)
+      .select(col("q_id"), col("neighbor_id"))
+    def recallOf(df: DataFrame, name: String): DataFrame =
+      df.select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(name).as("method"),
+          Num.r4(col("n_hit").cast("double") / lit(30.0)).as("recall_at_3"))
+    recallOf(hammingAnn(spark, sfDir), "hamming")
+      .unionAll(recallOf(rabitqAnn(spark, sfDir), "rabitq"))
+      .unionAll(recallOf(annSq8(spark, sfDir), "sq8"))
+  }
+
+  // lazy: interpolates annSq8Sql, which is declared LATER in this object —
+  // eager init would capture null (Scala vals initialize top-to-bottom).
+  lazy val annRecallEvalSql: String = {
+    def arm(body: String, name: String): String =
+      s"""SELECT '$name' AS method,
+         |  round((SELECT count(*) FROM (SELECT q_id, neighbor_id FROM ($body))
+         |         JOIN exact USING (q_id, neighbor_id)) / 30.0 + 1e-9, 4)
+         |    AS recall_at_3""".stripMargin
+    s"""WITH exact AS (
+       |  SELECT q_id, neighbor_id FROM ($knnPerVecSql) WHERE q_id < 10)
+       |${arm(hammingAnnSql, "hamming")}
+       |UNION ALL
+       |${arm(rabitqAnnSql, "rabitq")}
+       |UNION ALL
+       |${arm(annSq8Sql, "sq8")}
+       |ORDER BY method""".stripMargin
+  }
+
   /** Simplified silhouette — the cluster-quality diagnostic of an
     * embedding corpus (label = cluster): per vector, a = distance to its
     * OWN label centroid, b = distance to the nearest OTHER centroid,
