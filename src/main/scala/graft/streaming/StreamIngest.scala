@@ -239,6 +239,61 @@ object StreamIngest {
       .select(col("doc_id"), col("n_candidate_shingles"))
   }
 
+  /** Streaming per-entity anomaly screen — Welford's online
+    * mean/variance per user as `flatMapGroupsWithState` state (n, mean,
+    * M2: three doubles per live user, the textbook bounded-state running
+    * moment), scoring each arriving event against the distribution of
+    * the user's PRIOR events (score-then-update, so the score never
+    * tests a value against a distribution that already contains it).
+    * Emits (user_id, event_id, z, is_anomaly) per event; |z| > 2 flags,
+    * and the first two events of a user emit z = 0 (no variance yet) —
+    * the same cold-start convention monitoring systems use. The batch
+    * twin `q_anomaly_zscore` scores against the FULL-corpus per-user
+    * moments; the streaming op is the prefix-causal variant, and the
+    * spec replays it against an exact sequential model. Events sort
+    * within a micro-batch (same device as [[throttle]]); TTL eviction is
+    * opt-in for unbounded user spaces. Input schema: (user_id LONG,
+    * event_id LONG, value DOUBLE, ts LONG micros). */
+  def anomalyStream(events: DataFrame,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Double, Boolean)] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"), col("ts").cast("long"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double, Double), (Long, Long, Double, Boolean)](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, Long, Double, Long)],
+         state: GroupState[(Double, Double, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            var (n, mean, m2) = state.getOption.getOrElse((0.0, 0.0, 0.0))
+            val out = rows.toSeq.sortBy(r => (r._4, r._2)).map {
+              case (_, eid, v, _) =>
+                // score against prior state (sample variance, matching
+                // stddev_samp)
+                val z =
+                  if (n >= 2.0 && m2 > 0.0) (v - mean) / math.sqrt(m2 / (n - 1.0))
+                  else 0.0
+                // Welford update
+                n += 1.0
+                val d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+                (uid, eid, math.rint(z * 1e4) / 1e4, math.abs(z) > 2)
+            }
+            state.update((n, mean, m2))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming ordered funnel — the incremental twin of the batch
     * `Relational.funnel` (view → click → purchase, each stage counted
     * only at-or-after the user's entry into the previous one), maintained

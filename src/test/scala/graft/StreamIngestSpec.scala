@@ -305,6 +305,45 @@ class StreamIngestSpec extends SparkSpec {
     assert(!got.contains(1L) || got.size <= exact.size + 1) // fp slack: tiny
   }
 
+  test("streaming welford anomaly screen replays a sequential model") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(r => (r._4, r._2))
+    // exact sequential model: score-then-update welford per user
+    val st = scala.collection.mutable.Map[Long, (Double, Double, Double)]()
+    val expected = ev.map { case (uid, eid, v, _) =>
+      var (n, mean, m2) = st.getOrElse(uid, (0.0, 0.0, 0.0))
+      val z = if (n >= 2.0 && m2 > 0.0) (v - mean) / math.sqrt(m2 / (n - 1.0)) else 0.0
+      n += 1.0; val d = v - mean; mean += d / n; m2 += d * (v - mean)
+      st(uid) = (n, mean, m2)
+      (uid, eid) -> (math.rint(z * 1e4) / 1e4, math.abs(z) > 2)
+    }.toMap
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val out = StreamIngest.anomalyStream(
+      mem.toDS().toDF("user_id", "event_id", "value", "ts"))
+    val q = out.toDF("user_id", "event_id", "z", "is_anomaly")
+      .writeStream.format("memory")
+      .queryName("anomaly_stream").outputMode("append").start()
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT user_id, event_id, z, is_anomaly FROM anomaly_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    q.stop()
+    assert(got.size == ev.length)
+    assert(got == expected)
+    // and it actually flags something on real data
+    assert(got.values.count(_._2) > 0)
+  }
+
   test("streaming funnel state machine replays the batch funnel exactly") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
