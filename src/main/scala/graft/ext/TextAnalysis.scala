@@ -1256,6 +1256,33 @@ object TextAnalysis {
       |FROM deg d LEFT JOIN pern p ON p.node = d.node
       |ORDER BY token""".stripMargin
 
+  /** Deterministic train/val/test split — the dataset-partitioning
+    * primitive every training run starts from, with the two properties
+    * that matter at scale: (1) portable determinism — the assignment is
+    * a pure function of the row (md5 hex-prefix thresholds, the same
+    * device as `q_sample_hash`), so any engine, any partitioning, any
+    * rerun produces the identical split; (2) leakage safety — the hash
+    * keys on the CONTENT, not the id, so byte-identical duplicates land
+    * in the SAME split and can never straddle train/test (the classic
+    * contamination bug id-keyed splits ship). Thresholds 0xcc/0xe6 give
+    * ≈80/10/10 in expectation; shuffle-free map-pass. */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("h2"))
+      .select(col("doc_id"), col("h2"),
+        when(col("h2") < "cc", lit("train"))
+          .when(col("h2") < "e6", lit("val"))
+          .otherwise(lit("test")).as("split"))
+
+  val datasetSplitSql: String =
+    """SELECT doc_id, substring(md5(text), 1, 2) AS h2,
+      |       CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+      |            WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality-gate ensemble — what a production pipeline actually ships:
     * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
     * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —
