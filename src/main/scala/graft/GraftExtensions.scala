@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, L2Distance}
 
 /** SparkSessionExtensions entry point: install the engine's native
   * functions into any session with
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_dist"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_dist"),
+      (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
   }
 }

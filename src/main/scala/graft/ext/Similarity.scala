@@ -786,11 +786,11 @@ object Similarity {
     val carr = centDims.groupBy(col("c_label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
       .select(col("c_label"), expr("transform(sm, x -> x.m)").as("cvec"))
+    // native fused-loop expression; bit-identical to the HOF fold
+    // sqrt(aggregate(zip_with(...))) — equivalence spec in ExtensionsSpec
+    graft.functions.L2Distance.register(spark)
     val ab = emb.crossJoin(broadcast(carr))
-      .withColumn("dist", sqrt(expr(
-        """aggregate(zip_with(embedding, cvec,
-          |  (v, c) -> (cast(v AS double) - c) * (cast(v AS double) - c)),
-          |  0D, (s, x) -> s + x)""".stripMargin)))
+      .withColumn("dist", expr("l2_dist(embedding, cvec)"))
       .groupBy(col("vec_id"), col("label"))
       .agg(min(when(col("label") === col("c_label"), col("dist"))).as("a"),
         min(when(col("label") =!= col("c_label"), col("dist"))).as("b"))

@@ -533,6 +533,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native l2_dist matches the higher-order formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    graft.functions.L2Distance.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    // float-vs-float and float-vs-double (derived centroid) type mixes
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        expr("transform(embedding, x -> cast(x AS double))").as("qd"))
+    val both = emb.join(broadcast(q))
+      .select(col("vec_id"),
+        expr("l2_dist(embedding, qe)").as("native_ff"),
+        expr("l2_dist(embedding, qd)").as("native_fd"),
+        sqrt(expr(
+          """aggregate(zip_with(embedding, qe,
+            |  (v, c) -> (cast(v AS double) - cast(c AS double))
+            |            * (cast(v AS double) - cast(c AS double))),
+            |  0D, (s, x) -> s + x)""".stripMargin)).as("hof"))
+    assert(both.filter(col("native_ff") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native_fd") =!= col("hof")).count() == 0)
+    val mm = spark.sql(
+      "SELECT l2_dist(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS m")
+      .collect()(0)
+    assert(mm.isNullAt(0))
+  }
+
   test("native cosine_sim is null-safe on mismatched or zero vectors") {
     graft.functions.CosineSimilarity.register(spark)
     val r = spark.sql(
