@@ -272,4 +272,65 @@ object Multimodal {
       |           i -> CAST(ascii(substr(frame, CAST(i AS INT), 1)) AS BIGINT))),
       |         (a, b) -> (a*31 + b) % 2147483647) AS frame_hash
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Perceptual-hash near-dup detection over the payload "image" — the
+    * IMAGE leg of the dedup story (text shingles ✓, embeddings ✓, and
+    * now pixels): average-hash pHash on a fake 8×8 grid (pixel i = byte
+    * i mod len of the payload — the stand-in for a real decoder's
+    * grayscale downsample, same stub contract as [[fakeDecodeFrame]]),
+    * each pixel thresholded against the grid SUM in pure integer math
+    * (pixel·64 > Σ — no FP mean, so the code replays exactly), packed
+    * into two 32-bit halves like the Hamming ANN codes. Candidate pairs
+    * bucket on the code's 16-bit prefix — the same
+    * fixed-size-key-shuffle posture as SimHash, never all-pairs — and
+    * survive at Hamming ≤ 8 of 64. A production deployment swaps the
+    * pixel stage for a real thumbnail decode; everything downstream
+    * (threshold, packing, bucketing, verify) is unchanged. */
+  def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val px = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 63),
+          |  i -> CAST(ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT))"""
+          .stripMargin).as("p"))
+      .withColumn("tot", expr("aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    def half(lo: Int, hi: Int) = expr(
+      s"""aggregate(slice(p, $lo, ${hi - lo + 1}), CAST(0 AS BIGINT),
+         |  (a, x) -> a * 2 + IF(x * 64 > tot, 1, 0))""".stripMargin)
+    val codes = px.select(col("doc_id"),
+      half(1, 32).as("hi"), half(33, 64).as("lo"))
+    codes.as("a")
+      .join(codes.as("b"),
+        expr("(a.hi div 65536) = (b.hi div 65536)")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.hi ^ b.hi)") + expr("bit_count(a.lo ^ b.lo)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 8)
+  }
+
+  val phashDedupSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64),
+      |      i -> CAST(ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT)) AS p
+      |  FROM documents),
+      |s AS (SELECT doc_id, p, list_sum(p) AS tot FROM px),
+      |code AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(p[1:32],
+      |        x -> CASE WHEN x * 64 > tot THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a * 2 + b) AS hi,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(p[33:64],
+      |        x -> CASE WHEN x * 64 > tot THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a * 2 + b) AS lo
+      |  FROM s)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+      |  FROM code a JOIN code b
+      |    ON (a.hi // 65536) = (b.hi // 65536) AND a.doc_id < b.doc_id)
+      |WHERE hamming <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
 }
