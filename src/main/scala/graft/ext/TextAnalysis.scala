@@ -1256,6 +1256,60 @@ object TextAnalysis {
       |FROM deg d LEFT JOIN pern p ON p.node = d.node
       |ORDER BY token""".stripMargin
 
+  /** Per-document Shannon entropy of the token distribution — the
+    * information-theoretic quality signal the ratio heuristics miss: a
+    * doc that repeats one phrase has low H even when its type-token
+    * ratio looks healthy, and H/ln(n_distinct) (the evenness in [0,1])
+    * separates "diverse vocabulary" from "uniform babble". One
+    * explode+groupBy for per-(doc, token) counts, one doc-keyed sum.
+    * Determinism device (same as the LM screens): each token's
+    * −p·ln p term integer-scales to 1e9 BEFORE the per-doc sum, so the
+    * aggregate is an exact fold under any partitioning and replays in
+    * DuckDB. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_distinct"),
+        round(-(col("c") / col("n")) * log(col("c") / col("n")) * lit(1e9)
+          + lit(1e-9), 0).cast("long").as("h_int"))
+      .groupBy(col("doc_id"), col("n_distinct"))
+      .agg(sum(col("h_int")).as("h_sum"))
+      .select(col("doc_id"),
+        Num.r4(col("h_sum") / lit(1e9)).as("entropy"),
+        Num.r4(when(col("n_distinct") <= 1, 0.0)
+          .otherwise(col("h_sum") / lit(1e9) / log(col("n_distinct").cast("double"))))
+          .as("evenness"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS c
+      |  FROM c GROUP BY doc_id, token),
+      |tot AS (
+      |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+      |  FROM cnt GROUP BY doc_id),
+      |terms AS (
+      |  SELECT cnt.doc_id, tot.n_distinct,
+      |         CAST(round(-(c / n) * ln(c / n) * 1e9 + 1e-9, 0) AS BIGINT) AS h_int
+      |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id),
+      |h AS (
+      |  SELECT doc_id, n_distinct, sum(h_int) AS h_sum
+      |  FROM terms GROUP BY doc_id, n_distinct)
+      |SELECT doc_id,
+      |       round(h_sum / 1e9 + 1e-9, 4) AS entropy,
+      |       round(CASE WHEN n_distinct <= 1 THEN 0.0
+      |             ELSE h_sum / 1e9 / ln(CAST(n_distinct AS DOUBLE)) END
+      |             + 1e-9, 4) AS evenness
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test split — the dataset-partitioning
     * primitive every training run starts from, with the two properties
     * that matter at scale: (1) portable determinism — the assignment is
