@@ -45,7 +45,7 @@ object ThriftCheck {
     Tables.events(spark, "/root/testdata/sf0.001")
       .createOrReplaceGlobalTempView("events_wire")
 
-    HiveThriftServer2.startWithContext(spark.sqlContext)
+    HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
     try {
       Class.forName("org.apache.hive.jdbc.HiveDriver")
       // The server binds asynchronously; retry the connect briefly.

@@ -424,7 +424,7 @@ object Dedup {
     * sized at `bitsPerKey` per key rounded up to a power of two. */
   def bloomBits(keys: DataFrame, numHashes: Int = 5,
       bitsPerKey: Int = 16): Array[Long] = {
-    val n = keys.select(countDistinct(col("shingle"))).head.getLong(0)
+    val n = keys.select(countDistinct(col("shingle"))).head().getLong(0)
     var mBits = 64L
     while (mBits < n * bitsPerKey) mBits <<= 1
     val bits = new Array[Long]((mBits / 64).toInt)

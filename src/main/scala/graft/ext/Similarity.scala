@@ -145,7 +145,7 @@ object Similarity {
   /** Squared distance from `embedding` to a centroid literal — per-row
     * fold against the broadcast constant, no shuffle. */
   private def ivfSqDist(cent: Array[Double]): Column = {
-    val centArr = array(cent.map(lit): _*)
+    val centArr = array(cent.toIndexedSeq.map(lit): _*)
     aggregate(
       zip_with(col("embedding"), centArr, (x, y) => {
         val d = x.cast("double") - y; d * d
