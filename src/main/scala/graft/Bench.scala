@@ -63,7 +63,11 @@ object Bench {
     "m_audio_window",
     "d_bloom_decontam", "d_crossmodal_dedup", "d_tfidf_search",
     "d_classifier_score", "e_rabitq_ann", "e_ann_sq8",
-    "q_window_count_distinct", "q_funnel", "q_histogram", "q_zorder_key")
+    "q_window_count_distinct", "q_funnel", "q_histogram", "q_zorder_key",
+    "d_quality_ensemble", "q_winsorize", "q_resample_lerp",
+    "q_transition_matrix", "d_token_triangles", "q_anomaly_zscore",
+    "e_silhouette", "e_ann_recall", "m_phash_dedup", "d_token_entropy",
+    "d_dataset_split", "q_json_scan")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically
