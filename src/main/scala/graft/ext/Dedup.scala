@@ -485,6 +485,124 @@ object Dedup {
     * pure prefilter and must not change the result. */
   val bloomDecontaminationSql: String = contaminationSql
 
+  /** Paragraph-level decontamination — [[contamination]] screens whole
+    * documents, but real eval-set leakage hides in ONE paragraph of an
+    * otherwise-clean document (a quoted benchmark question inside a blog
+    * post), and a doc-level verdict either over-drops the whole doc or
+    * under-reports partial leaks. This operator screens each PARAGRAPH
+    * against the eval-set shingles and aggregates per-document verdicts:
+    * `clean` (no paragraph flagged), `partial` (some), `contaminated`
+    * (every paragraph flagged) — `partial` is the actionable class, the
+    * docs a pipeline salvages by dropping only the leaked paragraphs.
+    *
+    * Segmentation is pluggable upstream of [[paraScreen]]: production
+    * corpora split on blank lines ([[parasFromNewlines]], the splitter
+    * the planted-leak spec drives); the `documents` fixture is
+    * newline-free by construction, so the registered query segments into
+    * fixed 16-token windows ([[parasFixedWindow]]) — same screen, same
+    * verdict algebra, deterministic in both engines. 100 TB shape is the
+    * doc-level screen's: eval shingles broadcast, paragraphs explode
+    * map-side (no corpus shuffle until the tiny per-paragraph hit
+    * aggregate), and the per-doc rollup shuffles (doc_id, para verdicts)
+    * — rows, never text bodies. */
+  def parasFromNewlines(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        split(trim(col("para")), " +").as("ptoks"))
+
+  def parasFixedWindow(documents: DataFrame, width: Int = 16): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $width),
+           |  i -> slice(toks, i * $width + 1, $width))""".stripMargin))
+        .as(Seq("para_idx", "ptoks")))
+
+  /** Screen paragraphs (doc_id, para_idx, ptoks) against the k-gram
+    * shingle set of `benchDocs` (doc_id, text) and roll up per-doc
+    * verdicts. Short paragraphs (< k tokens) cannot be flagged but still
+    * count toward `n_paras` — the denominator is the document. */
+  def paraScreen(paras: DataFrame, benchDocs: DataFrame, k: Int = 4): DataFrame = {
+    def shingleArr(toksCol: String) = expr(
+      s"""array_distinct(transform(sequence(0, size($toksCol) - $k),
+         |  i -> concat_ws(' ', slice($toksCol, i + 1, $k))))""".stripMargin)
+    val benchSet = benchDocs
+      .withColumn("btoks", split(col("text"), " "))
+      .filter(size(col("btoks")) >= k)
+      .select(explode(shingleArr("btoks")).as("shingle")).distinct()
+    val hits = paras
+      .withColumn("shl",
+        when(size(col("ptoks")) >= k, shingleArr("ptoks"))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("para_idx"), explode(col("shl")).as("shingle"))
+      .join(broadcast(benchSet), "shingle")
+      .groupBy(col("doc_id"), col("para_idx"))
+      .agg(count(lit(1)).as("n_shared"))
+    paras.select(col("doc_id"), col("para_idx"))
+      .join(hits, Seq("doc_id", "para_idx"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_flagged_paras"),
+        max(col("n_shared")).as("max_shared"))
+      .withColumn("verdict",
+        when(col("n_flagged_paras") === 0, lit("clean"))
+          .when(col("n_flagged_paras") === col("n_paras"), lit("contaminated"))
+          .otherwise(lit("partial")))
+  }
+
+  def paraContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    paraScreen(parasFixedWindow(docs.filter(col("doc_id") >= 5)),
+      docs.filter(col("doc_id") < 5))
+  }
+
+  val paraContaminationSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(0, len(toks) - 3),
+      |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT),
+      |           CAST(i + 4 AS INT)), ' ')))) AS shingle
+      |  FROM t WHERE doc_id < 5 AND len(toks) >= 4),
+      |p AS (
+      |  SELECT doc_id,
+      |         CAST(unnest(range(0, (len(toks) + 15) // 16)) AS INT) AS para_idx,
+      |         toks
+      |  FROM t WHERE doc_id >= 5),
+      |p2 AS (
+      |  SELECT doc_id, para_idx,
+      |         list_slice(toks, para_idx * 16 + 1, para_idx * 16 + 16) AS ptoks
+      |  FROM p),
+      |psh AS (
+      |  SELECT doc_id, para_idx,
+      |    unnest(list_distinct(list_transform(range(0, len(ptoks) - 3),
+      |      i -> array_to_string(list_slice(ptoks, CAST(i + 1 AS INT),
+      |             CAST(i + 4 AS INT)), ' ')))) AS shingle
+      |  FROM p2 WHERE len(ptoks) >= 4),
+      |fl AS (
+      |  SELECT doc_id, para_idx, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM psh WHERE shingle IN (SELECT shingle FROM bsh)
+      |  GROUP BY 1, 2),
+      |pp AS (
+      |  SELECT p2.doc_id, p2.para_idx, coalesce(fl.n_shared, 0) AS n_shared
+      |  FROM p2 LEFT JOIN fl
+      |    ON fl.doc_id = p2.doc_id AND fl.para_idx = p2.para_idx)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_paras,
+      |  CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged_paras,
+      |  CAST(max(n_shared) AS BIGINT) AS max_shared,
+      |  CASE WHEN sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) = 0 THEN 'clean'
+      |       WHEN sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) = count(*)
+      |         THEN 'contaminated'
+      |       ELSE 'partial' END AS verdict
+      |FROM pp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Cross-modal dedup — candidates from one modality, verification in
     * the other: embedding-space LSH proposes near-dup pairs (the
     * `documents`/`embeddings` fixtures share ids — row i's text and

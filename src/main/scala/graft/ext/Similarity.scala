@@ -725,9 +725,10 @@ object Similarity {
     * loop of a production vector store (before trusting an index family
     * at 100 TB you measure its recall against exact search on a query
     * sample, and that measurement IS a data pipeline): recall@3 of the
-    * three compressed-domain families (Hamming sign codes, RaBitQ
-    * corrected codes, SQ8 scalar quantization) against the exact cosine
-    * top-3 on the shared q_id < 10 query set. Each method's pairs
+    * full compressed-domain ladder (Hamming sign codes, RaBitQ corrected
+    * codes, SQ8 scalar quantization, IVFPQ residual codes, OPQ
+    * rotation-balanced codes) against the exact cosine top-3 on the
+    * shared q_id < 10 query set. Each method's pairs
     * semi-join the exact pairs on (query, neighbor) and one count per
     * method divides by the fixed |queries|·k — tiny output, and every
     * input is one of the already-oracled deterministic operators, so
@@ -744,6 +745,8 @@ object Similarity {
     recallOf(hammingAnn(spark, sfDir), "hamming")
       .unionAll(recallOf(rabitqAnn(spark, sfDir), "rabitq"))
       .unionAll(recallOf(annSq8(spark, sfDir), "sq8"))
+      .unionAll(recallOf(annIvfPq(spark, sfDir), "ivfpq"))
+      .unionAll(recallOf(annOpq(spark, sfDir), "opq"))
   }
 
   // lazy: interpolates annSq8Sql, which is declared LATER in this object —
@@ -761,6 +764,10 @@ object Similarity {
        |${arm(rabitqAnnSql, "rabitq")}
        |UNION ALL
        |${arm(annSq8Sql, "sq8")}
+       |UNION ALL
+       |${arm(annIvfPqSql, "ivfpq")}
+       |UNION ALL
+       |${arm(annOpqSql, "opq")}
        |ORDER BY method""".stripMargin
   }
 

@@ -749,8 +749,8 @@ object TextAnalysis {
     * the spec-asserted equivalence). `true_distinct` joins in as the
     * validation harness (same contract as [[cmsTokens]]); production
     * keeps only the K hashes per group. */
-  private[ext] val KmvK = 64
-  private[ext] val KmvDomain = 1.152921504606846976e18 // 2^60, exact in double
+  private[graft] val KmvK = 64
+  private[graft] val KmvDomain = 1.152921504606846976e18 // 2^60, exact in double
 
   def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Md5Prefix60.register(spark)
@@ -1093,6 +1093,84 @@ object TextAnalysis {
       |           ' +', ' ', 'g')) AS norm_text
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** PII pattern redaction — the privacy-scrub stage every LLM corpus
+    * passes before training (emails → `<EMAIL>`, North-American phone
+    * numbers → `<PHONE>`, IPv4 addresses → `<IP>`), as a staged
+    * `regexp_replace` cascade with per-document, per-category redaction
+    * counts. Counts are taken per STAGE (emails on the raw text, phones
+    * on the email-scrubbed text, IPs on the phone-scrubbed text) so each
+    * count states exactly how many replacements its stage performed —
+    * the audit number a privacy review asks for. The cascade is
+    * idempotent (replacement tokens contain no digits or '@', so no
+    * pattern can re-match its own output — spec-asserted), which is what
+    * lets a pipeline re-run the scrub safely after appends.
+    *
+    * The `documents` fixture text is digit-free by construction, so the
+    * registered query scrubs `withSyntheticPii`'s deterministically
+    * planted contact footer (id-derived email/phone/IP — built
+    * IDENTICALLY in the DuckDB oracle, so the regex semantics themselves
+    * are what the oracle verifies). Pure per-row projection: no shuffle,
+    * whole-stage codegen, linear at 100 TB. */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Deterministic PII footer keyed off doc_id: 1-2 emails, 0-1 phones,
+    * exactly one IP per doc, so counts vary across the corpus. */
+  def withSyntheticPii(documents: DataFrame): DataFrame =
+    documents.withColumn("raw_text", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@test.org")).otherwise(lit("")),
+      lit(" ip 10.2."), (col("doc_id") % 250).cast("string"), lit(".7"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" tel 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactOnDocs(withSyntheticPii(Tables.documents(spark, sfDir)), "raw_text")
+
+  def piiRedactOnDocs(documents: DataFrame, textCol: String): DataFrame =
+    documents
+      .withColumn("t0", col(textCol))
+      .withColumn("t1", regexp_replace(col("t0"), EmailRe, "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"), PhoneRe, "<PHONE>"))
+      .withColumn("red_text", regexp_replace(col("t2"), Ipv4Re, "<IP>"))
+      .select(col("doc_id"), col("red_text"),
+        size(expr(s"regexp_extract_all(t0, '${EmailRe.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(t1, '${PhoneRe.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_phones"),
+        size(expr(s"regexp_extract_all(t2, '${Ipv4Re.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_ips"))
+
+  val piiRedactSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END
+       |      || ' ip 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+       |      || CASE WHEN doc_id % 2 = 0
+       |              THEN ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE '' END AS t0
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, t0,
+       |    regexp_replace(t0, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |  FROM raw),
+       |st2 AS (
+       |  SELECT doc_id, t0, t1,
+       |    regexp_replace(t1, '$PhoneRe', '<PHONE>', 'g') AS t2
+       |  FROM st)
+       |SELECT doc_id,
+       |  regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS red_text,
+       |  CAST(len(regexp_extract_all(t0, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ips
+       |FROM st2
+       |ORDER BY doc_id""".stripMargin
 
   /** Sliding-window chunking — the context-window splitting stage that
     * runs before tokenize-and-pack in a training pipeline: each document

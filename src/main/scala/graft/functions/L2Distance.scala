@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * higher-order formulation, so swapping this in changes nothing
   * observable and the DuckDB oracles keep verifying it.
   *
-  * Mismatched lengths yield null (defensive; fixtures are fixed-dim).
+  * Mismatched lengths yield null (defensive; fixtures are fixed-dim), and
+  * so does a null ELEMENT on either side — matching the NULL propagation
+  * of the higher-order `sqrt(aggregate(zip_with(…)))` form this expression
+  * is documented bit-identical to (and [[CosineSimilarity]]'s contract).
   */
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -56,14 +59,18 @@ case class L2Distance(left: Expression, right: Expression)
       val xf = isFloat(left); val yf = isFloat(right)
       var s = 0.0
       var i = 0
-      while (i < n) {
-        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-        val d = xv - yv
-        s += d * d
+      var anyNull = false
+      while (i < n && !anyNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+        else {
+          val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+          val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+          val d = xv - yv
+          s += d * d
+        }
         i += 1
       }
-      java.lang.Double.valueOf(math.sqrt(s))
+      if (anyNull) null else java.lang.Double.valueOf(math.sqrt(s))
     }
   }
 
@@ -82,10 +89,16 @@ case class L2Distance(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    final double $d = ${get(a, isFloat(left))} - ${get(b, isFloat(right))};
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = java.lang.Math.sqrt($s);
+         |  }
          |}
        """.stripMargin
     })

@@ -1705,10 +1705,10 @@ object Relational {
 
   val zorderKeySql: String =
     """SELECT event_id,
-      |  list_sum(list_transform(range(0, 16), i ->
+      |  CAST(list_sum(list_transform(range(0, 16), i ->
       |    (((user_id % 65536) >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
       |    + (((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536) >> CAST(i AS INT)) & 1)
-      |      * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT)))) AS zval
+      |      * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT)))) AS BIGINT) AS zval
       |FROM events
       |ORDER BY event_id""".stripMargin
 }

@@ -21,8 +21,16 @@ import graft.Tables
   * `spark.read.json` pays.
   */
 object JsonSource {
+  /** Per-JVM token keying the scratch dir: two concurrent sessions on the
+    * same machine (parallel bench + verify runs) must not race on an
+    * overwrite-vs-read of a SHARED tmp path. Stable within a JVM so
+    * repeated invocations stay idempotent (warm bench runs overwrite the
+    * same dir), unique across JVMs so they never collide. */
+  private val runToken: String = java.util.UUID.randomUUID().toString.take(8)
+
   private def jsonPath(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_json/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
+    s"${sys.props("java.io.tmpdir")}/graft_json_$runToken/" +
+      s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
 
   /** Idempotent NDJSON materialization of `orders` + explicit-schema
     * read-back (overwrite keeps it deterministic and self-contained). */

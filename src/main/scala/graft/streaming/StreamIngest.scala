@@ -302,8 +302,10 @@ object StreamIngest {
     * of event volume, the bounded-state contract every stateful op here
     * keeps. Each update emits the user's current stage, so Update-mode
     * consumers always hold the latest funnel position and stage counts
-    * are a groupBy away. Events are sorted within a micro-batch (same
-    * device as `throttle`); cross-batch regressions (an event older than
+    * are a groupBy away. Events are sorted within a micro-batch by
+    * (ts, funnel-stage order) — stage order breaks ts ties so a same-ts
+    * view+click advances both stages, matching the batch funnel's
+    * min-ts comparisons; cross-batch regressions (an event older than
     * the user's current stage entry) cannot retro-advance the machine —
     * the watermark-bounded reorder window is the deployment knob, and
     * the batch operator is the exact replay for audits. TTL eviction is
@@ -331,7 +333,16 @@ object StreamIngest {
             stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
             var (stage, tEntry) =
               state.getOption.getOrElse((0, Long.MinValue))
-            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+            // Tie-break equal timestamps by FUNNEL ORDER (view < click <
+            // purchase), not lexicographically — a same-ts (view, click)
+            // pair must advance two stages exactly as the batch funnel's
+            // `min(click ts) >= min(view ts)` comparison counts it, or the
+            // "batch operator is the exact replay" audit contract breaks.
+            // Unknown event types sort last; they never match a stage.
+            def ord(tpe: String): Int = {
+              val i = stages.indexOf(tpe); if (i < 0) stages.length else i
+            }
+            rows.toSeq.sortBy(r => (r._3, ord(r._2))).foreach { case (_, tpe, ts) =>
               if (stage < stages.length && tpe == stages(stage) && ts >= tEntry) {
                 stage += 1; tEntry = ts
               }
@@ -339,6 +350,59 @@ object StreamIngest {
             state.update((stage, tEntry))
             Iterator.single((uid, stage))
           }
+      }
+  }
+
+  /** Streaming KMV distinct-count — the bottom-K sketch of the batch
+    * `d_kmv_distinct` run as keyed streaming state: per group the
+    * GroupState holds the K smallest DISTINCT hashes seen so far (a
+    * sorted Seq ≤ K longs — fixed-width state forever, like the CMS grid
+    * and MG counters beside it). The bottom-K union is idempotent,
+    * commutative, and associative, so the streamed summary after ANY
+    * batch split equals the batch aggregate over the same rows exactly —
+    * not approximately — and the estimate replays the batch twin's
+    * closed form: n_seen when fewer than K hashes exist (exact regime),
+    * else (K−1)·2⁶⁰/hₖ (same [[graft.ext.TextAnalysis.KmvK]] /
+    * `KmvDomain` constants, same r4 rounding — spec-asserted equal to
+    * `d_kmv_distinct`). Emits (group, version, hk, n_seen, est) per
+    * group per batch; readers keep the max-version row. Input is
+    * (group, hash) pairs — hash upstream with `md5_prefix60`, the same
+    * portable hash the batch op folds. */
+  def kmvDistinctStream(pairs: Dataset[(String, Long)],
+      k: Int = graft.ext.TextAnalysis.KmvK)
+      : Dataset[(String, Long, Long, Long, Double)] = {
+    import pairs.sparkSession.implicits._
+    val domain = graft.ext.TextAnalysis.KmvDomain
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[Long]), (String, Long, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Seq[Long])]) =>
+          val (ver, prev) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prev.foreach(set.add(_))
+          rows.foreach { case (_, h) =>
+            set.add(h)
+            if (set.size > k) set.pollLast()
+          }
+          val sk = {
+            val out = new Array[Long](set.size)
+            var i = 0
+            val it = set.iterator()
+            while (it.hasNext) { out(i) = it.next(); i += 1 }
+            out
+          }
+          val hk = if (sk.isEmpty) 0L else sk.last
+          val nSeen = sk.length.toLong
+          // Same r4 convention as the batch twin: +1e-9 nudge, then
+          // HALF_UP at 4 dp via BigDecimal — bit-identical to Num.r4.
+          val est =
+            if (nSeen < k) nSeen.toDouble
+            else java.math.BigDecimal
+              .valueOf((k - 1).toDouble * domain / hk.toDouble + 1e-9)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          state.update((ver + 1, sk.toSeq))
+          (grp, ver + 1, hk, nSeen, est)
       }
   }
 

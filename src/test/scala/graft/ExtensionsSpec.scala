@@ -556,6 +556,19 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT l2_dist(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS m")
       .collect()(0)
     assert(mm.isNullAt(0))
+    // a null ELEMENT propagates NULL, exactly like the higher-order form
+    // (zip_with emits null, the aggregate fold keeps it, sqrt keeps it)
+    val ne = spark.sql(
+      """SELECT l2_dist(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS a,
+        |       l2_dist(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |               array(CAST(NULL AS DOUBLE), CAST(2.0 AS DOUBLE))) AS b,
+        |       sqrt(aggregate(zip_with(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |                               array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |                               (v, c) -> (v - c) * (v - c)),
+        |                      0D, (s, x) -> s + x)) AS hof""".stripMargin)
+      .collect()(0)
+    assert(ne.isNullAt(0) && ne.isNullAt(1) && ne.isNullAt(2))
   }
 
   test("native cosine_sim is null-safe on mismatched or zero vectors") {
@@ -1004,6 +1017,60 @@ class ExtensionsSpec extends SparkSpec {
     val hit = got.count(r => exact(r.getLong(0)).contains(r.getLong(2)))
     val recall = hit.toDouble / (20 * 3)
     assert(recall >= 0.5, s"mrl recall $recall")
+  }
+
+  test("pii redaction scrubs each category with staged counts; cascade is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at a.b-c_d@mail-host.co.uk or x@y.io thanks"),
+      (2L, "call 415-555-0199 then 212-555-0100 from 10.0.0.1"),
+      (3L, "server 192.168.1.254 and 8.8.8.8 no mail"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "v1.2.3.4 hides in a word but 172.16.254.3 does not"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedactOnDocs(docs, "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L)._2 == 2 && !out(1L)._1.contains("@")
+      && out(1L)._1.contains("<EMAIL> or <EMAIL>"))
+    assert(out(2L)._3 == 2 && out(2L)._4 == 1
+      && out(2L)._1 == "call <PHONE> then <PHONE> from <IP>")
+    assert(out(3L)._4 == 2)
+    assert(out(4L) == (("nothing sensitive here at all", 0L, 0L, 0L)))
+    // \b keeps the in-word version string; the bare IP is still caught
+    assert(out(5L)._4 == 1 && out(5L)._1.contains("v1.2.3.4")
+      && out(5L)._1.contains("<IP>"))
+    // idempotence: a second pass changes nothing and counts zero
+    val again = TextAnalysis.piiRedactOnDocs(
+      TextAnalysis.piiRedactOnDocs(docs, "text")
+        .select(col("doc_id"), col("red_text").as("text")), "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    again.foreach { case (id, (txt, e, p, i)) =>
+      assert((e, p, i) == ((0L, 0L, 0L)), s"doc $id re-redacted")
+      assert(txt == out(id)._1, s"doc $id text changed on second pass")
+    }
+  }
+
+  test("paragraph decontamination flags exactly the planted leaked paragraph") {
+    import spark.implicits._
+    val benchPhrase = "alpha beta gamma delta epsilon zeta"
+    val bench = Seq((0L, benchPhrase)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "one two three four five six\n\n" + benchPhrase +
+        "\n\nseven eight nine ten eleven"),
+      (11L, "red orange yellow green blue\n\npurple brown black white gray"),
+      (12L, benchPhrase + "\n\nbeta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paraScreen(Dedup.parasFromNewlines(corpus), bench).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 10: only the quoted middle paragraph (all 3 bench shingles) flags
+    assert(out(10L) == ((3L, 1L, 3L, "partial")))
+    assert(out(11L) == ((2L, 0L, 0L, "clean")))
+    // doc 12: both paragraphs leak (the second is itself a bench 4-gram)
+    assert(out(12L) == ((2L, 2L, 3L, "contaminated")))
   }
 
   test("bloom decontamination is bit-identical to the exact screen") {

@@ -131,8 +131,11 @@ object GraftProps extends Properties("graft") {
       val ordered = events.sortBy(e => (e._3, e._2, e._1))
       val truth = ordered.groupBy(_._1).map { case (uid, rows) =>
         val stages = Array("view", "click", "purchase")
+        // ts ties resolve in FUNNEL-STAGE order (view < click < purchase),
+        // mirroring the operator — a same-ts view+click advances twice.
+        def ord(t: String) = { val i = stages.indexOf(t); if (i < 0) 3 else i }
         var stage = 0; var tEntry = Long.MinValue
-        rows.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+        rows.sortBy(r => (r._3, ord(r._2))).foreach { case (_, tpe, ts) =>
           if (stage < 3 && tpe == stages(stage) && ts >= tEntry) {
             stage += 1; tEntry = ts
           }

@@ -356,7 +356,9 @@ class StreamIngestSpec extends SparkSpec {
     val truth = ev.groupBy(_._1).map { case (uid, rows) =>
       var stage = 0; var tEntry = Long.MinValue
       val stages = Array("view", "click", "purchase")
-      rows.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, ts) =>
+      // same ts-tie rule as the operator: funnel-stage order, not lexicographic
+      def ord(t: String) = { val i = stages.indexOf(t); if (i < 0) 3 else i }
+      rows.sortBy(r => (r._3, ord(r._2))).foreach { case (_, tpe, ts) =>
         if (stage < 3 && tpe == stages(stage) && ts >= tEntry) {
           stage += 1; tEntry = ts
         }
@@ -387,6 +389,32 @@ class StreamIngestSpec extends SparkSpec {
       assert(batchCounts(s) == truth.count(_._2 >= s),
         s"stage $s count mismatch vs batch funnel")
     }
+  }
+
+  test("streaming funnel breaks ts ties in stage order, matching batch min-ts counting") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1: view and click share a timestamp — the batch funnel's
+    // min(click ts) >= min(view ts) counts BOTH advances, so the stream
+    // must process view before click at the tied ts (stage order, not
+    // lexicographic, where "click" < "view" would strand the machine at 1).
+    // user 2: all three stages at one ts — must reach stage 3.
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 100L),
+      (2L, "view", 50L), (2L, "click", 50L), (2L, "purchase", 50L),
+      (3L, "click", 10L), (3L, "view", 20L)) // click before view: stage 1 only
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = StreamIngest.funnelStream(
+      mem.toDS().toDF("user_id", "event_type", "ts"))
+    val q = out.toDF("user_id", "stage").writeStream.format("memory")
+      .queryName("funnel_ties").outputMode("update").start()
+    mem.addData(ev: _*)
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT user_id, max(stage) AS stage FROM funnel_ties GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    assert(got == Map(1L -> 2, 2L -> 3, 3L -> 1))
   }
 
   test("streaming CMS sketch converges to the batch cell grid") {
@@ -472,6 +500,49 @@ class StreamIngestSpec extends SparkSpec {
     graft.ext.TextAnalysis.heavyHitters(spark, sf001).collect()
       .map(_.getString(0))
       .foreach(t => assert(est.contains(t), s"batch heavy hitter $t missing"))
+  }
+
+  test("keyed-state streaming kmv estimate equals the batch twin, split-invariant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.Md5Prefix60.register(spark)
+    // the exact bigram-hash pairs the batch d_kmv_distinct folds
+    val pairs = Tables.documents(spark, sf001)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)).as("bigram"))
+      .distinct()
+      .select(col("lang"), expr("md5_prefix60(bigram)").as("h"))
+      .as[(String, Long)].collect().toIndexedSeq
+    val (first, second) = pairs.splitAt(pairs.length / 2)
+    val mem = MemoryStream[(String, Long)]
+    val out = StreamIngest.kmvDistinctStream(mem.toDS())
+      .toDF("lang", "version", "hk", "n_seen", "est")
+    val q = out.writeStream.format("memory").queryName("kmv_keyed")
+      .outputMode("update").start()
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(second)
+    q.processAllAvailable()
+    val latest = spark.sql("SELECT * FROM kmv_keyed").collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        val r = rs.maxBy(_.getLong(1))
+        l -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))
+      }
+    q.stop()
+    // estimate equals the batch d_kmv_distinct column exactly
+    val batch = graft.ext.TextAnalysis.kmvDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(latest.keySet == batch.keySet)
+    latest.foreach { case (l, (_, _, est)) =>
+      assert(est == batch(l), s"$l streamed $est != batch ${batch(l)}")
+    }
+    // bottom-K union is associative: one batch == the two-batch replay
+    val one = StreamIngest.kmvDistinctStream(pairs.toDS()).collect()
+      .map { case (l, _, hk, n, est) => l -> ((hk, n, est)) }.toMap
+    assert(one == latest.toMap, "batch split changed the kmv state")
   }
 
   test("native kmv aggregate in a streaming agg equals the batch sketch") {
