@@ -721,6 +721,138 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Two-component PCA by deterministic power iteration — the
+    * dimensionality-reduction / whitening stage of an embedding pipeline
+    * (PCA before IVF or OPQ is the standard FAISS preprocessing), as an
+    * oracled query. Center on the per-dim corpus mean, then for each
+    * component run 3 power-iteration steps (v ← Σᵢ (xᵢ·v)·xᵢ, normalized)
+    * from the deterministic start v₀ = e₁, deflate (x ← x − (x·v₁)v₁),
+    * and repeat for the second axis. Every corpus-level reduction (the
+    * mean, each iteration's per-dim accumulator) is rounded to 6 dp with
+    * the repo's +1e-9 HALF_UP convention before it re-enters the
+    * computation, which is what makes the whole training replayable in
+    * DuckDB despite float summation-order differences; projections round
+    * r4 like every other oracled metric.
+    *
+    * 100 TB shape: this is PCA as AGGREGATION — each iteration is one
+    * map-pass (per-row dot against a broadcast d-vector) feeding a
+    * (dim → partial-sum) hash aggregate whose shuffle carries d doubles
+    * per partition, never vectors; the learned axes are d-double driver
+    * state (the same bounded-control-flow class as the CC rounds and the
+    * OPQ permutation), and the centered corpus materializes once
+    * (`localCheckpoint`) exactly as a production pipeline persists its
+    * centered copy. Iteration count is fixed (3), not convergence-tested
+    * — determinism over optimality, the repo-wide contract. */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    def r6d(x: Double): Double = java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def litArr(a: Array[Double]) = array(a.toIndexedSeq.map(lit): _*)
+    def dotOf(vcol: String, v: Array[Double]) =
+      aggregate(zip_with(col(vcol), litArr(v), (x, c) => x * c),
+        lit(0.0), (a, x) => a + x)
+    val mu = emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(avg(col("x").cast("double")).as("m"))
+      .collect().map(r => r.getInt(0) -> r6d(r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val cvDf = emb.select(col("vec_id"),
+      zip_with(col("embedding"), litArr(mu), (x, m) => x.cast("double") - m)
+        .as("cv"))
+      .localCheckpoint()
+    def powerIter(df: DataFrame, vcol: String): Array[Double] = {
+      var v = Array.tabulate(mu.length)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to 3) {
+        val w = df
+          .select(dotOf(vcol, v).as("s"), posexplode(col(vcol)).as(Seq("dim", "x")))
+          .groupBy(col("dim")).agg(sum(col("s") * col("x")).as("w"))
+          .collect().map(r => r.getInt(0) -> r6d(r.getDouble(1)))
+          .sortBy(_._1).map(_._2)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(x => r6d(x / nrm))
+      }
+      v
+    }
+    val v1 = powerIter(cvDf, "cv")
+    val dvDf = cvDf
+      .withColumn("dproj", round(dotOf("cv", v1) + lit(1e-9), 6))
+      .select(col("vec_id"), col("cv"),
+        zip_with(col("cv"), litArr(v1), (x, c) => x - col("dproj") * c).as("dv"))
+      .localCheckpoint()
+    val v2 = powerIter(dvDf, "dv")
+    dvDf.select(col("vec_id"),
+      Num.r4(dotOf("cv", v1)).as("pc1"),
+      Num.r4(dotOf("dv", v2)).as("pc2"))
+  }
+
+  /** DuckDB twin of [[pcaProject]] — the mean, all six power-iteration
+    * steps, the deflation, and both projections unrolled as CTEs (the
+    * first step of each component simplifies: v₀ = e₁ ⇒ s = cv[1]).
+    * Every CTE is MATERIALIZED: DuckDB 1.0 inlines single-reference
+    * CTEs, and per-row scalar subqueries over this 18-CTE chain would
+    * re-evaluate the whole upstream tree combinatorially (measured:
+    * > 2 min inlined vs 0.5 s materialized at sf0.001); the norm is a
+    * 1-row CTE cross-joined in for the same reason. */
+  val pcaProjectSql: String = {
+    def iterBlock(wName: String, vName: String, nName: String, src: String,
+        vcol: String, prevV: Option[String]): String = {
+      val sExpr = prevV match {
+        case None => s"c.$vcol[1]"
+        case Some(pv) =>
+          s"list_sum(list_transform(list_zip(c.$vcol, $pv.v), p -> p[1] * p[2]))"
+      }
+      val from = prevV match {
+        case None => s"$src c"
+        case Some(pv) => s"$src c CROSS JOIN $pv"
+      }
+      s"""$wName AS MATERIALIZED (
+         |  SELECT dim, round(sum(s * x) + 1e-9, 6) AS w FROM (
+         |    SELECT $sExpr AS s,
+         |      CAST(generate_subscripts(c.$vcol, 1) - 1 AS INT) AS dim,
+         |      unnest(c.$vcol) AS x
+         |    FROM $from)
+         |  GROUP BY 1),
+         |$nName AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM $wName),
+         |$vName AS MATERIALIZED (
+         |  SELECT list(round(w / nrm + 1e-9, 6) ORDER BY dim) AS v
+         |  FROM $wName CROSS JOIN $nName)""".stripMargin
+    }
+    s"""WITH cd AS MATERIALIZED (
+       |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |mu AS MATERIALIZED (
+       |  SELECT dim, round(avg(x) + 1e-9, 6) AS m FROM cd GROUP BY 1),
+       |muv AS MATERIALIZED (SELECT list(m ORDER BY dim) AS mv FROM mu),
+       |cv AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    list_transform(list_zip(e.embedding, muv.mv),
+       |      p -> CAST(p[1] AS DOUBLE) - p[2]) AS cv
+       |  FROM embeddings e CROSS JOIN muv),
+       |${iterBlock("w11", "v11", "n11", "cv", "cv", None)},
+       |${iterBlock("w12", "v12", "n12", "cv", "cv", Some("v11"))},
+       |${iterBlock("w13", "v13", "n13", "cv", "cv", Some("v12"))},
+       |dp AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cv,
+       |    round(list_sum(list_transform(list_zip(c.cv, v13.v),
+       |      p -> p[1] * p[2])) + 1e-9, 6) AS dproj
+       |  FROM cv c CROSS JOIN v13),
+       |dv AS MATERIALIZED (
+       |  SELECT d.vec_id, d.cv,
+       |    list_transform(list_zip(d.cv, v13.v),
+       |      p -> p[1] - d.dproj * p[2]) AS dv
+       |  FROM dp d CROSS JOIN v13),
+       |${iterBlock("w21", "v21", "n21", "dv", "dv", None)},
+       |${iterBlock("w22", "v22", "n22", "dv", "dv", Some("v21"))},
+       |${iterBlock("w23", "v23", "n23", "dv", "dv", Some("v22"))}
+       |SELECT d.vec_id,
+       |  round(list_sum(list_transform(list_zip(d.cv, v13.v),
+       |    p -> p[1] * p[2])) + 1e-9, 4) AS pc1,
+       |  round(list_sum(list_transform(list_zip(d.dv, v23.v),
+       |    p -> p[1] * p[2])) + 1e-9, 4) AS pc2
+       |FROM dv d CROSS JOIN v13 CROSS JOIN v23
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   /** ANN recall evaluation as a first-class query — the index-selection
     * loop of a production vector store (before trusting an index family
     * at 100 TB you measure its recall against exact search on a query

@@ -1172,6 +1172,105 @@ object TextAnalysis {
        |FROM st2
        |ORDER BY doc_id""".stripMargin
 
+  /** BPE merge learning — the tokenizer-TRAINING stage of an LLM
+    * pipeline (Sennrich et al. 2016) as an oracled query: starting from
+    * character segmentations, repeatedly count adjacent symbol pairs
+    * (weighted by word frequency) and merge the most frequent pair,
+    * emitting the learned merge table (round, pair, n) — the artifact a
+    * real tokenizer ships. Ties break lexicographically so both engines
+    * learn the identical vocabulary.
+    *
+    * 100 TB shape: BPE never trains on the corpus — it trains on the
+    * WORD-FREQUENCY table (Zipf: the vocab is orders of magnitude
+    * smaller than the corpus), which is one hash aggregate here. Each
+    * round is then a map-side pair explode over vocab rows + one top-1
+    * reduce; selecting the winning pair is a 1-row collect, the same
+    * bounded driver control flow as the CC rounds in `dedupGroups` (the
+    * rounds are inherently sequential — that is BPE, not a Spark
+    * limitation). Applying a merge is a per-row string pass; the
+    * segmentation table is `localCheckpoint`ed per round for the same
+    * lineage-growth reason as the CC loop. Merge application doubles the
+    * separators first so one literal non-overlapping `replace` pass is
+    * exactly BPE's greedy left-to-right merge ("a a a" merges once, not
+    * twice — both engines' replace() share that contract). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergesOnDocs(spark, Tables.documents(spark, sfDir))
+
+  def bpeMergesOnDocs(spark: SparkSession, documents: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    var seg = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat_ws(" ", expr("regexp_extract_all(word, '.', 0)")).as("seg"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = seg
+        .withColumn("toks", split(col("seg"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        learned += ((r, pair, top(0).getLong(1)))
+        val search = " " + pair.replace(" ", "  ") + " "
+        val repl = " " + pair.replace(" ", "") + " "
+        seg = seg.select(col("cnt"),
+          trim(regexp_replace(
+            expr(s"replace(concat(' ', replace(seg, ' ', '  '), ' '), '$search', '$repl')"),
+            " +", " ")).as("seg"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    learned.result().toDF("round", "pair", "n")
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the same six rounds unrolled as CTE
+    * triples (pair counts pᵣ → winning merge mᵣ → re-segmentation sᵣ),
+    * with the winner applied via scalar subqueries — no driver loop, the
+    * whole training replayed declaratively. */
+  val bpeMergesSql: String = {
+    val rounds = 6
+    val head =
+      """WITH v AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |s0 AS (
+        |  SELECT cnt, array_to_string(regexp_extract_all(word, '.'), ' ') AS seg
+        |  FROM v)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS pair
+         |    FROM (SELECT cnt, string_split(seg, ' ') AS toks FROM s${r - 1})
+         |    WHERE len(toks) >= 2)
+         |  GROUP BY 1),
+         |m$r AS (SELECT $r AS round, pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |s$r AS (
+         |  SELECT cnt, trim(regexp_replace(
+         |    replace(' ' || replace(seg, ' ', '  ') || ' ',
+         |      (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)),
+         |    ' +', ' ', 'g')) AS seg
+         |  FROM s${r - 1})""".stripMargin
+    }
+    val union = (1 to rounds).map(r => s"SELECT round, pair, n FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"$head,\n${blocks.mkString(",\n")}\n$union\nORDER BY round"
+  }
+
   /** Sliding-window chunking — the context-window splitting stage that
     * runs before tokenize-and-pack in a training pipeline: each document
     * yields overlapping windows of `width` tokens advancing by `stride`

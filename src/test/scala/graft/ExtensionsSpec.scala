@@ -1019,6 +1019,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mrl recall $recall")
   }
 
+  test("pca power iteration finds the dominant axis first, deterministically") {
+    val a = Similarity.pcaProject(spark, sf001).cache()
+    val n = a.count()
+    assert(n == Tables.embeddings(spark, sf001).count())
+    // component order: the first axis captures at least as much variance
+    val Array(v1, v2) = a.agg(var_samp(col("pc1")), var_samp(col("pc2")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(v1 >= v2, s"pc1 variance $v1 < pc2 variance $v2")
+    assert(v2 > 0, "second component is degenerate")
+    // centered projections: means are ~0 (exact up to the r4 rounding)
+    val Array(m1, m2) = a.agg(avg(col("pc1")), avg(col("pc2")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(m1) < 1e-3 && math.abs(m2) < 1e-3)
+    // deflation: correlation is bounded, not zero — the op runs a FIXED
+    // 3 iterations (determinism over convergence, the repo contract), so
+    // v2 is only an approximate eigenvector and residual correlation
+    // with pc1 remains (measured ≈ −0.16 on this fixture; exact PCA
+    // would give 0). The hard invariant is the variance ordering above.
+    val corr = a.agg(org.apache.spark.sql.functions.corr(col("pc1"), col("pc2")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(corr) < 0.3, s"pc1/pc2 correlation $corr")
+    // deterministic end to end: a second run reproduces every value
+    val b = Similarity.pcaProject(spark, sf001)
+    assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+    a.unpersist()
+  }
+
+  test("bpe merge learning replays the textbook greedy merge sequence") {
+    import spark.implicits._
+    // vocab: "aaab" ×2, "ab" ×1. Round 1: pair 'a a' counts 2 per "aaab"
+    // occurrence (overlapping count) = 4, beating 'a b' (3). The merge
+    // itself is greedy non-overlapping, so "a a a b" → "aa a b" (once).
+    // Round 2: 'a b' = 3 (from both words). Round 3: 'aa ab' = 2.
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesOnDocs(spark, docs, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+    // exhaustion guard: once every word is a single symbol, rounds stop
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpeMergesOnDocs(spark, tiny, rounds = 5).collect()
+    assert(t.length == 1 && t(0).getString(1) == "a b")
+  }
+
   test("pii redaction scrubs each category with staged counts; cascade is idempotent") {
     import spark.implicits._
     val docs = Seq(
