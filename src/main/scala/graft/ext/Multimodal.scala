@@ -338,4 +338,88 @@ object Multimodal {
       |    ON (a.hi // 65536) = (b.hi // 65536) AND a.doc_id < b.doc_id)
       |WHERE hamming <= 8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val sceneSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", IntegerType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Scene-cut detection — shot-boundary detection by histogram
+    * differencing (the classic video-segmentation baseline: a cut is
+    * declared where consecutive frames' intensity histograms diverge),
+    * over the same stub decoder contract as [[frameSample]]: frames are
+    * 64-byte payload slices, the per-frame "intensity histogram" is a
+    * 16-bin byte histogram from one imperative pass (the production
+    * version histograms a decoded grayscale thumbnail; the surrounding
+    * plumbing is identical). The L1 histogram delta then comes from a
+    * per-doc lag window, and a frame is a cut when MORE THAN HALF the
+    * total mass moved — `2·Δ > len_i + len_{i−1}`, pure integer math so
+    * both engines agree exactly; frame 0 is always a cut (every video
+    * opens a scene). 100 TB shape: decode is the embarrassingly-parallel
+    * mapPartitions pass, and the only shuffle is the per-doc window over
+    * ≤ 8 frame rows of 16 longs each — frames never leave their split
+    * until they are histograms. */
+  def sceneCuts(spark: SparkSession, sfDir: String): DataFrame =
+    sceneCutsOnDocs(Tables.documents(spark, sfDir))
+
+  def sceneCutsOnDocs(documents: DataFrame): DataFrame = {
+    val payloads = documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val rowEncoder = org.apache.spark.sql.Encoders.row(sceneSchema)
+    val frames = payloads.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        r.getAs[Array[Byte]](1).grouped(64).take(8).zipWithIndex.map {
+          case (frame, idx) =>
+            val hist = new Array[Long](16)
+            frame.foreach(b => hist((b & 0xff) >> 4) += 1L)
+            Row(docId, idx, frame.length, hist.toSeq)
+        }
+      }
+    }(rowEncoder)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("ph", lag(col("hist"), 1).over(w))
+      .withColumn("pfb", lag(col("frame_bytes"), 1).over(w))
+      .withColumn("delta", coalesce(
+        aggregate(zip_with(col("hist"), col("ph"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x),
+        lit(0L)))
+      .select(col("doc_id"), col("frame_idx"), col("delta"),
+        (col("ph").isNull ||
+          col("delta") * 2 > (col("frame_bytes") + col("pfb")))
+          .as("is_cut"))
+  }
+
+  val sceneCutsSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, least(CAST(ceil(length(text)/64.0) AS BIGINT), 8))) AS fi
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |         substr(text, CAST(fi*64+1 AS INT), 64) AS frame
+      |  FROM idx),
+      |h AS (
+      |  SELECT doc_id, frame_idx, length(frame) AS fb,
+      |    list_transform(range(0, 16), b -> CAST(len(list_filter(
+      |      list_transform(range(1, length(frame) + 1),
+      |        i -> ascii(substr(frame, CAST(i AS INT), 1)) // 16),
+      |      v -> v = b)) AS BIGINT)) AS hist
+      |  FROM f),
+      |d AS (
+      |  SELECT doc_id, frame_idx, fb, hist,
+      |    lag(hist) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS ph,
+      |    lag(fb) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pfb
+      |  FROM h),
+      |e AS (
+      |  SELECT doc_id, frame_idx, fb, ph, pfb,
+      |    CAST(coalesce(list_sum(list_transform(list_zip(hist, ph),
+      |      p -> abs(p[1] - p[2]))), 0) AS BIGINT) AS delta
+      |  FROM d)
+      |SELECT doc_id, frame_idx, delta,
+      |  (ph IS NULL OR delta * 2 > fb + pfb) AS is_cut
+      |FROM e ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -1019,6 +1019,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mrl recall $recall")
   }
 
+  test("scene cuts fire exactly where the frame histogram shifts") {
+    import spark.implicits._
+    // frame 0: 64×'a' (bin 6); frame 1: 64×'0' (bin 3) — the whole mass
+    // moves, a cut; frame 2: identical to frame 1 — delta 0, no cut.
+    val docs = Seq((7L, "a" * 64 + "0" * 64 + "0" * 64)).toDF("doc_id", "text")
+    val got = Multimodal.sceneCutsOnDocs(docs).orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((0, 0L, true), (1, 128L, true), (2, 0L, false)))
+    // fixture sanity: every doc's frame 0 opens a scene, deltas are
+    // bounded by the two frames' combined mass
+    val fx = Multimodal.sceneCuts(spark, sf001).cache()
+    assert(fx.filter(col("frame_idx") === 0 && !col("is_cut")).count() == 0)
+    assert(fx.filter(col("delta") > 128).count() == 0)
+    fx.unpersist()
+  }
+
   test("pca power iteration finds the dominant axis first, deterministically") {
     val a = Similarity.pcaProject(spark, sf001).cache()
     val n = a.count()
