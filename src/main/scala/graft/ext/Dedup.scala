@@ -485,6 +485,102 @@ object Dedup {
     * pure prefilter and must not change the result. */
   val bloomDecontaminationSql: String = contaminationSql
 
+  /** LSH S-curve measurement — the index-selection eval for the DEDUP
+    * side, the exact analog of `e_ann_recall` for ANN: per Jaccard
+    * decile, what fraction of truly-similar pairs does 4×4 MinHash
+    * banding actually catch, next to the textbook expectation
+    * 1 − (1 − s^r)^b at the decile midpoint? Before trusting banding
+    * alone at 100 TB (skipping exact verification), a pipeline measures
+    * THIS curve on a sample — and the measurement is itself an oracled
+    * query. Ground truth is exact shingle-set Jaccard over the same
+    * 3-gram universe the signature sketches (one definition,
+    * [[shingleSetExpr]] — the estimator contract cannot drift); truth
+    * pairs come from a shingle-keyed inverted-index join (Σ n_s², never
+    * all-pairs — pairs sharing NO shingle have J = 0 exactly and are
+    * out of scope; pairs sharing ≥ 1 shingle with J < 0.1 land in
+    * bucket 0, the curve's floor, where banding should catch ~nothing).
+    * Deciles are INTEGER arithmetic — bucket = (10·|∩|) div |∪| — so no
+    * float boundary can disagree between engines. J = 1 pairs land in
+    * bucket 10 and are caught by construction (equal shingle sets ⇒
+    * equal signatures), which the spec pins. Fixture-quadratic like the
+    * rest of the pair family: correctness at sf0.01, banded pipeline is
+    * the 100 TB path. */
+  def lshScurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val shl = shingleSets(docs).localCheckpoint(false)
+    val sizes = shl.select(col("doc_id"), size(col("shl")).as("sz"))
+    val post = shl.select(col("doc_id"), explode(col("shl")).as("s"))
+    val inter = post.as("a")
+      .join(post.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truePairs = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .withColumn("bucket", expr("cast((inter * 10) div uni as int)"))
+    val sig = minhashSlots(docs).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCol(0), bandCol(1), bandCol(2), bandCol(3)))
+        .as(Seq("bi", "b")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.b") === col("y.b") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    truePairs
+      .join(cand.withColumn("caught", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0))).cast("long").as("n_caught"))
+      .select(col("bucket"), col("n_true"), col("n_caught"),
+        Num.r4(col("n_caught").cast("double") / col("n_true")).as("recall"),
+        Num.r4(lit(1.0) - pow(lit(1.0)
+          - pow(least(col("bucket") * lit(0.1) + lit(0.05), lit(1.0)), lit(4.0)),
+          lit(4.0))).as("theory"))
+  }
+
+  val lshScurveSql: String =
+    s"""WITH $sigCtesSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+       |docsh AS (
+       |  SELECT doc_id, $shingleListSql AS shl
+       |  FROM docs0 WHERE len(toks) >= 3),
+       |post AS (SELECT doc_id, unnest(shl) AS s FROM docsh),
+       |ip AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST((inter * 10) // (len(da.shl) + len(db.shl) - inter) AS INT)
+       |           AS bucket
+       |  FROM ip JOIN docsh da ON da.doc_id = ip.doc_a
+       |          JOIN docsh db ON db.doc_id = ip.doc_b),
+       |fl AS (
+       |  SELECT tb.bucket,
+       |         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+       |  FROM tb LEFT JOIN cand c
+       |    ON c.doc_a = tb.doc_a AND c.doc_b = tb.doc_b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  round(sum(caught) * 1.0 / count(*) + 1e-9, 4) AS recall,
+       |  round(1.0 - pow(1.0 - pow(least(bucket * 0.1 + 0.05, 1.0), 4), 4)
+       |    + 1e-9, 4) AS theory
+       |FROM fl GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
   /** Paragraph-level decontamination — [[contamination]] screens whole
     * documents, but real eval-set leakage hides in ONE paragraph of an
     * otherwise-clean document (a quoted benchmark question inside a blog

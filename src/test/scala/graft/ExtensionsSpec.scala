@@ -1019,6 +1019,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mrl recall $recall")
   }
 
+  test("lsh s-curve: exact-dup bucket is always caught, recall rises with similarity") {
+    val c = Dedup.lshScurve(spark, sf001).orderBy("bucket").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(c.nonEmpty)
+    c.foreach { case (b, (nt, nc, rec, th)) =>
+      assert(nc <= nt && rec >= 0.0 && rec <= 1.0 && th >= 0.0 && th <= 1.0, s"bucket $b")
+    }
+    // J = 1 pairs share the full shingle set, hence the full signature:
+    // every band matches, recall is exactly 1 — the structural guarantee
+    c.get(10).foreach { case (_, _, rec, _) => assert(rec == 1.0) }
+    // the curve rises: the top populated decile catches at least as much
+    // as the bottom one (bucket-level noise can wiggle the middle)
+    val bs = c.keys.toSeq.sorted
+    assert(c(bs.last)._3 >= c(bs.head)._3)
+  }
+
   test("scene cuts fire exactly where the frame histogram shifts") {
     import spark.implicits._
     // frame 0: 64×'a' (bin 6); frame 1: 64×'0' (bin 3) — the whole mass
