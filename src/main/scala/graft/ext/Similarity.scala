@@ -225,13 +225,13 @@ object Similarity {
   val annIvfSql: String = ivfSql(probes = 1)
   val annIvfProbe2Sql: String = ivfSql(probes = 2)
 
-  private def ivfAssignCte(a: String, c: String): String =
+  private def ivfAssignCte(a: String, c: String, src: String = "e"): String =
     s"""$a AS (SELECT vec_id, v, cell FROM (
        |  SELECT e.vec_id, e.v, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |           list_sum(list_transform(list_zip(e.v, c.cv),
        |             p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, c.cell ASC) AS rn
-       |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+       |  FROM $src e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
   private def ivfUpdateCte(m: String, a: String, prevL: String, cl: String,
       c: String): String =
     s"""$m AS (SELECT cell, dim, round(avg(x) + 1e-9, 6) AS cv
@@ -720,6 +720,88 @@ object Similarity {
       |  FROM embeddings)
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  /** Incremental IVF index maintenance — the ANN analog of
+    * `d_dedup_incremental`: a production vector index absorbs INSERTS by
+    * assigning new vectors to their nearest EXISTING cell, retraining
+    * the coarse quantizer only when drift warrants it (FAISS `add` vs
+    * `train`). Here the quantizer trains on the base corpus only
+    * (vec_id % 5 ≠ 0, the standing 80 %), the "arriving" 20 % is
+    * inserted by one map-side argmin against the frozen centroids — no
+    * training scan ever touches the new data — and queries probe the
+    * UNION index, with each neighbor labeled `base`/`new` so the result
+    * itself proves the inserts are retrievable. Cell quality for the
+    * inserts is whatever the frozen Voronoi partition gives — exactly
+    * the production trade, and why the re-train decision is monitored
+    * (drift shows up as shrinking recall, measurable with the
+    * `e_ann_recall` harness). 100 TB shape: insert cost is O(new·k·d)
+    * map work with zero shuffle of the standing corpus; the index stays
+    * cell-partitioned and only the new rows move. */
+  def annIvfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val (_, cents) = ivfQuantize(base)
+    def assignWith(df: DataFrame) = df
+      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
+      .withColumn("cell",
+        (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+    val assignAll = assignWith(emb)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val qcell = assignWith(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    assignAll.join(broadcast(qcell), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        Num.r4(cosine(spark, "embedding", "qe")).as("sim"),
+        when(col("vec_id") % 5 === 0, lit("new")).otherwise(lit("base")).as("src"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"),
+        col("sim"), col("src"))
+  }
+
+  /** DuckDB twin of [[annIvfIncremental]]: the Lloyd chain trains over
+    * the filtered `etr` base only (seeds + both assign rounds), the
+    * final assignment `a3` runs over the FULL corpus with the frozen
+    * `c2` centroids, and the query probes reuse the shared cell-argmin
+    * contract. */
+  lazy val annIvfIncrementalSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |etr AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 0),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM etr ORDER BY vec_id LIMIT 16)),
+       |c0l AS (SELECT cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
+       |               unnest(cv) AS x
+       |        FROM c0),
+       |${ivfAssignCte("a1", "c0", "etr")},
+       |${ivfUpdateCte("m1", "a1", "c0l", "c1l", "c1")},
+       |c1l2 AS (SELECT cell, dim, cv AS x FROM c1l),
+       |${ivfAssignCte("a2", "c1", "etr")},
+       |${ivfUpdateCte("m2", "a2", "c1l2", "c2l", "c2")},
+       |${ivfAssignCte("a3", "c2")},
+       |${ivfQueryCellCte("aq", 1)},
+       |sims AS (
+       |  SELECT q.q_id, a.cell, a.vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(ea.embedding, eq.embedding),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      + 1e-9, 4) AS sim,
+       |    CASE WHEN a.vec_id % 5 = 0 THEN 'new' ELSE 'base' END AS src
+       |  FROM (SELECT vec_id AS q_id, cell FROM aq) q
+       |  JOIN a3 a ON a.cell = q.cell AND a.vec_id != q.q_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eq ON eq.vec_id = q.q_id)
+       |SELECT q_id, rank, neighbor_id, cell, sim, src FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** Two-component PCA by deterministic power iteration — the
     * dimensionality-reduction / whitening stage of an embedding pipeline

@@ -1019,6 +1019,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mrl recall $recall")
   }
 
+  test("incremental ivf retrieves inserted vectors without retraining") {
+    val r = Similarity.annIvfIncremental(spark, sf001).cache()
+    // every query returns a full top-3 from the union index
+    val perQ = r.groupBy("q_id").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 3))
+    // the inserted 20% is present in results — retrievable, not orphaned
+    assert(r.filter(col("src") === "new").count() > 0)
+    // and no neighbor is the query itself
+    assert(r.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    r.unpersist()
+  }
+
   test("lsh s-curve: exact-dup bucket is always caught, recall rises with similarity") {
     val c = Dedup.lshScurve(spark, sf001).orderBy("bucket").collect()
       .map(r => r.getInt(0) ->
