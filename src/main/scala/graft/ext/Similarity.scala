@@ -948,8 +948,12 @@ object Similarity {
     * input is one of the already-oracled deterministic operators, so
     * even the EVALUATION replays in DuckDB. */
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // Lazy localCheckpoint: the exact ground-truth pairs feed FIVE
+    // semi-join branches (one per evaluated family); without it each
+    // branch re-runs the all-pairs exact scan + window.
     val exact = knnPerVec(spark, sfDir).filter(col("q_id") < 10)
       .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(false)
     def recallOf(df: DataFrame, name: String): DataFrame =
       df.select(col("q_id"), col("neighbor_id"))
         .join(exact, Seq("q_id", "neighbor_id"), "left_semi")

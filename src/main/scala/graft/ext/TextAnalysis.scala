@@ -1172,6 +1172,81 @@ object TextAnalysis {
        |FROM st2
        |ORDER BY doc_id""".stripMargin
 
+  /** PMI collocation mining — the phrase-extraction stage of corpus
+    * analysis (word2vec's phrase pass, Mikolov et al. 2013; Church &
+    * Hanks 1990): rank adjacent bigrams by pointwise mutual information
+    * PMI(a,b) = log₂( p(a,b) / (p(a)·p(b)) ), which surfaces pairs that
+    * co-occur far more than their unigram frequencies predict — true
+    * collocations rather than merely frequent pairs (the `d_ngram_counts`
+    * top-k is dominated by high-frequency filler; PMI normalizes it
+    * away). A minimum pair count (≥ 5) screens the low-count PMI bias.
+    * Top-20 by ROUNDED PMI then bigram, so the rank cutoff is
+    * engine-stable. 100 TB shape: two hash aggregates (unigrams,
+    * bigrams) + a broadcast-size join — the unigram table is
+    * Zipf-bounded vocabulary, the corpus is never shuffled, and the
+    * 1-row totals cross-join in broadcast. */
+  def pmiColloc(spark: SparkSession, sfDir: String): DataFrame =
+    pmiCollocOnDocs(Tables.documents(spark, sfDir))
+
+  def pmiCollocOnDocs(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .withColumn("tokens", split(col("text"), " "))
+    val uni = docs.select(explode(col("tokens")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val totals = docs
+      .select(sum(size(col("tokens"))).as("n_tok"),
+        sum(greatest(size(col("tokens")) - 1, lit(0))).as("n_big"))
+    val pairs = docs.filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> struct(tokens[i] AS a, tokens[i+1] AS b))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val w = Window.orderBy(desc("pmi"), asc("a"), asc("b"))
+    pairs
+      .join(broadcast(uni.select(col("t").as("a"), col("n_t").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("t").as("b"), col("n_t").as("n_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("a"), col("b"), col("n_pair"),
+        Num.r4(log2((col("n_pair").cast("double") / col("n_big"))
+          / ((col("n_a").cast("double") / col("n_tok"))
+            * (col("n_b").cast("double") / col("n_tok"))))).as("pmi"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("bigram"), col("n_pair"), col("pmi"))
+  }
+
+  val pmiCollocSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |uni AS (
+      |  SELECT u AS tok, CAST(count(*) AS BIGINT) AS n_t
+      |  FROM (SELECT unnest(toks) AS u FROM t) GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tok,
+      |         CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_big
+      |  FROM t),
+      |pr AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM (
+      |    SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i + 1 AS INT)] AS b
+      |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+      |          FROM t WHERE len(toks) >= 2))
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |sc AS (
+      |  SELECT pr.a || ' ' || pr.b AS bigram, pr.a, pr.b, pr.n_pair,
+      |    round(log2((pr.n_pair * 1.0 / tot.n_big)
+      |      / ((ua.n_t * 1.0 / tot.n_tok) * (ub.n_t * 1.0 / tot.n_tok)))
+      |      + 1e-9, 4) AS pmi
+      |  FROM pr JOIN uni ua ON ua.tok = pr.a
+      |          JOIN uni ub ON ub.tok = pr.b
+      |          CROSS JOIN tot)
+      |SELECT rank, bigram, n_pair, pmi FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    ORDER BY pmi DESC, a ASC, b ASC) AS INT) AS rank
+      |  FROM sc)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   /** BPE merge learning — the tokenizer-TRAINING stage of an LLM
     * pipeline (Sennrich et al. 2016) as an oracled query: starting from
     * character segmentations, repeatedly count adjacent symbol pairs

@@ -1091,6 +1091,21 @@ class ExtensionsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("pmi collocations rank attraction, not raw frequency") {
+    import spark.implicits._
+    // "x y" occurs 5 times and x,y occur ONLY together (max attraction);
+    // "the cat" also occurs 5 times but both words are everywhere, so
+    // its PMI must rank strictly below despite equal pair count.
+    val filler = (1 to 40).map(i => (i.toLong, "the cat the dog the cow"))
+    val docs = (filler ++ Seq((100L, ("x y " * 5).trim),
+      (101L, ("the cat " * 5).trim))).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocOnDocs(docs).collect()
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(out.contains("x y") && out.contains("the cat"))
+    assert(out("x y") > out("the cat"),
+      s"exclusive pair ${out("x y")} should outrank filler ${out("the cat")}")
+  }
+
   test("bpe merge learning replays the textbook greedy merge sequence") {
     import spark.implicits._
     // vocab: "aaab" ×2, "ab" ×1. Round 1: pair 'a a' counts 2 per "aaab"
