@@ -1172,6 +1172,69 @@ object TextAnalysis {
        |FROM st2
        |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): over each document's sequence of
+    * 4-gram hashes, slide a window of w = 4 and keep the window MINIMUM
+    * (rightmost on ties, the paper's rule), de-duplicated into
+    * (position, fingerprint) pairs. The guarantee `d_fingerprint`'s
+    * single rolling hash cannot give: any shared substring of length
+    * ≥ w + k − 1 tokens between two documents produces at least one
+    * IDENTICAL selected fingerprint in both — local, position-robust
+    * overlap detection (plagiarism / mirror detection) with expected
+    * density 2/(w+1) instead of keeping every k-gram. Entirely
+    * higher-order-function algebra on both engines (the window argmin is
+    * `array_min` over a slice + rightmost-match via `array_max(filter)`),
+    * shuffle-free per row; the fingerprint table is the ~30 %-density
+    * index a 100 TB overlap join buckets on (fp), never on raw text. */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOnDocs(Tables.documents(spark, sfDir))
+
+  def winnowOnDocs(documents: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix60.register(documents.sparkSession)
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .withColumn("kg", expr(
+        """transform(sequence(0, size(toks) - 4),
+          |  i -> md5_prefix60(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))""".stripMargin))
+      .withColumn("fp", explode(expr(
+        """array_distinct(transform(sequence(0, greatest(size(kg) - 4, 0)), j ->
+          |  struct(
+          |    j + array_max(filter(sequence(0, least(4, size(kg)) - 1),
+          |      t -> element_at(kg, j + t + 1) = array_min(slice(kg, j + 1, 4)))) AS pos,
+          |    array_min(slice(kg, j + 1, 4)) AS fp)))""".stripMargin)))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.fp").as("fp"))
+      .distinct()
+  }
+
+  val winnowSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4),
+      |kgr AS (
+      |  SELECT doc_id, list_transform(range(0, len(toks) - 3), i ->
+      |    list_reduce(list_transform(range(0, 15),
+      |      p -> CAST(strpos('0123456789abcdef',
+      |             substr(md5(array_to_string(list_slice(toks,
+      |               CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')),
+      |               CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b)) AS kg
+      |  FROM t),
+      |sel AS (
+      |  -- no list_distinct here: DuckDB 1.0 can't hash struct lists;
+      |  -- the outer SELECT DISTINCT performs the dedup instead
+      |  SELECT doc_id, unnest(
+      |    list_transform(range(0, greatest(len(kg) - 4, 0) + 1), j -> {
+      |      'pos': j + list_max(list_filter(range(0, least(4, len(kg))),
+      |        t -> kg[CAST(j + t + 1 AS INT)]
+      |          = list_min(list_slice(kg, CAST(j + 1 AS INT), CAST(j + 4 AS INT))))),
+      |      'fp': list_min(list_slice(kg, CAST(j + 1 AS INT), CAST(j + 4 AS INT)))
+      |    })) AS u
+      |  FROM kgr)
+      |SELECT DISTINCT doc_id, CAST(u.pos AS INT) AS pos, u.fp AS fp
+      |FROM sel
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** PMI collocation mining — the phrase-extraction stage of corpus
     * analysis (word2vec's phrase pass, Mikolov et al. 2013; Church &
     * Hanks 1990): rank adjacent bigrams by pointwise mutual information

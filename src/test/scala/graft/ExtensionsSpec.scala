@@ -1091,6 +1091,33 @@ class ExtensionsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("winnowing covers every window and detects shared substrings") {
+    import spark.implicits._
+    val shared = "quick brown fox jumps over the lazy dog tonight again"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta " + shared),
+      (2L, shared + " epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowOnDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // density: selections never exceed window count, and at least one
+    // fingerprint per w consecutive windows (winnowing's guarantee)
+    val byDoc = fps.groupBy(_._1)
+    docs.collect().foreach { r =>
+      val n = r.getString(1).split(" ").length - 3 // kgrams
+      val wins = n - 3                             // windows of w=4
+      val sel = byDoc(r.getLong(0))
+      assert(sel.length <= wins + 3)
+      assert(sel.length >= math.ceil(wins / 4.0).toInt, s"doc ${r.getLong(0)} too sparse")
+    }
+    // the 10-token shared run (>= w + k - 1 = 7) forces a common fingerprint
+    val common = byDoc(1L).map(_._3).toSet intersect byDoc(2L).map(_._3).toSet
+    assert(common.nonEmpty, "shared substring produced no common fingerprint")
+    // disjoint doc shares nothing
+    assert((byDoc(3L).map(_._3).toSet intersect byDoc(1L).map(_._3).toSet).isEmpty)
+  }
+
   test("pmi collocations rank attraction, not raw frequency") {
     import spark.implicits._
     // "x y" occurs 5 times and x,y occur ONLY together (max attraction);
