@@ -1235,6 +1235,51 @@ object TextAnalysis {
       |FROM sel
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** Pairwise overlap detection via the winnowing index — what the
+    * fingerprint table is FOR: bucket documents on selected fingerprints
+    * (inverted index keyed on `fp` — Σ n_fp² candidate work, never
+    * all-pairs), keep pairs sharing ≥ 2 distinct fingerprints, and score
+    * containment = shared / min(|fps_a|, |fps_b|) — the MOSS report
+    * metric (how much of the SMALLER document is covered, which catches
+    * a short doc pasted into a long one where Jaccard dilutes to
+    * nothing). Complements the dedup family: winnowing fingerprints
+    * localize overlap to positions, so a downstream pass can show WHERE
+    * the copied run sits. */
+  def winnowOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = winnow(spark, sfDir).select(col("doc_id"), col("fp"))
+      .distinct().localCheckpoint(false)
+    val shared = u.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(u.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    val cnt = u.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        Num.r4(col("n_shared").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+  }
+
+  lazy val winnowOverlapSql: String =
+    s"""WITH fpt AS (
+       |  SELECT DISTINCT doc_id, fp FROM ($winnowSql)),
+       |sh AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fpt a JOIN fpt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cnt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fpt GROUP BY 1)
+       |SELECT sh.doc_a, sh.doc_b, sh.n_shared,
+       |  round(sh.n_shared * 1.0 / least(ca.n_fp, cb.n_fp) + 1e-9, 4)
+       |    AS containment
+       |FROM sh JOIN cnt ca ON ca.doc_id = sh.doc_a
+       |        JOIN cnt cb ON cb.doc_id = sh.doc_b
+       |ORDER BY sh.doc_a, sh.doc_b""".stripMargin
+
   /** PMI collocation mining — the phrase-extraction stage of corpus
     * analysis (word2vec's phrase pass, Mikolov et al. 2013; Church &
     * Hanks 1990): rank adjacent bigrams by pointwise mutual information

@@ -353,6 +353,18 @@ object StreamIngest {
       }
   }
 
+  /** PII scrub at ingest — the cleaning stage run where the data LANDS:
+    * [[graft.ext.TextAnalysis.piiRedactOnDocs]]'s staged regexp cascade
+    * is pure per-row projection, so it runs unchanged under Structured
+    * Streaming (append-mode, zero state, no watermark) and the corpus
+    * is born scrubbed — no window where raw PII sits queryable in the
+    * lake. The spec replays a batch twin over the same rows to prove
+    * stream == batch exactly (stateless ⇒ trivially so, which is the
+    * point: cleaning belongs at ingest precisely because it needs no
+    * state). */
+  def piiRedactStream(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.piiRedactOnDocs(docs, "text")
+
   /** Streaming KMV distinct-count — the bottom-K sketch of the batch
     * `d_kmv_distinct` run as keyed streaming state: per group the
     * GroupState holds the K smallest DISTINCT hashes seen so far (a

@@ -502,6 +502,29 @@ class StreamIngestSpec extends SparkSpec {
       .foreach(t => assert(est.contains(t), s"batch heavy hitter $t missing"))
   }
 
+  test("pii scrub at ingest equals the batch cascade row for row") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail a@b.io and c.d@e.org now"),
+      (2L, "call 415-555-0199 from 10.0.0.7"),
+      (3L, "clean row with nothing to hide"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.piiRedactStream(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_ingest")
+      .outputMode("append").start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM pii_ingest").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    q.stop()
+    val batch = graft.ext.TextAnalysis
+      .piiRedactOnDocs(rows.toDF("doc_id", "text"), "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch)
+    assert(!streamed.values.exists(_.head.toString.contains("@")))
+  }
+
   test("keyed-state streaming kmv estimate equals the batch twin, split-invariant") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
