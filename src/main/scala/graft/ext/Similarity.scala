@@ -950,7 +950,9 @@ object Similarity {
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     // Lazy localCheckpoint: the exact ground-truth pairs feed FIVE
     // semi-join branches (one per evaluated family); without it each
-    // branch re-runs the all-pairs exact scan + window.
+    // branch re-runs the all-pairs exact scan + window. (Measured
+    // neutral at sf0.01 where the exact scan is cheap; the point is the
+    // production corpus, where five exact passes are five too many.)
     val exact = knnPerVec(spark, sfDir).filter(col("q_id") < 10)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(false)
