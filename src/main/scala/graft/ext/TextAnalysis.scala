@@ -1203,8 +1203,10 @@ object TextAnalysis {
           |    j + array_max(filter(sequence(0, least(4, size(kg)) - 1),
           |      t -> element_at(kg, j + t + 1) = array_min(slice(kg, j + 1, 4)))) AS pos,
           |    array_min(slice(kg, j + 1, 4)) AS fp)))""".stripMargin)))
+      // no .distinct(): the per-row array_distinct above already dedupes
+      // (all of a doc's selections come from ONE array), so the operator
+      // stays a shuffle-free map pass — plan-shape spec-asserted.
       .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.fp").as("fp"))
-      .distinct()
   }
 
   val winnowSql: String =

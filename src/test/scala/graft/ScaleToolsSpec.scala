@@ -38,6 +38,36 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
 
+  test("pii redaction plans as a pure projection chain — no shuffle at all") {
+    // The cleaning family's contract: per-row regexp work stays inside
+    // whole-stage codegen; a shuffle anywhere means the operator broke
+    // its linear-scan posture (the presentation sort lives in SparkEntry,
+    // not in the operator, so the operator plan must be Exchange-free).
+    val plan = graft.ext.TextAnalysis.piiRedact(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pii redaction should be shuffle-free, got:\n$plan")
+  }
+
+  test("scene cuts shuffle only the per-doc histogram rows, exactly once") {
+    // Decode runs map-side; the single Exchange is the per-doc window
+    // over <= 8 sixteen-long histogram rows — video bytes never shuffle.
+    val plan = graft.ext.Multimodal.sceneCuts(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one Exchange (the per-doc window), got $exchanges:\n$plan")
+  }
+
+  test("winnowing fingerprint selection is shuffle-free") {
+    // Window-minimum selection is per-row HOF algebra: the fingerprint
+    // index builds in a single map pass over the corpus.
+    val plan = graft.ext.TextAnalysis.winnow(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"winnowing should be shuffle-free, got:\n$plan")
+  }
+
   test("orc round-trip is lossless and pushes the scan predicate") {
     import graft.sources.OrcSource
     val orc = OrcSource.ordersOrc(spark, sf001)
