@@ -721,6 +721,72 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Cluster topic labeling — the "what IS this cluster" step that turns
+    * an embedding-space partition into something a curator can read:
+    * for every IVF cell, the most DISTINCTIVE tokens of the documents
+    * assigned to it (the `documents`/`embeddings` fixtures share ids —
+    * the [[graft.ext.Dedup.crossmodalDedup]] contract), ranked by lift =
+    * within-cell token rate over corpus token rate, with a minimum count
+    * screen. Raw frequency would label every cluster with the corpus's
+    * filler vocabulary; lift surfaces what the cell OVER-represents —
+    * the same normalization argument as PMI. Top-3 per cell by the
+    * ROUNDED lift (then token) so the cutoff is engine-stable.
+    *
+    * 100 TB shape: cell assignment is the quantizer's map-side argmin,
+    * token counting is two hash aggregates ((cell, token) and corpus),
+    * the corpus-rate table is a Zipf-bounded broadcast, and ranking is a
+    * window over (cell × vocab) rows — text bodies and vectors never
+    * shuffle together, only ids and counts move. */
+  def clusterTopics(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (assigned, _) = ivfQuantize(emb)
+    val docToks = Tables.documents(spark, sfDir)
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+      .select(col("cell"), explode(split(col("text"), " ")).as("tok"))
+    val cellTok = docToks.groupBy(col("cell"), col("tok"))
+      .agg(count(lit(1)).as("n_ct"))
+      .filter(col("n_ct") >= 3)
+    val cellTotals = docToks.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val corpus = docToks.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+    val total = docToks.agg(count(lit(1)).as("n_tot"))
+    val w = Window.partitionBy(col("cell")).orderBy(desc("lift"), asc("tok"))
+    cellTok
+      .join(cellTotals, "cell")
+      .join(broadcast(corpus), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("tok"), col("n_ct"),
+        Num.r4((col("n_ct").cast("double") / col("n_cell"))
+          / (col("n_t").cast("double") / col("n_tot"))).as("lift"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("cell"), col("rank"), col("tok"), col("n_ct"), col("lift"))
+  }
+
+  /** DuckDB twin of [[clusterTopics]] over the shared IVF cell chain. */
+  lazy val clusterTopicsSql: String =
+    s"""WITH $ivfCellCtesSql,
+       |dt AS (
+       |  SELECT a.cell, unnest(string_split(d.text, ' ')) AS tok
+       |  FROM documents d JOIN a3 a ON a.vec_id = d.doc_id),
+       |ct AS (
+       |  SELECT cell, tok, CAST(count(*) AS BIGINT) AS n_ct
+       |  FROM dt GROUP BY 1, 2 HAVING count(*) >= 3),
+       |cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell FROM dt GROUP BY 1),
+       |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY 1),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM dt),
+       |sc AS (
+       |  SELECT ct.cell, ct.tok, ct.n_ct,
+       |    round((ct.n_ct * 1.0 / cc.n_cell) / (tc.n_t * 1.0 / tt.n_tot)
+       |      + 1e-9, 4) AS lift
+       |  FROM ct JOIN cc ON cc.cell = ct.cell
+       |          JOIN tc ON tc.tok = ct.tok
+       |          CROSS JOIN tt)
+       |SELECT cell, rank, tok, n_ct, lift FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY cell
+       |            ORDER BY lift DESC, tok ASC) AS INT) AS rank
+       |  FROM sc)
+       |WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
+
   /** Incremental IVF index maintenance — the ANN analog of
     * `d_dedup_incremental`: a production vector index absorbs INSERTS by
     * assigning new vectors to their nearest EXISTING cell, retraining

@@ -1019,6 +1019,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mrl recall $recall")
   }
 
+  test("cluster topics emit up to 3 lift-ordered distinctive tokens per cell") {
+    val t = Similarity.clusterTopics(spark, sf001).cache()
+    assert(t.filter(col("lift") <= 0).count() == 0)
+    val byCell = t.collect().groupBy(_.getInt(0))
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length <= 3, s"cell $cell has ${rs.length} rows")
+      val lifts = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+        s"cell $cell lifts not ordered by rank: ${lifts.mkString(",")}")
+    }
+    t.unpersist()
+  }
+
   test("incremental ivf retrieves inserted vectors without retraining") {
     val r = Similarity.annIvfIncremental(spark, sf001).cache()
     // every query returns a full top-3 from the union index
