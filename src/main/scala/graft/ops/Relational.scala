@@ -1656,6 +1656,44 @@ object Relational {
     * the scoring is a map-side projection. Users with a degenerate σ=0
     * (or a single event) cannot be scored and flag false. Sample stddev
     * matches DuckDB's `stddev` default, so z replays bit-for-bit. */
+  /** Trailing-window EWMA — the classic monitoring smoother beside the
+    * z-score screen: per user, y = α·x + (1−α)·y over the last 20
+    * observations (the bounded window keeps the closed form numerically
+    * stable AND makes the op a plain windowed fold — the unbounded
+    * recurrence would need (1−α)^(−j) scalings that overflow). The fold
+    * runs oldest→newest over the frame-ordered collected list, a
+    * per-row deterministic reduction both engines execute in the same
+    * IEEE order (DuckDB's `list_reduce` seeds with the first element;
+    * the Spark fold seeds with `vals[1]` and folds the tail — same
+    * recurrence by construction). One shuffle: the per-user window
+    * sort, shared shape with the rest of the per-user family. */
+  def ewmaSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val alpha = 0.3
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("vals", collect_list(col("value")).over(w))
+      .select(col("event_id"), col("user_id"),
+        Num.r4(expr(
+          s"""aggregate(slice(vals, 2, size(vals) - 1),
+             |  cast(element_at(vals, 1) as double),
+             |  (acc, x) -> $alpha * x + ${1 - alpha} * acc)""".stripMargin))
+          .as("ewma"))
+  }
+
+  val ewmaSmoothSql: String =
+    """SELECT event_id, user_id,
+      |  round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)
+      |    + 1e-9, 4) AS ewma
+      |FROM (
+      |  SELECT event_id, user_id,
+      |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      |           AS vals
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
   def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val stats = ev.groupBy(col("user_id"))

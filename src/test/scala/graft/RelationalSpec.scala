@@ -204,6 +204,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("ewma replays the per-user trailing-window sequential model") {
+    val got = ops.Relational.ewmaSmooth(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val model = Tables.events(spark, sf001)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        ordered.indices.map { i =>
+          val win = ordered.slice(math.max(0, i - 19), i + 1).map(_._4)
+          val y = win.tail.foldLeft(win.head)((acc, x) => 0.3 * x + 0.7 * acc)
+          ordered(i)._3 -> r4(y)
+        }
+      }
+    assert(got.size == model.size)
+    model.foreach { case (eid, want) =>
+      assert(got(eid) == want, s"event $eid: got ${got(eid)}, want $want")
+    }
+  }
+
   test("gaps-and-islands emits maximal consecutive-month runs per customer") {
     val got = Relational.gapsIslands(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
