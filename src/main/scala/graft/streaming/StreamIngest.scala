@@ -353,6 +353,54 @@ object StreamIngest {
       }
   }
 
+  /** Streaming EWMA — the monitoring smoother as keyed state: ONE
+    * double (the running y) plus nothing else per live user, updated
+    * y ← α·x + (1−α)·y in (ts, event_id) order within each micro-batch.
+    * Deliberately the INFINITE-memory recurrence from stream start —
+    * the batch `q_ewma` keeps a trailing-20 window because an audit
+    * query re-reads history and wants bounded recomputation, while the
+    * streaming smoother's whole point is that the recurrence IS the
+    * state (the window would force buffering 20 values per user for no
+    * operational gain; α already discounts the past geometrically).
+    * The spec replays an exact sequential model across batch splits.
+    * Emits (user_id, event_id, ewma) per event, r4-rounded on emit
+    * only — state carries full precision so splits cannot drift. TTL
+    * eviction is opt-in, same rationale as [[throttle]]. Input schema:
+    * (user_id LONG, event_id LONG, value DOUBLE, ts LONG). */
+  def ewmaStream(events: DataFrame, alpha: Double = 0.3,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"), col("ts").cast("long"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Double), (Long, Long, Double)](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, Long, Double, Long)],
+         state: GroupState[(Boolean, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            var (seeded, y) = state.getOption.getOrElse((false, 0.0))
+            val out = rows.toSeq.sortBy(r => (r._4, r._2)).map {
+              case (_, eid, v, _) =>
+                y = if (seeded) alpha * v + (1 - alpha) * y else v
+                seeded = true
+                (uid, eid,
+                  java.math.BigDecimal.valueOf(y + 1e-9)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+            }
+            state.update((seeded, y))
+            out.iterator
+          }
+      }
+  }
+
   /** PII scrub at ingest — the cleaning stage run where the data LANDS:
     * [[graft.ext.TextAnalysis.piiRedactOnDocs]]'s staged regexp cascade
     * is pure per-row projection, so it runs unchanged under Structured

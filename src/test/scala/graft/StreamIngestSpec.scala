@@ -502,6 +502,46 @@ class StreamIngestSpec extends SparkSpec {
       .foreach(t => assert(est.contains(t), s"batch heavy hitter $t missing"))
   }
 
+  test("streaming ewma replays the sequential recurrence across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("ts"))
+      .as[(Long, Long, Double, Long)].collect().toIndexedSeq
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val out = StreamIngest.ewmaStream(
+      mem.toDS().toDF("user_id", "event_id", "value", "ts"))
+    val q = out.toDF("user_id", "event_id", "ewma")
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(second)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_id, ewma FROM ewma_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    // exact sequential model: per user in (ts, event_id) order, but the
+    // batch SPLIT boundary resets nothing — state carries across
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val model = (first.sortBy(r => (r._4, r._2)) ++ second.sortBy(r => (r._4, r._2)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        var seeded = false; var y = 0.0
+        rows.map { case (_, eid, v, _) =>
+          y = if (seeded) 0.3 * v + 0.7 * y else v
+          seeded = true
+          eid -> r4(y)
+        }
+      }
+    assert(got.size == ev.length)
+    model.foreach { case (eid, want) =>
+      assert(got(eid) == want, s"event $eid: got ${got(eid)}, want $want")
+    }
+  }
+
   test("pii scrub at ingest equals the batch cascade row for row") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
