@@ -74,6 +74,45 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // --- spark: winnowing matches a pure reference model --------------
+
+  /** Pure-JVM replay of md5_prefix60: first 15 md5 hex digits as a
+    * base-16 number == first 8 digest bytes big-endian, unsigned-shifted
+    * by 4 (15 hex digits = 60 bits). */
+  private def md5p60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+  }
+
+  /** Reference winnowing: 4-gram hashes, w=4 window minima, rightmost
+    * tie, deduplicated (pos, fp) selections. */
+  private def winnowModel(tokens: Seq[String]): Set[(Int, Long)] =
+    if (tokens.length < 4) Set.empty
+    else {
+      val kg = tokens.sliding(4).map(_.mkString(" ")).map(md5p60).toVector
+      (0 to math.max(kg.length - 4, 0)).map { j =>
+        val win = kg.slice(j, math.min(j + 4, kg.length))
+        val mv = win.min
+        (j + win.lastIndexOf(mv), mv)
+      }.toSet
+    }
+
+  property("winnowing == reference window-minimum selection") =
+    forAll(Gen.choose(4, 30),
+      Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d"))) { (n, pool) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      // tiny alphabet forces repeated k-grams, exercising the
+      // rightmost-tie rule, not just distinct minima
+      val toks = pool.take(n)
+      val df = Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = ext.TextAnalysis.winnowOnDocs(df).collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSet
+      val want = winnowModel(toks)
+      Prop(got == want) :| s"toks=$toks got=$got want=$want"
+    }
+
   // --- spark: shard packing invariants -----------------------------
 
   property("packOnDocs: budget bound, contiguous ids, docs preserved") =
