@@ -73,7 +73,7 @@ object Bench {
     "d_dataset_split", "q_json_scan", "d_pii_redact", "d_para_decontam",
     "d_bpe_merges", "m_scene_cuts", "d_lsh_scurve", "e_ann_ivf_incr",
     "e_pca_project", "d_pmi_colloc", "d_winnow", "d_winnow_overlap",
-    "e_cluster_topics", "q_ewma")
+    "e_cluster_topics", "q_ewma", "q_cusum")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically

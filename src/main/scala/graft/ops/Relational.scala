@@ -1656,6 +1656,61 @@ object Relational {
     * the scoring is a map-side projection. Users with a degenerate σ=0
     * (or a single event) cannot be scored and flag false. Sample stddev
     * matches DuckDB's `stddev` default, so z replays bit-for-bit. */
+  /** CUSUM changepoint detection — the classic mean-shift monitor
+    * (Page 1954) beside the z-score and EWMA screens. The textbook form
+    * is a sequential recurrence s ← max(0, s + x − μ − k), which windows
+    * cannot express directly — but CUSUM⁺ equals the cumulative-sum
+    * walk's height above its running minimum (s_i = C_i − min(0,
+    * min_{j≤i} C_j)), so the whole detector becomes TWO stacked window
+    * functions over one per-user sort: a running sum of the drift-
+    * compensated deviations (slack k = σ/2, the standard half-sigma
+    * allowance) and a running minimum of that sum. A shift flags when
+    * the statistic exceeds the usual h = 4σ decision interval. Shares
+    * the per-user Exchange+Sort with the rest of the monitoring family;
+    * both windows reuse ONE sort. Degenerate users (σ null/0) carry a
+    * zero statistic and never flag. */
+  def cusumShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy(col("user_id"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(stats), Seq("user_id"))
+      .withColumn("ok", col("sigma").isNotNull && col("sigma") =!= 0)
+      .withColumn("c",
+        sum(when(col("ok"),
+          col("value") - col("mu") - lit(0.5) * col("sigma"))
+          .otherwise(lit(0.0))).over(wCum))
+      .withColumn("s", col("c") - least(min(col("c")).over(wCum), lit(0.0)))
+      .select(col("event_id"), col("user_id"),
+        Num.r4(col("s")).as("cusum"),
+        (col("ok") && col("s") > lit(4.0) * col("sigma")).as("is_shift"))
+  }
+
+  val cusumShiftSql: String =
+    """WITH st AS (
+      |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY 1),
+      |cm AS (
+      |  SELECT e.event_id, e.user_id, e.ts, st.sigma,
+      |    (st.sigma IS NOT NULL AND st.sigma != 0) AS ok,
+      |    sum(CASE WHEN st.sigma IS NOT NULL AND st.sigma != 0
+      |             THEN e.value - st.mu - 0.5 * st.sigma ELSE 0.0 END)
+      |      OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM events e JOIN st USING (user_id)),
+      |sc AS (
+      |  SELECT event_id, user_id, sigma, ok,
+      |    c - least(min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS s
+      |  FROM cm)
+      |SELECT event_id, user_id,
+      |  round(s + 1e-9, 4) AS cusum,
+      |  (ok AND s > 4.0 * sigma) AS is_shift
+      |FROM sc
+      |ORDER BY event_id""".stripMargin
+
   /** Trailing-window EWMA — the classic monitoring smoother beside the
     * z-score screen: per user, y = α·x + (1−α)·y over the last 20
     * observations (the bounded window keeps the closed form numerically

@@ -204,6 +204,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cusum window identity equals the textbook recurrence") {
+    // The op computes s via cumsum-above-running-minimum; the reference
+    // model runs Page's recurrence s = max(0, s + x - mu - sigma/2)
+    // directly. The identity is exact in real arithmetic; float noise
+    // stays orders below the half-ulp of the r4 rounding, so we allow
+    // one rounding step of slack at the boundary.
+    val got = ops.Relational.cusumShift(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ev = Tables.events(spark, sf001)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val xs = ordered.map(_._4)
+      val n = xs.length
+      val mu = xs.sum / n
+      val sigma =
+        if (n < 2) 0.0
+        else math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      var s = 0.0
+      ordered.foreach { case (_, _, eid, x) =>
+        s = if (sigma == 0.0) 0.0 else math.max(0.0, s + x - mu - 0.5 * sigma)
+        assert(math.abs(got(eid) - s) <= 2e-4,
+          s"event $eid: got ${got(eid)}, recurrence $s")
+      }
+    }
+  }
+
   test("ewma replays the per-user trailing-window sequential model") {
     val got = ops.Relational.ewmaSmooth(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
