@@ -691,10 +691,17 @@ object TextAnalysis {
     * this is ORDER-INDEPENDENT (a pure function of the global counts), so
     * the sketch itself is fully oracle-able, with the MG error bound
     * `c(t) − est(t) = c₍K₊₁₎ ≤ N/(K+1)` spec-asserted. Dataflow: map-side
-    * partial token counts (only (token, count) pairs shuffle), then ONE
-    * vocabulary-sized global window for the rank — the corpus never sees a
-    * global sort, and the vocabulary relation is millions of rows when the
-    * corpus is 100 TB. Ties at the threshold break by token asc, so the
+    * partial token counts (only (token, count) pairs shuffle), then a
+    * distributed top-(K+1) (`TakeOrderedAndProject`: per-partition heaps
+    * of K+1 rows, merged on the driver) — NO global sort and NO
+    * single-partition rank window, because the vocabulary relation is
+    * millions of rows when the corpus is 100 TB and a
+    * `Window.orderBy` without a partition spec would funnel all of it
+    * through one task. The (K+1)-th count (the MG threshold) is then
+    * read out of the ≤(K+1)-row frame with plain array algebra — one
+    * single-group aggregate, no window anywhere in the plan (the
+    * no-unpartitioned-window invariant is spec-asserted registry-wide in
+    * PlanShapeSpec). Ties at the threshold break by token asc, so the
     * K-row cut is engine-deterministic. */
   private[ext] val MgK = 20
 
@@ -703,14 +710,23 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("true_cnt"))
-    val ranked = counts.withColumn("rn",
-      row_number().over(Window.orderBy(desc("true_cnt"), asc("token"))))
-    val thr = ranked.agg(
-      coalesce(max(when(col("rn") === MgK + 1, col("true_cnt"))), lit(0L)).as("thr"))
-    ranked.filter(col("rn") <= MgK)
-      .crossJoin(broadcast(thr))
-      .select(col("token"), col("true_cnt"),
-        (col("true_cnt") - col("thr")).as("est_cnt"))
+    // Distributed top-(K+1) under (count desc, token asc); the negated
+    // count makes the struct's natural ascending sort equal that order.
+    val top = counts
+      .orderBy(desc("true_cnt"), asc("token"))
+      .limit(MgK + 1)
+      .select(struct((-col("true_cnt")).as("neg"), col("token"),
+        col("true_cnt")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(col("arr"),
+        when(size(col("arr")) === MgK + 1,
+          element_at(col("arr"), MgK + 1).getField("true_cnt"))
+          .otherwise(lit(0L)).as("thr"))
+    top
+      .select(col("thr"), posexplode(col("arr")).as(Seq("pos", "s")))
+      .filter(col("pos") < MgK)
+      .select(col("s.token").as("token"), col("s.true_cnt").as("true_cnt"),
+        (col("s.true_cnt") - col("thr")).as("est_cnt"))
       .filter(col("est_cnt") > 0)
       .orderBy(desc("est_cnt"), asc("token"))
   }
@@ -1294,7 +1310,14 @@ object TextAnalysis {
     * engine-stable. 100 TB shape: two hash aggregates (unigrams,
     * bigrams) + a broadcast-size join — the unigram table is
     * Zipf-bounded vocabulary, the corpus is never shuffled, and the
-    * 1-row totals cross-join in broadcast. */
+    * 1-row totals cross-join in broadcast. The top-20 cut is a
+    * distributed `TakeOrderedAndProject` (per-partition 20-row heaps,
+    * merged on the driver), NOT a global rank window — `Window.orderBy`
+    * with no partition spec would drag the whole filtered-bigram
+    * relation through one task; ranks are then re-derived inside the
+    * ≤20-row frame by sorting a collected struct array, so the plan
+    * carries no window at all (spec-asserted registry-wide in
+    * PlanShapeSpec). */
   def pmiColloc(spark: SparkSession, sfDir: String): DataFrame =
     pmiCollocOnDocs(Tables.documents(spark, sfDir))
 
@@ -1313,8 +1336,7 @@ object TextAnalysis {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 5)
-    val w = Window.orderBy(desc("pmi"), asc("a"), asc("b"))
-    pairs
+    val scored = pairs
       .join(broadcast(uni.select(col("t").as("a"), col("n_t").as("n_a"))), "a")
       .join(broadcast(uni.select(col("t").as("b"), col("n_t").as("n_b"))), "b")
       .crossJoin(broadcast(totals))
@@ -1323,9 +1345,21 @@ object TextAnalysis {
         Num.r4(log2((col("n_pair").cast("double") / col("n_big"))
           / ((col("n_a").cast("double") / col("n_tok"))
             * (col("n_b").cast("double") / col("n_tok"))))).as("pmi"))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= 20)
-      .select(col("rank"), col("bigram"), col("n_pair"), col("pmi"))
+    // Distributed top-20 under (pmi desc, a asc, b asc); the struct's
+    // ascending natural order on (−pmi, a, b) reproduces that ordering
+    // inside the collected ≤20-row frame, so rank = position + 1. The
+    // negated pmi is sort-only; the original value is carried through
+    // untouched (−0.0 never reaches the output).
+    scored
+      .orderBy(desc("pmi"), asc("a"), asc("b"))
+      .limit(20)
+      .select(struct((-col("pmi")).as("neg"), col("a"), col("b"),
+        col("n_pair"), col("pmi"), col("bigram")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("s.bigram").as("bigram"), col("s.n_pair").as("n_pair"),
+        col("s.pmi").as("pmi"))
   }
 
   val pmiCollocSql: String =
