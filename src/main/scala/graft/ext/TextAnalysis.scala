@@ -1440,11 +1440,15 @@ object TextAnalysis {
       else {
         val pair = top(0).getString(0)
         learned += ((r, pair, top(0).getLong(1)))
+        // Bound literals, not SQL-string interpolation: a learned token
+        // containing a quote or backslash must reach replace() verbatim.
         val search = " " + pair.replace(" ", "  ") + " "
         val repl = " " + pair.replace(" ", "") + " "
         seg = seg.select(col("cnt"),
           trim(regexp_replace(
-            expr(s"replace(concat(' ', replace(seg, ' ', '  '), ' '), '$search', '$repl')"),
+            replace(
+              concat(lit(" "), replace(col("seg"), lit(" "), lit("  ")), lit(" ")),
+              lit(search), lit(repl)),
             " +", " ")).as("seg"))
           .localCheckpoint()
         r += 1

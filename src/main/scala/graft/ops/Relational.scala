@@ -1668,11 +1668,17 @@ object Relational {
     * the statistic exceeds the usual h = 4σ decision interval. Shares
     * the per-user Exchange+Sort with the rest of the monitoring family;
     * both windows reuse ONE sort. Degenerate users (σ null/0) carry a
-    * zero statistic and never flag. */
+    * zero statistic and never flag. μ and σ are rounded to 6 dp (the
+    * repo's round-before-reuse convention, same as the IVF centroids /
+    * PCA axes) BEFORE entering the running sum: the raw aggregates
+    * differ between engines by summation-order ulps, and an unbounded
+    * cumulative sum would otherwise accumulate that drift toward the
+    * 4σ decision boundary as series grow. */
   def cusumShift(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val stats = ev.groupBy(col("user_id"))
-      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      .agg(round(avg(col("value")) + lit(1e-9), 6).as("mu"),
+        round(stddev_samp(col("value")) + lit(1e-9), 6).as("sigma"))
     val wCum = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1690,7 +1696,8 @@ object Relational {
 
   val cusumShiftSql: String =
     """WITH st AS (
-      |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  SELECT user_id, round(avg(value) + 1e-9, 6) AS mu,
+      |         round(stddev_samp(value) + 1e-9, 6) AS sigma
       |  FROM events GROUP BY 1),
       |cm AS (
       |  SELECT e.event_id, e.user_id, e.ts, st.sigma,
@@ -1721,13 +1728,19 @@ object Relational {
     * IEEE order (DuckDB's `list_reduce` seeds with the first element;
     * the Spark fold seeds with `vals[1]` and folds the tail — same
     * recurrence by construction). One shuffle: the per-user window
-    * sort, shared shape with the rest of the per-user family. */
+    * sort, shared shape with the rest of the per-user family.
+    * Null observations are excluded EXPLICITLY in both engines: Spark's
+    * `collect_list` silently drops NULLs while DuckDB's `list()` keeps
+    * them (turning the fold NULL), so the operator pins the smoother to
+    * non-null values with a filter rather than relying on the fixture
+    * being non-null. */
   def ewmaSmooth(spark: SparkSession, sfDir: String): DataFrame = {
     val alpha = 0.3
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-19, Window.currentRow)
     Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
       .withColumn("vals", collect_list(col("value")).over(w))
       .select(col("event_id"), col("user_id"),
         Num.r4(expr(
@@ -1746,7 +1759,7 @@ object Relational {
       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
       |           AS vals
-      |  FROM events)
+      |  FROM events WHERE value IS NOT NULL)
       |ORDER BY event_id""".stripMargin
 
   def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {

@@ -28,8 +28,24 @@ object JsonSource {
     * same dir), unique across JVMs so they never collide. */
   private val runToken: String = java.util.UUID.randomUUID().toString.take(8)
 
+  private def scratchRoot =
+    new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_json_$runToken")
+
+  /** JVM-exit sweep of this run's scratch root: without it every
+    * bench/verify JVM would orphan its own NDJSON corpus in tmpdir. */
+  private val cleanupHook: Unit = {
+    val root = scratchRoot
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+    }: Unit
+  }
+
   private def jsonPath(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_json_$runToken/" +
+    s"${scratchRoot.getPath}/" +
       s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
 
   /** Idempotent NDJSON materialization of `orders` + explicit-schema
