@@ -401,6 +401,71 @@ object StreamIngest {
       }
   }
 
+  /** Streaming CUSUM changepoint monitor — the batch `q_cusum`
+    * ([[graft.ops.Relational.cusumShift]]) run as keyed state, in the
+    * calibrate-then-monitor posture real deployments use: per-user
+    * μ/σ come in as a STATIC calibration table (trained on history —
+    * here the same 6-dp-rounded moments the batch op computes) joined
+    * broadcast onto the stream, and the per-user state is exactly TWO
+    * doubles: the running drift-compensated cumulative sum C and its
+    * running minimum m. Emitting s = C − min(m, 0) replays the batch
+    * op's cumsum-above-running-min identity with the SAME sequential
+    * arithmetic the window frames execute (incremental left-to-right
+    * adds), so streamed statistics and 4σ shift flags equal the batch
+    * result bit-for-bit on an in-order replay — not just approximately
+    * (spec-asserted against `q_cusum` across batch splits with shuffled
+    * intra-batch arrival). Rows sort by (ts, event_id) within each
+    * micro-batch; state carries full precision, r4 rounding happens on
+    * emit only. Users absent from the calibration table (or with a
+    * degenerate σ) carry a zero statistic and never flag, matching the
+    * batch op. TTL eviction is opt-in, same rationale as [[throttle]].
+    * Input schema: (user_id LONG, event_id LONG, value DOUBLE, ts
+    * LONG); stats schema: (user_id, mu, sigma). */
+  def cusumStream(events: DataFrame, stats: DataFrame,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Double, Boolean)] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val calib = broadcast(stats.select(
+      col("user_id").cast("long").as("user_id"),
+      col("mu").cast("double").as("mu"),
+      col("sigma").cast("double").as("sigma")))
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"), col("ts").cast("long"))
+      .join(calib, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"),
+        coalesce(col("mu"), lit(0.0)).as("mu"),
+        coalesce(col("sigma"), lit(0.0)).as("sigma"))
+      .as[(Long, Long, Double, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double), (Long, Long, Double, Boolean)](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, Long, Double, Long, Double, Double)],
+         state: GroupState[(Double, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            var (c, m) = state.getOption.getOrElse((0.0, Double.PositiveInfinity))
+            val out = rows.toSeq.sortBy(r => (r._4, r._2)).map {
+              case (_, eid, v, _, mu, sigma) =>
+                val ok = sigma != 0.0
+                c += (if (ok) v - mu - 0.5 * sigma else 0.0)
+                m = math.min(m, c)
+                val s = c - math.min(m, 0.0)
+                (uid, eid,
+                  java.math.BigDecimal.valueOf(s + 1e-9)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue(),
+                  ok && s > 4.0 * sigma)
+            }
+            state.update((c, m))
+            out.iterator
+          }
+      }
+  }
+
   /** PII scrub at ingest — the cleaning stage run where the data LANDS:
     * [[graft.ext.TextAnalysis.piiRedactOnDocs]]'s staged regexp cascade
     * is pure per-row projection, so it runs unchanged under Structured

@@ -542,6 +542,43 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("streaming cusum equals batch q_cusum across splits and shuffled arrival") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // ground truth: the batch operator's statistics and 4-sigma flags
+    val want = graft.ops.Relational.cusumShift(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    // calibration table = the same 6dp-rounded per-user moments the
+    // batch op trains on (calibrate on history, monitor the stream)
+    val stats = Tables.events(spark, sf001).groupBy(col("user_id"))
+      .agg(round(avg(col("value")) + lit(1e-9), 6).as("mu"),
+        round(stddev_samp(col("value")) + lit(1e-9), 6).as("sigma"))
+    // replay in global (ts, event_id) order across three batch splits,
+    // but SHUFFLE arrival inside each batch — the operator must re-sort
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("ts"))
+      .as[(Long, Long, Double, Long)].collect().toIndexedSeq
+      .sortBy(r => (r._4, r._2))
+    val rnd = new scala.util.Random(8)
+    val batches = ev.grouped(math.max(1, ev.length / 3))
+      .map(b => rnd.shuffle(b)).toSeq
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val out = StreamIngest.cusumStream(
+      mem.toDS().toDF("user_id", "event_id", "value", "ts"), stats)
+    val q = out.toDF("user_id", "event_id", "cusum", "is_shift")
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    val got = spark.sql("SELECT event_id, cusum, is_shift FROM cusum_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    q.stop()
+    assert(got.size == ev.length)
+    want.foreach { case (eid, w) =>
+      assert(got(eid) == w, s"event $eid: got ${got(eid)}, want $w")
+    }
+  }
+
   test("pii scrub at ingest equals the batch cascade row for row") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
