@@ -1531,24 +1531,39 @@ object Similarity {
   def annIvfPqProbe2(spark: SparkSession, sfDir: String): DataFrame =
     annIvfPqImpl(spark, sfDir, probes = 2)
 
-  private def annIvfPqImpl(spark: SparkSession, sfDir: String,
-      probes: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+  /** The IVF-PQ index build shared by the in-memory queries and the
+    * persisted-index path: coarse-quantize, encode cell-relative
+    * residuals, and return (codesWithCell, centroids, codebooks) — the
+    * exact state a production deployment trains once and serves from.
+    * The localCheckpoint is the in-memory stand-in for that
+    * materialization (the PQ trainer's per-round actions would otherwise
+    * re-run the coarse assignment each time); [[annIndexWrite]] is the
+    * real one. */
+  private[graft] def ivfPqIndex(emb: DataFrame)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val (assigned, cents) = ivfQuantize(emb)
+    val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val resid = assigned.select(col("vec_id"), col("cell"),
+      zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+        (x, c) => x.cast("double") - c).as("rv"))
+      .localCheckpoint()
+    val (codes, cb) = pqQuantize(resid, "rv")
+    val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    (codesWithCell, cents, cb)
+  }
+
+  /** Query-side IVF-PQ scoring over an already-built index (in-memory
+    * or read back from the catalog): probe the `probes` nearest cells
+    * (same argmin contract as annIvf), build one residual + ADC table
+    * per (query, probed cell) — residuals are cell-relative — and rank
+    * the candidate union. */
+  private def ivfPqScore(emb: DataFrame, codesWithCell: DataFrame,
+      cents: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      probes: Int): DataFrame = {
     val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     def residual(vecCol: String) = zip_with(
       col(vecCol), element_at(centLit, col("cell") + 1),
       (x, c) => x.cast("double") - c)
-    // Checkpoint: the PQ trainer's per-round actions would otherwise
-    // re-run the coarse assignment each time (at scale the encoded corpus
-    // persists as (cell, codes) anyway — this is that materialization).
-    val resid = assigned.select(col("vec_id"), col("cell"),
-      residual("embedding").as("rv")).localCheckpoint()
-    val (codes, cb) = pqQuantize(resid, "rv")
-    val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    // Queries: probe the `probes` nearest cells (same argmin contract as
-    // annIvf); one residual + ADC table per (query, probed cell), since
-    // residuals are relative to that cell's centroid.
     val pw = Window.partitionBy(col("vec_id")).orderBy(asc("dist"), asc("cell"))
     val qcell = emb.filter(col("vec_id") < 10)
       .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
@@ -1579,6 +1594,65 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("adc"))
+  }
+
+  private def annIvfPqImpl(spark: SparkSession, sfDir: String,
+      probes: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (codesWithCell, cents, cb) = ivfPqIndex(emb)
+    ivfPqScore(emb, codesWithCell, cents, cb, probes)
+  }
+
+  /** Persist the trained IVF-PQ index as CATALOG TABLES — the
+    * production posture the in-memory queries only simulate: train
+    * once, write (cell, codes) + centroids + codebooks, serve lookups
+    * from the saved layout without retraining. The codes table is
+    * bucketed by `cell` ([[graft.sources.TableOps.resetBucketedTable]])
+    * so a serving cluster reads queries' probed cells without a
+    * shuffle, and the two model tables are k-row / (M·K)-row metadata.
+    * Everything stored is double-precision parquet, so the round-trip
+    * is exact — [[annIndexLookup]] reproduces the in-memory
+    * [[annIvfPq]] bit-for-bit (spec-asserted). */
+  def annIndexWrite(spark: SparkSession, sfDir: String,
+      prefix: String = "ann_ivfpq"): Unit = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (codesWithCell, cents, cb) = ivfPqIndex(emb)
+    graft.sources.TableOps.resetBucketedTable(spark, s"${prefix}_codes",
+      codesWithCell.select(col("vec_id"), col("cell"), col("codes")), "cell", 8)
+    graft.sources.TableOps.resetTable(spark, s"${prefix}_centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid"))
+    graft.sources.TableOps.resetTable(spark, s"${prefix}_codebooks",
+      (for { m <- cb.indices; code <- cb(m).indices }
+        yield (m, code, cb(m)(code).toSeq)).toDF("m", "code", "cvec"))
+  }
+
+  /** Serve IVF-PQ lookups from the SAVED index: read centroids and
+    * codebooks back into the bounded driver-side model state (k and
+    * M·K rows — the same shapes the trainers collect), take the codes
+    * relation straight from the bucketed table, and run the standard
+    * query-side scoring. No training happens here — this is the serve
+    * path of the train-once/persist/serve split. */
+  def annIndexLookup(spark: SparkSession, sfDir: String,
+      prefix: String = "ann_ivfpq", probes: Int = 1): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents = spark.table(s"${prefix}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.table(s"${prefix}_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cb = Array.tabulate(PqM, PqK)((m, code) => Array.empty[Double])
+    cbRows.foreach { case (m, code, v) => cb(m)(code) = v }
+    ivfPqScore(emb, spark.table(s"${prefix}_codes"), cents, cb, probes)
+  }
+
+  /** Registry form of the persistence round-trip: build + persist the
+    * index, then answer from the SAVED tables only. Oracle: identical
+    * to `e_ann_ivfpq` — the round-trip must change nothing. */
+  def annIndexRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    annIndexWrite(spark, sfDir)
+    annIndexLookup(spark, sfDir)
   }
 
   /** OPQ-lite rotation, learned from data but restricted to the

@@ -18,12 +18,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableOps {
 
+  /** DROP IF EXISTS + clear the managed location. The drop alone is not
+    * idempotent ACROSS JVMs with the in-memory catalog: a fresh session
+    * has no catalog entry to drop, but the previous run's warehouse
+    * directory survives on disk and `saveAsTable` then refuses with
+    * LOCATION_ALREADY_EXISTS. (A shared Hive metastore remembers the
+    * table instead, making the plain drop sufficient — this helper keeps
+    * the reset idempotent under both catalogs.) */
+  private def dropWithLocation(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true): Unit
+  }
+
   /** Idempotent reset: drop-if-exists then recreate from a DataFrame,
     * partitioned by the given columns (the reference's six per-room
     * tables become one partitioned table, SURVEY.md §1.3). */
   def resetTable(spark: SparkSession, name: String, df: DataFrame,
                  partitionCols: Seq[String] = Nil): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    dropWithLocation(spark, name)
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .saveAsTable(name)
@@ -43,7 +58,7 @@ object TableOps {
     * session catalog (bucket metadata lives there). */
   def resetBucketedTable(spark: SparkSession, name: String, df: DataFrame,
                          bucketCol: String, nBuckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    dropWithLocation(spark, name)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -68,6 +68,21 @@ class ScaleToolsSpec extends SparkSpec {
       s"winnowing should be shuffle-free, got:\n$plan")
   }
 
+  test("saved IVF-PQ index serves the same results as in-memory e_ann_ivfpq") {
+    import graft.ext.Similarity
+    Similarity.annIndexWrite(spark, sf001, prefix = "ann_rt")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    val saved = rows(Similarity.annIndexLookup(spark, sf001, prefix = "ann_rt"))
+    val mem = rows(Similarity.annIvfPq(spark, sf001))
+    assert(saved == mem,
+      s"saved-index lookup diverged from in-memory IVF-PQ: " +
+        s"only-saved=${(saved -- mem).take(3)} only-mem=${(mem -- saved).take(3)}")
+    Seq("codes", "centroids", "codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_rt_$t"))
+  }
+
   test("orc round-trip is lossless and pushes the scan predicate") {
     import graft.sources.OrcSource
     val orc = OrcSource.ordersOrc(spark, sf001)
