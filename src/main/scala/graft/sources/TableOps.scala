@@ -57,11 +57,17 @@ object TableOps {
     * the 100 TB replacement for repartitioning per query. Requires the
     * session catalog (bucket metadata lives there). */
   def resetBucketedTable(spark: SparkSession, name: String, df: DataFrame,
-                         bucketCol: String, nBuckets: Int): Unit = {
+                         bucketCol: String, nBuckets: Int): Unit =
+    resetBucketedTable(spark, name, df, Seq(bucketCol), nBuckets)
+
+  /** Composite-key form: joins keyed on ALL bucket columns (in order)
+    * between same-bucketed tables plan without an Exchange. */
+  def resetBucketedTable(spark: SparkSession, name: String, df: DataFrame,
+                         bucketCols: Seq[String], nBuckets: Int): Unit = {
     dropWithLocation(spark, name)
     df.write.mode("overwrite")
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
   }
 

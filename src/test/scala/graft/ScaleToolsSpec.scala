@@ -68,6 +68,21 @@ class ScaleToolsSpec extends SparkSpec {
       s"winnowing should be shuffle-free, got:\n$plan")
   }
 
+  test("bucketed band table makes the dedup pair join Exchange-free") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf001)
+    val pairs = Dedup.bandPairsBucketed(spark, docs, table = "bands_rt")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed band pair join should plan without a shuffle, got:\n$plan")
+    // same candidate set as the shuffling generator
+    val got = pairs.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.bandCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"bucketed candidates diverged: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    spark.sql("DROP TABLE IF EXISTS bands_rt")
+  }
+
   test("saved IVF-PQ index serves the same results as in-memory e_ann_ivfpq") {
     import graft.ext.Similarity
     Similarity.annIndexWrite(spark, sf001, prefix = "ann_rt")
