@@ -1458,30 +1458,34 @@ object TextAnalysis {
     learned.result().toDF("round", "pair", "n")
   }
 
-  /** DuckDB twin of [[bpeMerges]]: the same six rounds unrolled as CTE
+  /** DuckDB twin of [[bpeMerges]]: the same rounds unrolled as CTE
     * triples (pair counts pᵣ → winning merge mᵣ → re-segmentation sᵣ),
     * with the winner applied via scalar subqueries — no driver loop, the
-    * whole training replayed declaratively. */
-  val bpeMergesSql: String = {
-    val rounds = 6
+    * whole training replayed declaratively. Every CTE is
+    * `AS MATERIALIZED`: DuckDB 1.0 otherwise INLINES the chain and the
+    * per-round scalar subqueries re-evaluate the whole upstream tree
+    * combinatorially — fatal by round 12 (the depth that proves the
+    * unrolled-iteration pattern scales past toy size). */
+  def bpeMergesSqlFor(rounds: Int): String = {
     val head =
-      """WITH v AS (
+      """WITH v AS MATERIALIZED (
         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY 1),
-        |s0 AS (
+        |s0 AS MATERIALIZED (
         |  SELECT cnt, array_to_string(regexp_extract_all(word, '.'), ' ') AS seg
         |  FROM v)""".stripMargin
     val blocks = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(toks)),
          |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS pair
          |    FROM (SELECT cnt, string_split(seg, ' ') AS toks FROM s${r - 1})
          |    WHERE len(toks) >= 2)
          |  GROUP BY 1),
-         |m$r AS (SELECT $r AS round, pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
-         |s$r AS (
+         |m$r AS MATERIALIZED (
+         |  SELECT $r AS round, pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |s$r AS MATERIALIZED (
          |  SELECT cnt, trim(regexp_replace(
          |    replace(' ' || replace(seg, ' ', '  ') || ' ',
          |      (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r),
@@ -1493,6 +1497,16 @@ object TextAnalysis {
       .mkString("\nUNION ALL\n")
     s"$head,\n${blocks.mkString(",\n")}\n$union\nORDER BY round"
   }
+
+  val bpeMergesSql: String = bpeMergesSqlFor(6)
+
+  /** 12-round BPE training — the same learner at double depth, proving
+    * the unrolled CTE ladder (and the Spark driver loop it mirrors)
+    * scales past toy merge counts. */
+  def bpeMerges12(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergesOnDocs(spark, Tables.documents(spark, sfDir), rounds = 12)
+
+  val bpeMerges12Sql: String = bpeMergesSqlFor(12)
 
   /** Sliding-window chunking — the context-window splitting stage that
     * runs before tokenize-and-pack in a training pipeline: each document
