@@ -73,7 +73,8 @@ object Bench {
     "d_dataset_split", "q_json_scan", "d_pii_redact", "d_para_decontam",
     "d_bpe_merges", "m_scene_cuts", "d_lsh_scurve", "e_ann_ivf_incr",
     "e_pca_project", "d_pmi_colloc", "d_winnow", "d_winnow_overlap",
-    "e_cluster_topics", "q_ewma", "q_cusum")
+    "e_cluster_topics", "q_ewma", "q_cusum", "d_heavy_hitters",
+    "e_ann_index_lookup", "d_bpe_merges12")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically
@@ -145,9 +146,12 @@ object Bench {
     val fractions = sys.env.get("SPARK_GRAFT_FRACTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
       .getOrElse(Seq(25, 50, 75, 100))
+    // Default sweep: one smaller SF so the artifact always carries a
+    // scale-up data point (headline total at sf0.01 vs the primary SF);
+    // SPARK_GRAFT_SF_SWEEP overrides, empty string disables.
     val sweepDirs = sys.env.get("SPARK_GRAFT_SF_SWEEP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+      .getOrElse(Seq("/root/testdata/sf0.01"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
