@@ -1417,6 +1417,15 @@ object TextAnalysis {
 
   def bpeMergesOnDocs(spark: SparkSession, documents: DataFrame,
       rounds: Int = 6): DataFrame = {
+    import spark.implicits._
+    bpeTrain(documents, rounds)._1.toDF("round", "pair", "n")
+  }
+
+  /** Shared BPE trainer: returns the learned merge table AND the final
+    * word-level segmentations (the trained tokenizer's working state —
+    * what [[bpeEncodeOnDocs]] applies). */
+  private def bpeTrain(documents: DataFrame,
+      rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
     var seg = documents
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -1454,8 +1463,29 @@ object TextAnalysis {
         r += 1
       }
     }
-    import spark.implicits._
-    learned.result().toDF("round", "pair", "n")
+    (learned.result(), seg)
+  }
+
+  /** BPE ENCODING — the tokenizer-application stage that makes the
+    * learned merge table useful: re-derive the trained segmentations
+    * (train once on the word-frequency table; applying to unseen text
+    * would replay the merge list in order — same per-word string pass)
+    * and emit the corpus token histogram, i.e. what the corpus looks
+    * like THROUGH the learned vocabulary: (token, n) with n summed over
+    * word frequencies. This is the vocabulary-coverage artifact a
+    * tokenizer pipeline ships next to the merges (how often each
+    * learned symbol actually fires). 100 TB shape: the encode is a
+    * map-side string pass over the Zipf-bounded WORD table (the corpus
+    * contributes only its word counts, aggregated once), and the
+    * histogram is one hash aggregate over segment tokens. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeOnDocs(spark, Tables.documents(spark, sfDir))
+
+  def bpeEncodeOnDocs(spark: SparkSession, documents: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val (_, seg) = bpeTrain(documents, rounds)
+    seg.select(col("cnt"), explode(split(col("seg"), " ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
   }
 
   /** DuckDB twin of [[bpeMerges]]: the same rounds unrolled as CTE
@@ -1467,6 +1497,14 @@ object TextAnalysis {
     * combinatorially — fatal by round 12 (the depth that proves the
     * unrolled-iteration pattern scales past toy size). */
   def bpeMergesSqlFor(rounds: Int): String = {
+    val union = (1 to rounds).map(r => s"SELECT round, pair, n FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"${bpeCtesFor(rounds)}\n$union\nORDER BY round"
+  }
+
+  /** The shared WITH-ladder (v, s0, then (pᵣ, mᵣ, sᵣ) per round) both
+    * BPE oracles build on. */
+  private def bpeCtesFor(rounds: Int): String = {
     val head =
       """WITH v AS MATERIALIZED (
         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -1493,12 +1531,21 @@ object TextAnalysis {
          |    ' +', ' ', 'g')) AS seg
          |  FROM s${r - 1})""".stripMargin
     }
-    val union = (1 to rounds).map(r => s"SELECT round, pair, n FROM m$r")
-      .mkString("\nUNION ALL\n")
-    s"$head,\n${blocks.mkString(",\n")}\n$union\nORDER BY round"
+    s"$head,\n${blocks.mkString(",\n")}"
   }
 
   val bpeMergesSql: String = bpeMergesSqlFor(6)
+
+  /** DuckDB twin of [[bpeEncodeOnDocs]]: the same CTE ladder, final
+    * segmentation s_rounds exploded into the token histogram. */
+  def bpeEncodeSqlFor(rounds: Int): String =
+    s"""${bpeCtesFor(rounds)}
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+       |FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS token FROM s$rounds)
+       |GROUP BY 1
+       |ORDER BY token""".stripMargin
+
+  val bpeEncodeSql: String = bpeEncodeSqlFor(6)
 
   /** 12-round BPE training — the same learner at double depth, proving
     * the unrolled CTE ladder (and the Spark driver loop it mirrors)

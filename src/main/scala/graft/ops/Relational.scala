@@ -734,6 +734,36 @@ object Relational {
         Num.r4(avg(col("value"))).as("avg_value"))
   }
 
+  /** SCD Type-2 dimension build — the warehouse-side operator that turns
+    * a changefeed into validity intervals (Kimball's slowly-changing
+    * dimension): per user in (ts, event_id) order, each change row
+    * becomes a version with `valid_from` = its own timestamp,
+    * `valid_to` = the NEXT change's timestamp (NULL while current), and
+    * an `is_current` flag. One `lead` window over the per-user
+    * Exchange+Sort the whole monitoring family already shares —
+    * at 100 TB the shuffle carries (key, ts, value) triples, never
+    * payload history, and the interval build is a single pass. Pairs
+    * with `q_merge_upsert` (latest-state apply): MERGE keeps the
+    * current row, SCD2 keeps the full history queryable by as-of
+    * interval containment. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val scd2Sql: String =
+    """SELECT user_id, event_id, value,
+      |       ts AS valid_from,
+      |       lead(ts, 1) OVER w AS valid_to,
+      |       lead(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,

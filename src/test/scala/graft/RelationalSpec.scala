@@ -274,4 +274,27 @@ class RelationalSpec extends SparkSpec {
     }.toSet
     assert(got == want)
   }
+
+  test("scd2 intervals tile per user with exactly one current version") {
+    val rows = Relational.scd2(spark, sf001).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        r.getTimestamp(3).toInstant,
+        Option(r.getTimestamp(4)).map(_.toInstant), r.getBoolean(5))
+    }
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, vs) =>
+      val hist = vs.sortBy(v => (v._3, v._2))
+      // consecutive versions abut exactly: valid_to(i) == valid_from(i+1)
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $uid: version ${a._2} ends at ${a._4}, next starts ${b._3}")
+        case _ =>
+      }
+      // exactly the last version is open-ended and current
+      assert(hist.last._4.isEmpty && hist.last._5,
+        s"user $uid: last version must be current/open")
+      assert(vs.count(_._5) == 1, s"user $uid: expected exactly one current row")
+    }
+  }
 }
