@@ -1642,6 +1642,9 @@ object Similarity {
       .sortBy(_._1).map(_._2)
     val cbRows = spark.table(s"${prefix}_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(cbRows.length == PqM * PqK,
+      s"saved codebook table ${prefix}_codebooks is incomplete: " +
+        s"${cbRows.length} rows, expected ${PqM * PqK}")
     val cb = Array.tabulate(PqM, PqK)((m, code) => Array.empty[Double])
     cbRows.foreach { case (m, code, v) => cb(m)(code) = v }
     ivfPqScore(emb, spark.table(s"${prefix}_codes"), cents, cb, probes)

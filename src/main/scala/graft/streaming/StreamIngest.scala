@@ -466,6 +466,63 @@ object StreamIngest {
       }
   }
 
+  /** Streaming SCD Type-2 — the CDC form of [[graft.ops.Relational.scd2]]:
+    * each arriving change OPENS a version (valid_to NULL, current) and
+    * CLOSES its predecessor (valid_to = the new change's ts). Append-mode
+    * streams cannot retract the already-emitted open version, so the
+    * operator emits VERSIONED rows — a per-user monotone `version`
+    * counter, readers keep the max-version row per (user_id, event_id),
+    * the same contract as [[kmvDistinctStream]]'s versioned summaries
+    * (and exactly how a warehouse MERGE applies a CDC stream). Keyed
+    * state is three longs (last event_id, its valid_from, the version
+    * counter) per live user — fixed width forever. After any replay,
+    * the max-version snapshot equals the batch SCD2 build row for row
+    * (spec-asserted across batch splits). Rows sort by (ts, event_id)
+    * within each micro-batch; TTL eviction opt-in as in [[throttle]].
+    * Input schema: (user_id LONG, event_id LONG, ts LONG micros).
+    * Emits (user_id, event_id, version, valid_from, valid_to, is_current)
+    * with valid_to = -1 standing for the open interval's NULL. */
+  def scd2Stream(events: DataFrame,
+      stateTtlMs: Option[Long] = None)
+      : Dataset[(Long, Long, Long, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            var stOpt = state.getOption
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Boolean)]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, ts) =>
+              stOpt match {
+                case Some((prevEid, prevFrom, ver)) =>
+                  // close the predecessor, open the new version
+                  out += ((uid, prevEid, ver + 1, prevFrom, ts, false))
+                  out += ((uid, eid, ver + 2, ts, -1L, true))
+                  stOpt = Some((eid, ts, ver + 2))
+                case None =>
+                  out += ((uid, eid, 1L, ts, -1L, true))
+                  stOpt = Some((eid, ts, 1L))
+              }
+            }
+            stOpt.foreach(state.update)
+            out.result().iterator
+          }
+      }
+  }
+
   /** PII scrub at ingest — the cleaning stage run where the data LANDS:
     * [[graft.ext.TextAnalysis.piiRedactOnDocs]]'s staged regexp cascade
     * is pure per-row projection, so it runs unchanged under Structured

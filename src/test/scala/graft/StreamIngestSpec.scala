@@ -579,6 +579,42 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("streaming scd2 max-version snapshot equals the batch build") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val want = graft.ops.Relational.scd2(spark, sf001)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("valid_from")).as("vf"),
+        coalesce(unix_micros(col("valid_to")), lit(-1L)).as("vt"),
+        col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"))
+      .as[(Long, Long, Long)].collect().toIndexedSeq
+      .sortBy(r => (r._3, r._2))
+    val batches = ev.grouped(math.max(1, ev.length / 3)).toSeq
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = StreamIngest.scd2Stream(
+      mem.toDS().toDF("user_id", "event_id", "ts"))
+    val q = out.toDF("user_id", "event_id", "version", "valid_from",
+        "valid_to", "is_current")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    // readers keep the max-version row per (user_id, event_id)
+    val got = spark.sql(
+      """SELECT user_id, event_id, valid_from, valid_to, is_current FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_id
+        |                               ORDER BY version DESC) AS rn
+        |  FROM scd2_stream) WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    q.stop()
+    assert(got == want,
+      s"only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
   test("pii scrub at ingest equals the batch cascade row for row") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
