@@ -734,6 +734,43 @@ object Relational {
         Num.r4(avg(col("value"))).as("avg_value"))
   }
 
+  /** Incremental materialized-view refresh — the maintenance pattern
+    * that makes standing aggregates affordable at 100 TB: the MV stores
+    * MERGEABLE partial state per key ((sum, count) here — avg itself is
+    * not mergeable, its partials are), a delta batch aggregates the SAME
+    * partials over only the new rows, and refresh = union the two
+    * partial relations and re-reduce — the corpus is NEVER rescanned,
+    * per-refresh cost is O(delta) + an MV-sized merge. The fixture
+    * splits events deterministically (event_id % 10) into base/delta so
+    * most keys exercise the merge; the oracle is the full recompute
+    * over all rows, proving merge-of-partials == recompute (the same
+    * algebra Spark's own partial aggregation relies on, lifted to
+    * cross-batch persistence). Final avg is derived sum/count in BOTH
+    * engines, so the only FP divergence is summation order, absorbed by
+    * the r4 convention. */
+  def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def partials(rows: DataFrame): DataFrame = rows
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+    val mv = partials(ev.filter(col("event_id") % 10 =!= 0)) // standing state
+    val delta = partials(ev.filter(col("event_id") % 10 === 0)) // new batch
+    mv.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("s")).as("s2"), sum(col("c")).as("n"))
+      .select(col("user_id"), col("n"),
+        Num.r4(col("s2")).as("sum_value"),
+        Num.r4(col("s2") / col("n")).as("avg_value"))
+  }
+
+  val mvRefreshSql: String =
+    """SELECT user_id, count(*) AS n,
+      |       round(sum(value) + 1e-9, 4) AS sum_value,
+      |       round(sum(value) / count(*) + 1e-9, 4) AS avg_value
+      |FROM events GROUP BY 1
+      |ORDER BY user_id""".stripMargin
+
   /** SCD Type-2 dimension build — the warehouse-side operator that turns
     * a changefeed into validity intervals (Kimball's slowly-changing
     * dimension): per user in (ts, event_id) order, each change row

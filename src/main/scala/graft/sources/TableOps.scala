@@ -71,6 +71,35 @@ object TableOps {
       .saveAsTable(name)
   }
 
+  /** Small-file compaction — the standing lake-maintenance job every
+    * 100 TB deployment runs: streaming ingest and per-batch writes leave
+    * thousands of KB-sized parquet files per table (each costing a task,
+    * a footer read, and an open at scan time); compaction rewrites the
+    * table into ⌈bytes / targetFileBytes⌉ right-sized files. The rewrite
+    * goes to a staging table first and swaps in via RENAME, so a reader
+    * never sees a half-written table. Returns (filesBefore, filesAfter).
+    * At cluster scale the same op runs per partition-predicate slice;
+    * here it covers the whole (unpartitioned) table. */
+  def compactTable(spark: SparkSession, name: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toIndexedSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val before = dataFiles(loc)
+    val nOut = math.max(1L,
+      (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = s"${name}_compacting"
+    resetTable(spark, staging, spark.table(name).repartition(nOut))
+    dropWithLocation(spark, name)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    (before.length, dataFiles(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)).length)
+  }
+
   /** Reference S11 (`hive.py:12-17`): engine config introspection. */
   def versionInfo(spark: SparkSession): Seq[(String, String)] = Seq(
     "spark.version" -> spark.version,

@@ -98,6 +98,21 @@ class ScaleToolsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_rt_$t"))
   }
 
+  test("compaction collapses a fragmented table without changing its rows") {
+    val src = Tables.orders(spark, sf001)
+    TableOps.resetTable(spark, "orders_frag", src.repartition(64))
+    val wantRows = src.count()
+    val (before, after) = TableOps.compactTable(spark, "orders_frag")
+    assert(before >= 64, s"fixture should start fragmented, had $before files")
+    assert(after < before / 8,
+      s"compaction barely helped: $before -> $after files")
+    val got = spark.table("orders_frag")
+    assert(got.count() == wantRows)
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
+      "compaction changed the data")
+    spark.sql("DROP TABLE IF EXISTS orders_frag")
+  }
+
   test("orc round-trip is lossless and pushes the scan predicate") {
     import graft.sources.OrcSource
     val orc = OrcSource.ordersOrc(spark, sf001)
