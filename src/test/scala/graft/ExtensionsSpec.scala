@@ -1163,6 +1163,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(t.length == 1 && t(0).getString(1) == "a b")
   }
 
+  test("bpe encoding conserves corpus characters through the vocabulary") {
+    // Every word's segmentation concatenates back to the word, so
+    // Σ n(token)·len(token) over the histogram must equal the corpus's
+    // total non-space characters — merges re-bucket, never create/drop.
+    val docs = Tables.documents(spark, sf001)
+    val hist = TextAnalysis.bpeEncodeOnDocs(spark, docs).collect()
+    assert(hist.nonEmpty)
+    val gotChars = hist.map(r => r.getLong(1) * r.getString(0).length).sum
+    val wantChars = docs
+      .select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .collect()(0).getLong(0)
+    assert(gotChars == wantChars,
+      s"encoded histogram carries $gotChars chars, corpus has $wantChars")
+    // and the learned symbols actually fire: at least one multi-char token
+    assert(hist.exists(_.getString(0).length > 1),
+      "no merged symbol appears in the encoded corpus")
+  }
+
   test("pii redaction scrubs each category with staged counts; cascade is idempotent") {
     import spark.implicits._
     val docs = Seq(
