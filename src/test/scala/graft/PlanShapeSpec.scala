@@ -2,27 +2,46 @@ package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
 
-/** Registry-wide plan-shape invariant: no query may plan a Window with an
-  * empty partition spec. An unpartitioned window funnels its entire input
-  * relation through ONE task (Spark itself warns `WindowExec: No Partition
-  * Defined`), which is the canonical single-node scale-killer at 100 TB —
-  * global top-k must plan as `TakeOrderedAndProject` (per-partition heaps)
-  * instead, with ranks re-derived inside the bounded result frame. This
-  * sweep walks the optimized logical plan of EVERY registered query
-  * (subqueries included) so a future operator cannot reintroduce the
-  * pattern silently. */
+/** Registry-wide plan-shape invariants, swept over EVERY registered
+  * query in one pass so a future operator cannot reintroduce a
+  * scale-killer silently:
+  *
+  *  1. No Window with an empty partition spec. An unpartitioned window
+  *     funnels its entire input through ONE task (Spark itself warns
+  *     `WindowExec: No Partition Defined`) — global top-k must plan as
+  *     `TakeOrderedAndProject` (per-partition heaps) instead, with ranks
+  *     re-derived inside the bounded result frame.
+  *
+  *  2. No CartesianProduct in the physical plan. Every cross join in the
+  *     engine pairs a large relation with a BROADCAST small side
+  *     (1-row aggregates, k-row model state, dimension tables), planning
+  *     as BroadcastNestedLoopJoin; a CartesianProductExec means both
+  *     sides were materialized and partition-paired — n·m shuffle work
+  *     that no operator here should ever need.
+  */
 class PlanShapeSpec extends SparkSpec {
 
-  test("no registry query plans an unpartitioned window") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf001).queryExecution.optimizedPlan
-        val bad = (plan +: plan.subqueriesAll).flatMap(_.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        })
-        if (bad.nonEmpty) Some(name) else None
+  test("no registry query plans an unpartitioned window or a cartesian product") {
+    val windowOffenders = Seq.newBuilder[String]
+    val cartesianOffenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, sf001).queryExecution
+      val opt = qe.optimizedPlan
+      val badWindow = (opt +: opt.subqueriesAll).flatMap(_.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      })
+      if (badWindow.nonEmpty) windowOffenders += name
+      val phys = qe.executedPlan
+      val badCartesian = (phys +: phys.subqueriesAll).flatMap(_.collect {
+        case p if p.nodeName.contains("CartesianProduct") => p
+      })
+      if (badCartesian.nonEmpty) cartesianOffenders += name
     }
-    assert(offenders.isEmpty,
-      s"unpartitioned Window (single-task global sort) in: ${offenders.mkString(", ")}")
+    assert(windowOffenders.result().isEmpty,
+      s"unpartitioned Window (single-task global sort) in: " +
+        s"${windowOffenders.result().mkString(", ")}")
+    assert(cartesianOffenders.result().isEmpty,
+      s"un-broadcast CartesianProduct in: " +
+        s"${cartesianOffenders.result().mkString(", ")}")
   }
 }
