@@ -257,6 +257,65 @@ object Multimodal {
        |              i -> ascii(substr(frame, CAST(i AS INT), 1)))) AS INT) AS peak
        |FROM w ORDER BY doc_id, win_idx""".stripMargin
 
+  /** Energy threshold for VAD, as mean-byte-value × 100 so the activity
+    * test is EXACT integer arithmetic in both engines
+    * (energy·100 > threshold·win_bytes — no FP division anywhere).
+    * 96.00 splits the fixture ~26 % active at both SFs. */
+  val VadMeanByteX100 = 9600L
+
+  /** Voice-activity segmentation — the speech-curation stage a speech
+    * corpus pipeline runs right after framing (classic energy-based VAD,
+    * Rabiner & Sambur 1975): a window is ACTIVE when its mean byte
+    * energy clears the threshold, and maximal runs of consecutive
+    * active windows merge into segments (gaps-and-islands per doc) —
+    * the segments are what gets transcribed/kept, silence is dropped.
+    * Built entirely on [[audioWindows]]'s per-window integer features:
+    * activity is an exact integer compare, the run merge is one
+    * `lag` + running-sum window PARTITIONED BY doc (bounded ≤
+    * AudioMaxWindows rows per doc), and the per-segment reduce is a
+    * hash aggregate — the decode stays map-side, only (doc, window)
+    * feature rows ever shuffle. */
+  def audioVad(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    audioWindows(spark, sfDir)
+      .filter(col("energy") * 100 > lit(VadMeanByteX100) * col("win_bytes"))
+      .withColumn("prev", lag(col("win_idx"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("win_idx") - col("prev") > 1, 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("win_idx")).as("start_win"),
+        max(col("win_idx")).as("end_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("seg_energy"))
+      .select(col("doc_id"), col("seg").cast("int").as("seg_idx"),
+        col("start_win"), col("end_win"), col("n_windows"), col("seg_energy"))
+  }
+
+  lazy val audioVadSql: String =
+    s"""WITH aw AS ($audioWindowsSql),
+       |act AS (
+       |  SELECT doc_id, win_idx, energy FROM aw
+       |  WHERE energy * 100 > $VadMeanByteX100 * win_bytes),
+       |mark AS (
+       |  SELECT doc_id, win_idx, energy,
+       |    CASE WHEN lag(win_idx) OVER w IS NULL
+       |           OR win_idx - lag(win_idx) OVER w > 1
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM act
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY win_idx)),
+       |seg AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY win_idx) AS seg
+       |  FROM mark)
+       |SELECT doc_id, CAST(seg AS INT) AS seg_idx,
+       |       min(win_idx) AS start_win, max(win_idx) AS end_win,
+       |       CAST(count(*) AS BIGINT) AS n_windows,
+       |       CAST(sum(energy) AS BIGINT) AS seg_energy
+       |FROM seg GROUP BY doc_id, seg
+       |ORDER BY doc_id, seg_idx""".stripMargin
+
   val frameSampleSql: String =
     """WITH idx AS (
       |  SELECT doc_id, text,
