@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, L2Distance}
+import graft.functions.{AdcSum, CosineSimilarity, L2Distance}
 
 /** SparkSessionExtensions entry point: install the engine's native
   * functions into any session with
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_dist"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_dist"),
       (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("adc_sum"),
+      new ExpressionInfo(classOf[AdcSum].getName, "adc_sum"),
+      (exprs: Seq[Expression]) => AdcSum(exprs(0), exprs(1))))
   }
 }

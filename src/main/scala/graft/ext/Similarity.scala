@@ -1454,12 +1454,14 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(m, dt))), s -> s.dt)")
         .as("dtabs"))
       .withColumnRenamed("vec_id", "q_id")
+    // Native fused lookup-sum (graft.functions.AdcSum): bit-identical to
+    // the HOF fold it replaced (equivalence spec-asserted) but inside
+    // whole-stage codegen — this expression runs |corpus|×|queries| times.
+    graft.functions.AdcSum.register(src.sparkSession)
     codes.crossJoin(broadcast(qt))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        Num.r4(expr(
-          """aggregate(zip_with(codes, dtabs, (c, t) -> element_at(t, c + 1)),
-            |          0D, (acc, v) -> acc + v)""".stripMargin)).as("adc"))
+        Num.r4(expr("adc_sum(codes, dtabs)")).as("adc"))
   }
 
   private def pqAdcScores(spark: SparkSession, sfDir: String): DataFrame =
@@ -1585,12 +1587,11 @@ object Similarity {
         .as("dtabs"))
       .select(col("vec_id").as("q_id"), col("cell"), col("dtabs"))
     val w = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    graft.functions.AdcSum.register(emb.sparkSession)
     codesWithCell.join(broadcast(qt), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cell"), col("vec_id").as("neighbor_id"),
-        Num.r4(expr(
-          """aggregate(zip_with(codes, dtabs, (c, t) -> element_at(t, c + 1)),
-            |          0D, (acc, v) -> acc + v)""".stripMargin)).as("adc"))
+        Num.r4(expr("adc_sum(codes, dtabs)")).as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"), col("adc"))

@@ -571,6 +571,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(ne.isNullAt(0) && ne.isNullAt(1) && ne.isNullAt(2))
   }
 
+  test("native adc_sum matches the higher-order formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    graft.functions.AdcSum.register(spark)
+    // realistic shape: random-ish codes + per-query distance tables,
+    // derived deterministically from the embeddings fixture
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        expr("transform(sequence(0, 3), m -> CAST(pmod(vec_id + m, 16) AS INT))")
+          .as("codes"),
+        expr("""transform(sequence(0, 3), m ->
+               |  transform(sequence(0, 15),
+               |    k -> CAST(vec_id * 0.25 + m * 1.5 + k * 0.125 AS DOUBLE)))"""
+          .stripMargin).as("dtabs"))
+    val both = rows.select(col("vec_id"),
+      expr("adc_sum(codes, dtabs)").as("native"),
+      expr("""aggregate(zip_with(codes, dtabs, (c, t) -> element_at(t, c + 1)),
+             |          0D, (acc, v) -> acc + v)""".stripMargin).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+    // null contract: length mismatch, out-of-range code, null element —
+    // all null, exactly like the higher-order form
+    val edge = spark.sql(
+      """SELECT adc_sum(array(0), array(array(1.0D), array(2.0D))) AS mismatch,
+        |       adc_sum(array(5), array(array(1.0D, 2.0D))) AS oob,
+        |       adc_sum(array(CAST(NULL AS INT)), array(array(1.0D))) AS nullcode,
+        |       adc_sum(array(0, 1), array(array(1.0D, 2.0D), array(3.0D, 4.0D))) AS ok""".stripMargin)
+      .collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 5.0)
+  }
+
   test("native cosine_sim is null-safe on mismatched or zero vectors") {
     graft.functions.CosineSimilarity.register(spark)
     val r = spark.sql(
