@@ -69,7 +69,7 @@ class IngestSpec extends SparkSpec {
     assert(back.schema("humidity").dataType.typeName == "integer")
     // the point of partitionBy(room): a per-room predicate must prune
     // directories at planning time, not scan-and-filter
-    val someRoom = back.select("room").head.getString(0)
+    val someRoom = back.select("room").head().getString(0)
     val oneRoom = back.filter(col("room") === someRoom)
     val plan = oneRoom.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(room"),
