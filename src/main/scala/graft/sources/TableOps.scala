@@ -89,6 +89,17 @@ object TableOps {
     }
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    // Partitioned tables keep their data under per-partition
+    // SUBDIRECTORIES; compacting through a flat rewrite would silently
+    // discard the partitioning (and the flat listing would see zero
+    // files and "compact" to one). Refuse loudly — the partitioned form
+    // of this job compacts one partition-predicate slice at a time.
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = fs.listStatus(loc).filter(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"compactTable($name): table has partition subdirectories " +
+        s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact per partition slice instead of flattening the layout")
     val before = dataFiles(loc)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt

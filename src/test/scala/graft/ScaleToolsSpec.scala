@@ -111,6 +111,14 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
       "compaction changed the data")
     spark.sql("DROP TABLE IF EXISTS orders_frag")
+    // partitioned tables must be refused, not silently flattened
+    TableOps.resetTable(spark, "orders_part",
+      src.withColumn("part_col", col("o_orderstatus")), Seq("part_col"))
+    val err = intercept[IllegalArgumentException] {
+      TableOps.compactTable(spark, "orders_part")
+    }
+    assert(err.getMessage.contains("partition subdirectories"))
+    spark.sql("DROP TABLE IF EXISTS orders_part")
   }
 
   test("orc round-trip is lossless and pushes the scan predicate") {
