@@ -947,6 +947,82 @@ object TextAnalysis {
     * document length the quality gate itself caps, so it does not grow
     * with corpus size. Thresholds compare the ROUNDED values so the
     * verdict is boundary-safe across engines (see Num.r4). */
+  /** Within-document repeated-span REMOVAL — the rewrite stage beside
+    * the [[repetitionFilter]] flag (MassiveText/RefinedWeb-style rules
+    * flag or drop whole docs; curation pipelines additionally strip the
+    * repeated spans themselves and keep the rest): every non-FIRST
+    * occurrence of a duplicated `SpanN`-gram marks its `SpanN` token
+    * positions for removal, and the document is rebuilt from the kept
+    * positions in order. Set-logic formulation (no per-doc iteration):
+    * explode grams with positions → per-(doc, gram) min position is the
+    * canonical occurrence → later occurrences explode into covered
+    * positions → anti-join against the token positions → ordered
+    * re-aggregation. Everything keys on (doc_id, position), so the
+    * shuffles carry token-sized rows and the rebuild is one
+    * per-doc sorted collect — at 100 TB this is the standard
+    * explode/agg shape, no driver state, no windows over the corpus. */
+  private[ext] val SpanN = 8
+
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedupOnDocs(Tables.documents(spark, sfDir))
+
+  def spanDedupOnDocs(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+    val grams = documents
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= SpanN)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(tokens) - $SpanN),
+           |  i -> struct(i AS q, concat_ws(' ', slice(tokens, i + 1, $SpanN)) AS g))"""
+          .stripMargin)).as("o"))
+      .select(col("doc_id"), col("o.q").as("q"), col("o.g").as("g"))
+    val firsts = grams.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("q")).as("first_q"))
+    val covered = grams.join(firsts, Seq("doc_id", "g"))
+      .filter(col("q") > col("first_q"))
+      .select(col("doc_id"),
+        explode(sequence(col("q"), col("q") + lit(SpanN - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(p, token))), s -> s.token)"))
+          .as("clean_text"))
+      .join(documents.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"), col("clean_text"))
+  }
+
+  val spanDedupSql: String =
+    s"""WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, tokens[CAST(i + 1 AS INT)] AS token
+       |  FROM (SELECT doc_id, tokens, unnest(range(0, len(tokens))) AS i FROM tl)),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS q,
+       |         array_to_string(tokens[CAST(i + 1 AS INT):CAST(i + $SpanN AS INT)], ' ') AS g
+       |  FROM (SELECT doc_id, tokens, unnest(range(0, len(tokens) - $SpanN + 1)) AS i
+       |        FROM tl WHERE len(tokens) >= $SpanN)),
+       |firsts AS (SELECT doc_id, g, min(q) AS first_q FROM grams GROUP BY 1, 2),
+       |covered AS (
+       |  SELECT DISTINCT gr.doc_id, CAST(gr.q + d AS BIGINT) AS p
+       |  FROM grams gr JOIN firsts f ON f.doc_id = gr.doc_id AND f.g = gr.g
+       |  CROSS JOIN (SELECT unnest(range(0, $SpanN)) AS d)
+       |  WHERE gr.q > f.first_q),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.token FROM toks t
+       |  ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p)
+       |SELECT k.doc_id,
+       |       CAST(len(tl.tokens) AS INT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(len(tl.tokens) - count(*) AS BIGINT) AS n_removed,
+       |       string_agg(k.token, ' ' ORDER BY k.p) AS clean_text
+       |FROM kept k JOIN tl ON tl.doc_id = k.doc_id
+       |GROUP BY k.doc_id, len(tl.tokens)
+       |ORDER BY k.doc_id""".stripMargin
+
   def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
     repetitionOnDocs(Tables.documents(spark, sfDir))
 

@@ -1194,6 +1194,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(t.length == 1 && t(0).getString(1) == "a b")
   }
 
+  test("span dedup strips repeated 8-gram spans, keeps first occurrence intact") {
+    import spark.implicits._
+    val docs = Seq(
+      // gram "a b c d e f g h" repeats at position 9: span 9-16 dropped
+      (1L, "a b c d e f g h x a b c d e f g h y"),
+      // overlapping self-repetition collapses to the single first token
+      (2L, "a a a a a a a a a a"),
+      // shorter than the span size: untouched
+      (3L, "no repeats here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedupOnDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((18, 10L, "a b c d e f g h x y")))
+    assert(out(2L) == ((10, 1L, "a")))
+    assert(out(3L) == ((5, 5L, "no repeats here at all")))
+  }
+
   test("bpe encoding conserves corpus characters through the vocabulary") {
     // Every word's segmentation concatenates back to the word, so
     // Σ n(token)·len(token) over the histogram must equal the corpus's
