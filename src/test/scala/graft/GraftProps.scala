@@ -55,6 +55,43 @@ object GraftProps extends Properties("graft") {
       Prop(got == model(uniq, gap)) :| s"events=$uniq gap=$gap got=$got expected=${model(uniq, gap)}"
     }
 
+  // --- spark: span dedup matches a sequential reference model ------
+
+  /** Independent model of [[graft.ext.TextAnalysis.spanDedupOnDocs]]:
+    * first occurrence of each 8-gram is canonical; every later
+    * occurrence marks its 8 positions dropped. */
+  private def spanModel(words: List[String]): (Int, Long, String) = {
+    val n = words.length
+    val spanN = 8
+    val firsts = scala.collection.mutable.Map.empty[String, Int]
+    val dropped = scala.collection.mutable.Set.empty[Int]
+    for (q <- 0 to n - spanN) {
+      val g = words.slice(q, q + spanN).mkString(" ")
+      firsts.get(g) match {
+        case None => firsts(g) = q
+        case Some(f) if q > f => (q until q + spanN).foreach(dropped += _)
+        case _ =>
+      }
+    }
+    val kept = words.indices.filterNot(dropped).map(words)
+    (n, kept.size.toLong, kept.mkString(" "))
+  }
+
+  private val wordsGen: Gen[List[String]] =
+    Gen.choose(1, 28).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b")))
+
+  property("span dedup == sequential first-occurrence model") =
+    forAll(wordsGen) { words =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val r = graft.ext.TextAnalysis.spanDedupOnDocs(df).collect()(0)
+      val got = (r.getInt(1), r.getLong(2), r.getString(4))
+      val want = spanModel(words)
+      Prop(got == want) :| s"words=$words got=$got want=$want"
+    }
+
   // --- spark: minhash containment ----------------------------------
 
   property("identical texts get identical minhash signatures") =
