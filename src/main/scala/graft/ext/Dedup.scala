@@ -931,6 +931,18 @@ object Dedup {
     dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)
   }
 
+  /** The same end-to-end pipeline with candidate generation served from
+    * the PERSISTED bucketed band table ([[bandPairsBucketed]]) — the
+    * recurring-run posture: the pair join is Exchange-free, and the
+    * result is REQUIRED to be identical to [[dedupPipeline]] (same
+    * oracle — physical layout must never leak into answers). */
+  def dedupPipelineBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = jaccardVerify(docs, bandCandidatesBucketed(spark, docs))
+      .select(col("doc_a"), col("doc_b"))
+    dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)
+  }
+
   /** Incremental (cross-snapshot) near-dedup — the recurring production
     * job: a NEW crawl snapshot arrives and must be deduplicated AGAINST
     * the corpus already ingested, without re-deduplicating the old corpus
