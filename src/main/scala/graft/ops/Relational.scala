@@ -734,6 +734,53 @@ object Relational {
         Num.r4(avg(col("value"))).as("avg_value"))
   }
 
+  /** Order-independent table checksum — the data-integrity primitive a
+    * 100 TB migration/replication/compaction validates with: every row
+    * normalizes to a canonical string, hashes through the engine's
+    * portable 60-bit md5 fold ([[graft.functions.Md5Prefix60]]), and the
+    * per-row hashes reduce by modular SUM — commutative and associative,
+    * so ONE map-side-combined aggregate fingerprints the table
+    * regardless of row order, partitioning, or file layout (exactly
+    * what changes under repartition/compaction/engine migration; pair
+    * with [[graft.sources.TableOps.compactTable]]). The mod-p cap keeps
+    * 600k·2³¹ far inside BIGINT so no engine promotes to wider
+    * arithmetic. Normalization pins the cross-engine string forms:
+    * doubles go through DECIMAL(12,2) (exact cents both engines),
+    * timestamps through the shared 'yyyy-MM-dd HH:mm:ss' cast. */
+  def tableChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    tableChecksumOf(spark, Tables.orders(spark, sfDir))
+
+  def tableChecksumOf(spark: SparkSession, orders: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix60.register(spark)
+    orders
+      .select(expr(
+        """md5_prefix60(concat_ws('|',
+          |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+          |  o_orderstatus,
+          |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING),
+          |  CAST(o_orderdate AS STRING), o_orderpriority))""".stripMargin)
+        .as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h") % lit(2147483647L)).as("checksum"))
+  }
+
+  val tableChecksumSql: String =
+    """WITH h AS (
+      |  SELECT list_reduce(list_transform(range(0, 15),
+      |           q -> CAST(strpos('0123456789abcdef',
+      |                  substr(md5(s), CAST(q + 1 AS INT), 1)) - 1 AS BIGINT)),
+      |         (a, b) -> a * 16 + b) % 2147483647 AS hm
+      |  FROM (SELECT CAST(o_orderkey AS VARCHAR) || '|' ||
+      |               CAST(o_custkey AS VARCHAR) || '|' ||
+      |               o_orderstatus || '|' ||
+      |               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+      |               CAST(o_orderdate AS VARCHAR) || '|' ||
+      |               o_orderpriority AS s
+      |        FROM orders))
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(hm) AS BIGINT) AS checksum
+      |FROM h""".stripMargin
+
   /** Incremental materialized-view refresh — the maintenance pattern
     * that makes standing aggregates affordable at 100 TB: the MV stores
     * MERGEABLE partial state per key ((sum, count) here — avg itself is

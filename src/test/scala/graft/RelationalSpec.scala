@@ -275,6 +275,24 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("table checksum is layout-invariant and content-sensitive") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.orders(spark, sf001)
+    def ck(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Relational.tableChecksumOf(spark, df).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = ck(src)
+    // identical content through a shuffled, re-sorted layout
+    val reshaped = ck(src.repartition(16).sortWithinPartitions(desc("o_orderkey")))
+    assert(reshaped == base, "checksum changed under repartition/re-sort")
+    // a single-row mutation must change the fingerprint
+    val mutated = ck(src.withColumn("o_custkey",
+      when(col("o_orderkey") === 1L, col("o_custkey") + 1).otherwise(col("o_custkey"))))
+    assert(mutated._1 == base._1 && mutated._2 != base._2,
+      "checksum failed to detect a one-row mutation")
+  }
+
   test("scd2 intervals tile per user with exactly one current version") {
     val rows = Relational.scd2(spark, sf001).collect().map { r =>
       (r.getLong(0), r.getLong(1),
