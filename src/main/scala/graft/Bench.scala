@@ -147,12 +147,24 @@ object Bench {
     val fractions = sys.env.get("SPARK_GRAFT_FRACTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
       .getOrElse(Seq(25, 50, 75, 100))
-    // Default sweep: one smaller SF so the artifact always carries a
-    // scale-up data point (headline total at sf0.01 vs the primary SF);
-    // SPARK_GRAFT_SF_SWEEP overrides, empty string disables.
+    // Default sweep: one smaller sibling SF so the artifact always
+    // carries a scale-up data point (headline total at sf0.01 vs the
+    // primary SF). Derived from the primary dir's PARENT — no absolute
+    // path baked into compiled code — and skipped with a notice when the
+    // sibling doesn't exist. SPARK_GRAFT_SF_SWEEP overrides, empty
+    // string disables.
+    def siblingSf(name: String): Option[String] = {
+      val f = new java.io.File(new java.io.File(sfDir).getParentFile, name)
+      Option.when(f.isDirectory)(f.getPath)
+    }
     val sweepDirs = sys.env.get("SPARK_GRAFT_SF_SWEEP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq("/root/testdata/sf0.01"))
+      .getOrElse(siblingSf("sf0.01") match {
+        case Some(d) if d != sfDir => Seq(d)
+        case _ =>
+          System.err.println(s"[bench] no sibling sf0.01 beside $sfDir — SF sweep skipped")
+          Seq.empty
+      })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -173,7 +185,10 @@ object Bench {
         }
       }
     }
-    val extSfDir = sys.env.getOrElse("SPARK_GRAFT_EXT_SF_DIR", "/root/testdata/sf0.01")
+    // Extended ops run one SF down by default (same sibling derivation
+    // as the sweep — no baked-in path); fall back to the primary dir.
+    val extSfDir = sys.env.get("SPARK_GRAFT_EXT_SF_DIR")
+      .orElse(siblingSf("sf0.01").filter(_ != sfDir)).getOrElse(sfDir)
     // Extended/scale ops: point estimates only, no CI claim — max(5,
     // runs/6) passes keeps the whole artifact inside the same wall-clock
     // budget that the 30-run headline protocol already dominates. Median,

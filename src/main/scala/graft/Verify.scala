@@ -43,6 +43,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Intentionally-unoracled queries, machine-readable (driver + tools/
+    // check.py treat these as rows-only by declaration, not by omission).
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"),
+      SparkEntry.rowsOnly.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -29,16 +29,17 @@ object TextAnalysis {
     * mean doc length per (source, lang) slice, per source, and overall,
     * in ONE pass via GROUPING SETS (a single shuffle; Spark plans it as
     * one Expand + hash aggregate — the cube family's 100 TB shape, no
-    * per-slice rescans). `grouping_id`-derived level labels make the
-    * slice/rollup rows explicit and the output deterministic; NULL
-    * grouping keys print as 'ALL'. */
+    * per-slice rescans). Level labels are derived from `GROUPING()`, not
+    * `coalesce`: a rollup row prints 'ALL' while a GENUINE NULL (or a
+    * literal 'ALL' string) in the data stays itself — the two cannot be
+    * conflated no matter what values the corpus carries. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .createOrReplaceTempView("docs_card")
     spark.sql(
-      """SELECT coalesce(source, 'ALL') AS source,
-        |       coalesce(lang, 'ALL') AS lang,
+      """SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS source,
+        |       CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
         |       count(*) AS n_docs,
         |       sum(CAST(n_chars AS BIGINT)) AS total_chars,
         |       sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
@@ -48,8 +49,8 @@ object TextAnalysis {
   }
 
   val corpusStatsSql: String =
-    """SELECT coalesce(source, 'ALL') AS source,
-      |       coalesce(lang, 'ALL') AS lang,
+    """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+      |       CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -20,12 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * same rationale as [[CosineSimilarity]]/[[L2Distance]], applied to the
   * PQ family where the expression evaluates |corpus|×|queries| times.
   *
-  * NULL contract matches the higher-order form bit-for-bit, so swapping
-  * it in changes nothing observable and the DuckDB oracles keep
-  * verifying the family: mismatched lengths → null (zip_with pads with
-  * null and the fold absorbs it), an out-of-range code → null
-  * (element_at out of bounds), and any null element on either side →
-  * null. Accumulation is the same left-to-right double fold.
+  * NULL contract matches the higher-order form bit-for-bit FOR
+  * NON-NEGATIVE codes — the domain `pqQuantize` produces (codes are
+  * `array_position` results minus 1, always ≥ 0): mismatched lengths →
+  * null (zip_with pads with null and the fold absorbs it), a code past
+  * the table end → null (element_at out of bounds), and any null
+  * element on either side → null. Accumulation is the same
+  * left-to-right double fold. Negative codes diverge by design:
+  * `element_at(t, c + 1)` throws at c = -1 (index 0 is invalid) and
+  * indexes from the array END at c ≤ -2, both nonsense for a PQ code;
+  * adc_sum treats any c < 0 as out-of-range → null.
   */
 case class AdcSum(left: Expression, right: Expression)
     extends BinaryExpression {

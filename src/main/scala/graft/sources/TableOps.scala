@@ -100,6 +100,18 @@ object TableOps {
       s"compactTable($name): table has partition subdirectories " +
         s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
         "compact per partition slice instead of flattening the layout")
+    // Same silent-flatten hazard for BUCKETED tables: the staging rewrite
+    // goes through resetTable, which drops the bucket spec, and every
+    // Exchange-free join keyed on the buckets would silently regain a
+    // shuffle. Refuse loudly; a bucketed table is compacted by rewriting
+    // through resetBucketedTable with its original spec.
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .bucketSpec
+    require(bucketSpec.isEmpty,
+      s"compactTable($name): table is bucketed (${bucketSpec.orNull}) — a " +
+        "flat rewrite would drop the bucket layout; recompact via " +
+        "resetBucketedTable with the original spec instead")
     val before = dataFiles(loc)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt

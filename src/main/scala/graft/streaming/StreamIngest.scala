@@ -477,7 +477,13 @@ object StreamIngest {
     * state is three longs (last event_id, its valid_from, the version
     * counter) per live user — fixed width forever. After any replay,
     * the max-version snapshot equals the batch SCD2 build row for row
-    * (spec-asserted across batch splits). Rows sort by (ts, event_id)
+    * (spec-asserted across batch splits) — PROVIDED (user_id, event_id)
+    * pairs are unique in the change feed, which CDC key semantics (and
+    * the events fixture) guarantee. If the same event_id reappeared in a
+    * later change row for a user, the max-version reader would supersede
+    * the earlier closed interval instead of keeping both history rows;
+    * a feed without unique change keys must read by version RANGE per
+    * user instead of max-version per (user_id, event_id). Rows sort by (ts, event_id)
     * within each micro-batch; TTL eviction opt-in as in [[throttle]].
     * Input schema: (user_id LONG, event_id LONG, ts LONG micros).
     * Emits (user_id, event_id, version, valid_from, valid_to, is_current)

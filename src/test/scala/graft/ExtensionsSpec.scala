@@ -600,6 +600,15 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0)
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
     assert(edge.getDouble(3) == 5.0)
+    // negative codes are where the two forms INTENTIONALLY diverge (the
+    // HOF throws at -1 and wraps from the end at <= -2 — both nonsense
+    // for a PQ code, which is always >= 0): adc_sum defines any c < 0 as
+    // out-of-range -> null, per its docstring.
+    val neg = spark.sql(
+      """SELECT adc_sum(array(-1), array(array(1.0D, 2.0D))) AS neg1,
+        |       adc_sum(array(-2), array(array(1.0D, 2.0D))) AS neg2""".stripMargin)
+      .collect()(0)
+    assert(neg.isNullAt(0) && neg.isNullAt(1))
   }
 
   test("native cosine_sim is null-safe on mismatched or zero vectors") {

@@ -44,4 +44,15 @@ class PlanShapeSpec extends SparkSpec {
       s"un-broadcast CartesianProduct in: " +
         s"${cartesianOffenders.result().mkString(", ")}")
   }
+
+  test("rowsOnly and oracleSql partition the registry exactly") {
+    // Every registered query is either oracled or DECLARED rows-only;
+    // nothing falls through by omission, and the two sets never overlap.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val r = SparkEntry.rowsOnly
+    assert((o intersect r).isEmpty, s"both oracled and rows-only: ${o intersect r}")
+    assert((o union r) == q,
+      s"unaccounted queries: ${q diff (o union r)}; stale entries: ${(o union r) diff q}")
+  }
 }

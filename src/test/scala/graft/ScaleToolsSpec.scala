@@ -119,6 +119,15 @@ class ScaleToolsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("partition subdirectories"))
     spark.sql("DROP TABLE IF EXISTS orders_part")
+    // bucketed tables must be refused too: a flat rewrite would drop the
+    // bucket spec and every Exchange-free join keyed on it would silently
+    // regain a shuffle
+    TableOps.resetBucketedTable(spark, "orders_bkt", src, "o_custkey", 4)
+    val errB = intercept[IllegalArgumentException] {
+      TableOps.compactTable(spark, "orders_bkt")
+    }
+    assert(errB.getMessage.contains("bucketed"))
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
   }
 
   test("orc round-trip is lossless and pushes the scan predicate") {
