@@ -130,6 +130,30 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
   }
 
+  test("schema drift: merged read equals pinned-schema read, nulls only pre-drift") {
+    import graft.sources.SchemaDrift
+    val merged = SchemaDrift.ordersDrifted(spark, sf001)
+    // the drifted column is NULL exactly on the pre-drift (narrow-footer)
+    // generation and populated on every post-drift row
+    assert(merged.filter(col("o_channel").isNull =!=
+      (pmod(col("o_orderkey"), lit(3)) =!= 0)).count() == 0)
+    assert(merged.count() == Tables.orders(spark, sf001).count())
+    // 100 TB posture: after ONE mergeSchema reconciliation the schema is
+    // pinned (metastore) and per-query reads skip the footer sweep — the
+    // pinned read must see the identical table
+    val pinned = spark.read.schema(merged.schema)
+      .parquet(SchemaDrift.driftPath(sf001))
+    assert(pinned.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(pinned).count() == 0,
+      "pinned-schema read diverged from mergeSchema read")
+    // predicate on a PRE-drift column still pushes into the scan across
+    // both footer generations
+    val plan = merged.filter(col("o_totalprice") > 150000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(o_totalprice,150000.0)"),
+      s"o_totalprice predicate not pushed into the mixed-footer scan:\n$plan")
+  }
+
   test("orc round-trip is lossless and pushes the scan predicate") {
     import graft.sources.OrcSource
     val orc = OrcSource.ordersOrc(spark, sf001)
