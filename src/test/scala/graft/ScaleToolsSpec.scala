@@ -154,6 +154,22 @@ class ScaleToolsSpec extends SparkSpec {
       s"o_totalprice predicate not pushed into the mixed-footer scan:\n$plan")
   }
 
+  test("dim-filtered join over the day-partitioned table prunes partitions dynamically") {
+    import graft.sources.PartitionedScan
+    val df = PartitionedScan.partitionPruned(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan must carry a runtime pruning subquery on the
+    // partition column — static pruning cannot see the dim-side filter
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the partitioned fact scan:\n$plan")
+    // and the pruning is real: only weekday partitions are admitted
+    val days = df.select("day").collect().map(_.getDate(0).toLocalDate)
+    assert(days.nonEmpty)
+    assert(days.forall(d => ((d.toEpochDay + 3) % 7) <= 4),
+      s"weekend partition leaked through: ${days.filter(d => ((d.toEpochDay + 3) % 7) > 4).take(3)}")
+    spark.sql("DROP TABLE IF EXISTS events_by_day")
+  }
+
   test("orc round-trip is lossless and pushes the scan predicate") {
     import graft.sources.OrcSource
     val orc = OrcSource.ordersOrc(spark, sf001)
