@@ -1158,4 +1158,171 @@ object Dedup {
        |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
        |FROM (SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s)
        |ORDER BY doc_id""".stripMargin
+
+  /** The day-2 composite — the operators above welded into the pipeline a
+    * standing 100 TB corpus actually runs when a new crawl snapshot lands,
+    * each stage FEEDING the next (not a side-by-side rerun of the
+    * individually-verified pieces):
+    *
+    *   1. ingest: sources src10-19 arrive raw (with the deterministic
+    *      planted PII footer), src0-9 are the standing corpus;
+    *   2. PII scrub at ingest ([[TextAnalysis.piiRedactOnDocs]]) — every
+    *      downstream stage sees only the SCRUBBED text, so the residual
+    *      `<EMAIL>`/`<IP>` tokens correctly participate in shingling;
+    *   3. Bloom-prefiltered decontamination screen of the scrubbed batch
+    *      against the eval set (standing docs 0-4), verbatim 4-gram
+    *      shingles — same bits/probe as [[bloomDecontamination]];
+    *   4. incremental near-dedup of the batch against the standing bands
+    *      (old×new only, as [[dedupIncremental]]), verifying candidates at
+    *      token-set Jaccard ≥ 0.8 over the scrubbed lake;
+    *   5. acceptance manifest: per-doc verdict (`kept` = neither
+    *      contaminated nor a near-dup) plus an order-independent modular
+    *      checksum of the accepted ids — the day-2 analog of
+    *      `q_table_checksum`'s fingerprint, broadcast back onto every row
+    *      so the batch's audit record rides with its verdicts.
+    *
+    * 100 TB shape is inherited stage by stage: the scrub is per-row
+    * projection, the screen is a broadcast Bloom + bounded verify join,
+    * the dedup shuffles only fixed-size band keys old×new, and the
+    * checksum is a 1-row aggregate broadcast back (never a corpus
+    * shuffle). The DuckDB oracle replays the full chain via a shadowing
+    * `documents` CTE (standing ∪ scrubbed batch) so every downstream
+    * fragment — including the REUSED signature CTEs — reads the
+    * pipeline's intermediate state, exactly like the engine. */
+  def dailyIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val numHashes = 5
+    val k = 4
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+    val standing = docs.filter(col("src_num") < 10)
+      .select(col("doc_id"), col("source"), col("text"))
+    val scrub = TextAnalysis.piiRedactOnDocs(
+      TextAnalysis.withSyntheticPii(docs.filter(col("src_num") >= 10)), "raw_text")
+    // Lazy localCheckpoint: the scrubbed batch feeds FOUR branches
+    // (contamination shingles, band signatures, verify join, verdicts);
+    // without it each branch re-runs the regexp cascade.
+    val arriving = docs.filter(col("src_num") >= 10)
+      .select(col("doc_id"), col("source"))
+      .join(scrub, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("red_text").as("text"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("n_pii"))
+      .localCheckpoint(false)
+
+    def shingles4(df: DataFrame, idCol: String): DataFrame = df
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id").as(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(tokens) - $k),
+           |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)).as("shingle"))
+    val bench = shingles4(standing.filter(col("doc_id") < 5), "bench_id")
+    val bits = bloomBits(bench.select(col("shingle")), numHashes)
+    val contam = shingles4(arriving, "doc_id")
+      .filter(expr(bloomProbeSql(bits, numHashes, "shingle")))
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+
+    val cands = minhashBands(standing).as("o")
+      .join(minhashBands(arriving).as("n"),
+        col("o.band_idx") === col("n.band_idx") && col("o.band") === col("n.band"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val lake = standing.unionByName(arriving.select("doc_id", "source", "text"))
+    val dups = jaccardVerify(lake, cands)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_a")).as("matched_old"))
+
+    val verdicts = arriving.select(col("doc_id"), col("source"), col("n_pii"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_pii"),
+        col("n_contam").isNotNull.as("contaminated"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("matched_old"),
+        (col("n_contam").isNull && col("n_dups").isNull).as("kept"))
+      .localCheckpoint(false) // feeds both the manifest agg and the output
+    val manifest = verdicts.filter(col("kept"))
+      .agg(coalesce(
+        pmod(sum(pmod(col("doc_id") * lit(2654435761L), lit(4294967291L))),
+          lit(4294967291L)), lit(0L)).as("batch_checksum"))
+    verdicts.crossJoin(broadcast(manifest))
+  }
+
+  // lazy: TextAnalysis's fragments may not be initialized yet if ITS init
+  // (transitively) touched this object first — a plain val would freeze
+  // the literal string "null" into the SQL (see graft-build-loop notes).
+  lazy val dailyIngestSql: String = {
+    import TextAnalysis.{EmailRe, PhoneRe, Ipv4Re, syntheticPiiSqlExpr}
+    s"""WITH scrub AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS text,
+       |         CAST(len(regexp_extract_all(t0, '$EmailRe')) +
+       |              len(regexp_extract_all(t1, '$PhoneRe')) +
+       |              len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_pii
+       |  FROM (
+       |    SELECT doc_id, source, t0, t1,
+       |           regexp_replace(t1, '$PhoneRe', '<PHONE>', 'g') AS t2
+       |    FROM (
+       |      SELECT doc_id, source, t0,
+       |             regexp_replace(t0, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |      FROM (SELECT doc_id, source, $syntheticPiiSqlExpr AS t0
+       |            FROM main.documents
+       |            WHERE CAST(substr(source, 4) AS INT) >= 10)))),
+       |documents AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM main.documents
+       |  WHERE CAST(substr(source, 4) AS INT) < 10
+       |  UNION ALL
+       |  SELECT doc_id, source, text FROM scrub),
+       |$sigCtesSql,
+       |srcs AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num
+       |         FROM documents),
+       |bands AS (
+       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+       |  FROM bands o JOIN srcs so ON so.doc_id = o.doc_id
+       |       JOIN bands n ON o.bi = n.bi AND o.b = n.b
+       |       JOIN srcs sn ON sn.doc_id = n.doc_id
+       |  WHERE so.src_num < 10 AND sn.src_num >= 10),
+       |docsd AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM docs0),
+       |dup AS (
+       |  SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+       |         min(doc_a) AS matched_old
+       |  FROM (
+       |    SELECT doc_a, doc_b, len(list_intersect(da.dtoks, db.dtoks)) AS i,
+       |           len(da.dtoks) AS na, len(db.dtoks) AS nb
+       |    FROM cand JOIN docsd da ON da.doc_id = doc_a
+       |              JOIN docsd db ON db.doc_id = doc_b)
+       |  WHERE i * 1.0 / (na + nb - i) >= 0.8
+       |  GROUP BY doc_b),
+       |sh4 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(0, len(string_split(text, ' ')) - 3),
+       |           i -> array_to_string(list_slice(string_split(text, ' '),
+       |                  CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')))) AS shingle
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+       |contam AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM sh4 c JOIN sh4 b ON c.shingle = b.shingle
+       |       JOIN srcs sc ON sc.doc_id = c.doc_id
+       |  WHERE b.doc_id < 5 AND sc.src_num >= 10),
+       |verdicts AS MATERIALIZED (
+       |  SELECT s.doc_id, s.source, s.n_pii,
+       |         c.doc_id IS NOT NULL AS contaminated,
+       |         coalesce(d.n_dups, 0) AS n_dups, d.matched_old,
+       |         (c.doc_id IS NULL AND d.doc_id IS NULL) AS kept
+       |  FROM scrub s LEFT JOIN contam c ON c.doc_id = s.doc_id
+       |       LEFT JOIN dup d ON d.doc_id = s.doc_id),
+       |manifest AS (
+       |  SELECT CAST(coalesce(
+       |           sum((doc_id * 2654435761) % 4294967291) % 4294967291, 0)
+       |         AS BIGINT) AS batch_checksum
+       |  FROM verdicts WHERE kept)
+       |SELECT v.doc_id, v.source, v.n_pii, v.contaminated, v.n_dups,
+       |       v.matched_old, v.kept, m.batch_checksum
+       |FROM verdicts v CROSS JOIN manifest m
+       |ORDER BY v.doc_id""".stripMargin
+  }
 }

@@ -1240,9 +1240,22 @@ object TextAnalysis {
     * IDENTICALLY in the DuckDB oracle, so the regex semantics themselves
     * are what the oracle verifies). Pure per-row projection: no shuffle,
     * whole-stage codegen, linear at 100 TB. */
-  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
-  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[ext] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[ext] val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  private[ext] val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** DuckDB twin of [[withSyntheticPii]]'s planted contact footer, as an
+    * expression over (doc_id, text) — shared by [[piiRedactSql]] and the
+    * daily-ingest composite oracle so the two cannot drift. No line may
+    * START with `||`: the fragment is interpolated into stripMargin
+    * strings, which would eat the first pipe of a line-leading operator. */
+  private[ext] val syntheticPiiSqlExpr: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||\n" +
+      "      CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END ||\n" +
+      "      ' ip 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ||\n" +
+      "      CASE WHEN doc_id % 2 = 0\n" +
+      "           THEN ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')\n" +
+      "           ELSE '' END"
 
   /** Deterministic PII footer keyed off doc_id: 1-2 emails, 0-1 phones,
     * exactly one IP per doc, so counts vary across the corpus. */
@@ -1277,12 +1290,7 @@ object TextAnalysis {
   val piiRedactSql: String =
     s"""WITH raw AS (
        |  SELECT doc_id,
-       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-       |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END
-       |      || ' ip 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
-       |      || CASE WHEN doc_id % 2 = 0
-       |              THEN ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |              ELSE '' END AS t0
+       |    $syntheticPiiSqlExpr AS t0
        |  FROM documents),
        |st AS (
        |  SELECT doc_id, t0,
