@@ -714,4 +714,112 @@ class StreamIngestSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(streamed == batch, "streamed kmv sketch != batch kmv sketch")
   }
+
+  // ---- ST7: exactly-once under restart ---------------------------------
+
+  /** Drops `lines` into `dir` as one text file via tmp+ATOMIC_MOVE so the
+    * file source never lists a half-written file. A file source (unlike
+    * MemoryStream) persists its per-batch file manifest in the
+    * checkpoint's `sources/` log, so a restarted query can re-read the
+    * exact files of an uncommitted batch — the property a restart test
+    * needs from its source. */
+  private def addInputFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def fileNotifications(inDir: String) =
+    StreamIngest.parseNotifications(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(inDir).toDF("json"))
+
+  test("sink is exactly-once across a crash between sink commit and offset commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+    addInputFile(inDir, "f0.txt", Seq(
+      notif("Kitchen", 17.5, "2017-03-08T23:58:47+00:00"),
+      notif("Room1", 20.0, "2017-03-08T23:58:48+00:00")))
+
+    // Run 1: land batch 0, then "crash" inside the at-least-once window —
+    // the sink has finalized batch 0 (data files + _spark_metadata entry)
+    // but the driver's commits/0 marker is lost. This is exactly the race
+    // where the reference's HBase writer (subscriber.py:64-75) would
+    // double-write on redelivery; deleting commits/0 after a stop
+    // reproduces that driver state bit-for-bit.
+    val q1 = StreamIngest.startSink(
+      fileNotifications(inDir), s"$base/out", s"$base/ckpt")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(new java.io.File(s"$base/ckpt/offsets/0").exists())
+    val commit0 = new java.io.File(s"$base/ckpt/commits/0")
+    assert(commit0.exists() && commit0.delete(),
+      "could not simulate the crash window")
+    // a crashed driver never wrote the local-FS CRC sidecar either; leaving
+    // it stale would read as a concurrent writer, not a crash
+    new java.io.File(s"$base/ckpt/commits/.0.crc").delete()
+
+    // Run 2: restart from the same checkpoint. Spark sees offsets/0
+    // without commits/0, re-plans batch 0 as uncommitted and RE-EXECUTES
+    // it; the FileStreamSink's own transaction log already contains batch
+    // 0, so the re-delivery must be skipped (no duplicates), after which
+    // the new file becomes batch 1 (no loss).
+    addInputFile(inDir, "f1.txt", Seq(
+      notif("Kitchen", 18.0, "2017-03-08T23:59:47+00:00"),
+      notif("Toilet", 21.0, "2017-03-08T23:59:48+00:00")))
+    val q2 = StreamIngest.startSink(
+      fileNotifications(inDir), s"$base/out", s"$base/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+
+    // Uninterrupted twin: same input, fresh sink + checkpoint, no crash.
+    val q3 = StreamIngest.startSink(
+      fileNotifications(inDir), s"$base/out_clean", s"$base/ckpt_clean")
+    q3.processAllAvailable()
+    q3.stop()
+
+    def landed(path: String): Seq[(String, String, Double, Long)] =
+      spark.read.parquet(path)
+        .select("entityid", "sensor", "value", "event_ts").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getTimestamp(3).getTime)).toSeq.sorted
+    val recovered = landed(s"$base/out")
+    assert(recovered.length == 4,
+      s"expected each reading exactly once (4), got ${recovered.length}")
+    assert(recovered == landed(s"$base/out_clean"),
+      "restarted sink diverged from the uninterrupted run")
+  }
+
+  test("throttle state survives a checkpoint restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_eo_state").toString
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+    def at(sec: Long) = f"1970-01-01T00:${sec / 60}%02d:${sec % 60}%02d+00:00"
+    def throttled = StreamIngest.throttle(
+      fileNotifications(inDir).as[SensorReading], minGapMs = 50000L)
+
+    // Run 1: keep 0 s, drop 20 s; last-kept state = 0 s. Clean stop.
+    addInputFile(inDir, "f0.txt", Seq(
+      notif("Kitchen", 1.0, at(0)), notif("Kitchen", 2.0, at(20))))
+    val q1 = StreamIngest.startSink(throttled.toDF(), s"$base/out", s"$base/ckpt")
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Run 2 (restart): 40 s must still be dropped (40 − 0 < 50 — only a
+    // recovered state store knows last-kept was 0 s; a fresh state would
+    // wrongly keep it), 70 s kept. This is the state-recovery half of the
+    // exactly-once claim: the restarted query resumes the SAME state, not
+    // a re-derived approximation.
+    addInputFile(inDir, "f1.txt", Seq(
+      notif("Kitchen", 3.0, at(40)), notif("Kitchen", 4.0, at(70))))
+    val q2 = StreamIngest.startSink(throttled.toDF(), s"$base/out", s"$base/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val keptSecs = spark.read.parquet(s"$base/out")
+      .select("event_ts").collect()
+      .map(_.getTimestamp(0).getTime / 1000).toSeq.sorted
+    assert(keptSecs == Seq(0L, 70L),
+      s"state not recovered across restart: kept $keptSecs")
+  }
 }
