@@ -153,14 +153,18 @@ object Bench {
     // path baked into compiled code — and skipped with a notice when the
     // sibling doesn't exist. SPARK_GRAFT_SF_SWEEP overrides, empty
     // string disables.
+    // Canonical-path compare: a trailing slash or relative
+    // SPARK_GRAFT_SF_DIR must still recognize the primary dir as itself,
+    // or the "scale-up" sweep silently re-times the primary SF.
+    val sfDirCanonical = new java.io.File(sfDir).getCanonicalPath
     def siblingSf(name: String): Option[String] = {
-      val f = new java.io.File(new java.io.File(sfDir).getParentFile, name)
+      val f = new java.io.File(new java.io.File(sfDir).getCanonicalFile.getParentFile, name)
       Option.when(f.isDirectory)(f.getPath)
     }
     val sweepDirs = sys.env.get("SPARK_GRAFT_SF_SWEEP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(siblingSf("sf0.01") match {
-        case Some(d) if d != sfDir => Seq(d)
+        case Some(d) if new java.io.File(d).getCanonicalPath != sfDirCanonical => Seq(d)
         case _ =>
           System.err.println(s"[bench] no sibling sf0.01 beside $sfDir — SF sweep skipped")
           Seq.empty
@@ -188,7 +192,9 @@ object Bench {
     // Extended ops run one SF down by default (same sibling derivation
     // as the sweep — no baked-in path); fall back to the primary dir.
     val extSfDir = sys.env.get("SPARK_GRAFT_EXT_SF_DIR")
-      .orElse(siblingSf("sf0.01").filter(_ != sfDir)).getOrElse(sfDir)
+      .orElse(siblingSf("sf0.01")
+        .filter(d => new java.io.File(d).getCanonicalPath != sfDirCanonical))
+      .getOrElse(sfDir)
     // Extended/scale ops: point estimates only, no CI claim — max(5,
     // runs/6) passes keeps the whole artifact inside the same wall-clock
     // budget that the 30-run headline protocol already dominates. Median,

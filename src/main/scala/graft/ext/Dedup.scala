@@ -1307,7 +1307,8 @@ object Dedup {
        |  SELECT DISTINCT c.doc_id
        |  FROM sh4 c JOIN sh4 b ON c.shingle = b.shingle
        |       JOIN srcs sc ON sc.doc_id = c.doc_id
-       |  WHERE b.doc_id < 5 AND sc.src_num >= 10),
+       |       JOIN srcs sb ON sb.doc_id = b.doc_id
+       |  WHERE b.doc_id < 5 AND sb.src_num < 10 AND sc.src_num >= 10),
        |verdicts AS MATERIALIZED (
        |  SELECT s.doc_id, s.source, s.n_pii,
        |         c.doc_id IS NOT NULL AS contaminated,

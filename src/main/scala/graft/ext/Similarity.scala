@@ -1028,10 +1028,16 @@ object Similarity {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(name).as("method"),
           Num.r4(col("n_hit").cast("double") / lit(30.0)).as("recall_at_3"))
+    // The ivfpq arm SERVES from the persisted index ([[annIndexEnsure]]
+    // trains at most once per source dir) rather than retraining in-DAG
+    // like the lighter arms — the serve path is spec-proven bit-identical
+    // to the in-memory build, so the oracle is unchanged, and repeated
+    // evals (bench passes, reruns) skip the most expensive training.
+    annIndexEnsure(spark, sfDir)
     recallOf(hammingAnn(spark, sfDir), "hamming")
       .unionAll(recallOf(rabitqAnn(spark, sfDir), "rabitq"))
       .unionAll(recallOf(annSq8(spark, sfDir), "sq8"))
-      .unionAll(recallOf(annIvfPq(spark, sfDir), "ivfpq"))
+      .unionAll(recallOf(annIndexLookup(spark, sfDir), "ivfpq"))
       .unionAll(recallOf(annOpq(spark, sfDir), "opq"))
   }
 
@@ -1657,6 +1663,29 @@ object Similarity {
   def annIndexRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     annIndexWrite(spark, sfDir)
     annIndexLookup(spark, sfDir)
+  }
+
+  /** Train-once guard for the persisted index: (re)build only when the
+    * saved tables are absent or were trained from a DIFFERENT source dir
+    * (recorded as a table property on the codes table — same idempotency
+    * device as `PartitionedScan.eventsByDay`). Lets consumers like
+    * [[annRecallEval]] SERVE the ivfpq arm instead of retraining it
+    * per invocation — the train-once/serve-many split inside the eval
+    * itself, which is how the index-selection loop actually runs at
+    * 100 TB (the candidate indexes are built once, then every recall /
+    * latency probe reads the saved layout). */
+  def annIndexEnsure(spark: SparkSession, sfDir: String,
+      prefix: String = "ann_ivfpq"): Unit = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val current = spark.catalog.tableExists(s"${prefix}_codes") &&
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_codes"))
+        .properties.get("graft.source.dir").contains(canonical)
+    if (!current) {
+      annIndexWrite(spark, sfDir, prefix)
+      spark.sql(s"ALTER TABLE ${prefix}_codes SET TBLPROPERTIES " +
+        s"('graft.source.dir' = '$canonical')")
+    }
   }
 
   /** OPQ-lite rotation, learned from data but restricted to the

@@ -34,20 +34,35 @@ object ReferenceQueries {
     * so it is pushed into the parquet scan as a min/max-prunable predicate.
     */
   def q1TimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
     // Pin "now" by collecting the 1-row max to the driver and filtering
-    // with a LITERAL bound on the RAW nanosecond column, so the predicate
+    // with a LITERAL bound on the RAW scan column, so the predicate
     // reaches the parquet scan (PushedFilters + row-group min/max pruning
     // — see PLANS.md). A broadcast-join formulation can't push (runtime
-    // column bound), and neither can a filter on the µs-converted column
-    // (derived expression). The µs-domain window `floor(r/1000) ≥ b` is
-    // exactly `r ≥ 1000·b` in ns, so results match the oracle bit-for-bit.
+    // column bound), and neither can a filter on a converted column
+    // (derived expression). The raw column's type is generation-dependent
+    // (long nanos vs TIMESTAMP_NTZ — Tables.events): both branches filter
+    // the native type, then normalize to the µs/UTC TimestampType the
+    // oracle compares against.
     val raw = Tables.eventsRaw(spark, sfDir)
-    val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-    val boundNs = (maxNs / 1000L - 3600L * 1000000L) * 1000L
-    raw.filter(col("ts") >= lit(boundNs))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("event_id"), col("ts"), col("value"))
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // µs-domain window `floor(r/1000) ≥ b` is exactly `r ≥ 1000·b`
+        // in ns, so the literal bound matches the oracle bit-for-bit.
+        val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+        val boundNs = (maxNs / 1000L - 3600L * 1000000L) * 1000L
+        raw.filter(col("ts") >= lit(boundNs))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // LocalDateTime keeps the footer's full µs precision (a
+        // java.sql.Timestamp round-trip through getTime would floor to
+        // ms); minusHours is exact, so the NTZ literal bound is the
+        // same µs value the oracle's `max(ts) - INTERVAL 1 HOUR` pins.
+        val maxTs = raw.agg(max(col("ts"))).collect()(0)
+          .getAs[java.time.LocalDateTime](0)
+        raw.filter(col("ts") >= lit(maxTs.minusHours(1)))
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    filtered.select(col("event_id"), col("ts"), col("value"))
   }
 
   val q1Sql: String =

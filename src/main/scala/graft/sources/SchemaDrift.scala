@@ -31,17 +31,26 @@ object SchemaDrift {
     s"${sys.props("java.io.tmpdir")}/graft_drift/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
 
   /** Idempotent materialization of the mixed-footer directory: generation
-    * 1 overwrites (narrow schema), generation 2 appends (wide schema). */
+    * 1 overwrites (narrow schema), generation 2 appends (wide schema).
+    * An underscore-prefixed marker (invisible to the parquet reader)
+    * stamps a COMPLETED two-generation build; when present the rewrite is
+    * skipped, so repeated invocations — including bench passes — time the
+    * mergeSchema read, not the fixture build. A half-built directory
+    * (crash between the two writes) has no marker and rebuilds. */
   def ordersDrifted(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
     val path = driftPath(sfDir)
-    orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.mode("overwrite").parquet(path)
-    orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        concat(lit("ch_"), pmod(col("o_orderkey"), lit(4))).as("o_channel"))
-      .write.mode("append").parquet(path)
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_DRIFT_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(path)
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          concat(lit("ch_"), pmod(col("o_orderkey"), lit(4))).as("o_channel"))
+        .write.mode("append").parquet(path)
+      java.nio.file.Files.createFile(marker): Unit
+    }
     spark.read.option("mergeSchema", "true").parquet(path)
   }
 

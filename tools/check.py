@@ -18,6 +18,14 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    # Queries may skip the oracle only by explicit declaration
+    # (Verify writes rows_only.json); absence from BOTH is a failure,
+    # so a forgotten oracleSql entry can't silently weaken the gate.
+    rows_only_path = os.path.join(out_dir, "rows_only.json")
+    rows_only = set()
+    if os.path.exists(rows_only_path):
+        with open(rows_only_path) as f:
+            rows_only = set(json.load(f))
     n_pass = n_fail = 0
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
@@ -27,7 +35,11 @@ def main():
             continue
         spark_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
         if name not in oracle:
-            print(f"[rows-only] {name}: {len(spark_df)} rows")
+            if name in rows_only:
+                print(f"[rows-only] {name}: {len(spark_df)} rows")
+            else:
+                print(f"[FAIL-decl] {name}: no oracle and not declared rows-only")
+                n_fail += 1
             continue
         try:
             duck_df = con.sql(oracle[name]).df()
