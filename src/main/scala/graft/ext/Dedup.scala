@@ -1188,7 +1188,14 @@ object Dedup {
     * shuffle). The DuckDB oracle replays the full chain via a shadowing
     * `documents` CTE (standing ∪ scrubbed batch) so every downstream
     * fragment — including the REUSED signature CTEs — reads the
-    * pipeline's intermediate state, exactly like the engine. */
+    * pipeline's intermediate state, exactly like the engine.
+    *
+    * After acceptance, the standing lake's maintenance tail runs OUTSIDE
+    * the query: the accepted batch appends small files to the current
+    * day's partition, so the day-2 job closes with
+    * [[graft.sources.TableOps.compactPartition]] over just that slice
+    * (crash-safe stage+swap, sibling partitions untouched — spec'd in
+    * ScaleToolsSpec) rather than a table-wide rewrite. */
   def dailyIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 5
     val k = 4

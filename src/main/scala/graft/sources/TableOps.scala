@@ -71,35 +71,41 @@ object TableOps {
       .saveAsTable(name)
   }
 
-  /** Small-file compaction — the standing lake-maintenance job every
-    * 100 TB deployment runs: streaming ingest and per-batch writes leave
-    * thousands of KB-sized parquet files per table (each costing a task,
-    * a footer read, and an open at scan time); compaction rewrites the
-    * table into ⌈bytes / targetFileBytes⌉ right-sized files. The rewrite
-    * goes to a staging table first and swaps in via RENAME, so a reader
-    * never sees a half-written table. Returns (filesBefore, filesAfter).
-    * At cluster scale the same op runs per partition-predicate slice;
-    * here it covers the whole (unpartitioned) table. */
-  def compactTable(spark: SparkSession, name: String,
-                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).toIndexedSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    }
-    val loc = new org.apache.hadoop.fs.Path(
+  private def dataFiles(spark: SparkSession, p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+  }
+
+  private def warehousePath(spark: SparkSession, name: String) =
+    new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+
+  /** Stage phase of [[compactTable]]: build the full compacted rewrite
+    * as a SEPARATE staging table, touching nothing the live table owns.
+    * Exposed (package-)separately so the crash-consistency spec can
+    * stop exactly here — the crash window the stage+swap protocol is
+    * designed for: a death before the swap leaves the live table
+    * byte-identical and only an orphaned staging table behind, and the
+    * orphan is reclaimed by the NEXT compaction's own resetTable (drop
+    * if exists + clear location). Returns (stagingName, filesBefore). */
+  private[graft] def stageCompaction(spark: SparkSession, name: String,
+      targetFileBytes: Long): (String, Int) = {
+    val loc = warehousePath(spark, name)
     // Partitioned tables keep their data under per-partition
     // SUBDIRECTORIES; compacting through a flat rewrite would silently
     // discard the partitioning (and the flat listing would see zero
-    // files and "compact" to one). Refuse loudly — the partitioned form
-    // of this job compacts one partition-predicate slice at a time.
+    // files and "compact" to one). Refuse loudly — [[compactPartition]]
+    // is the partitioned form, one partition slice at a time.
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val subdirs = fs.listStatus(loc).filter(_.isDirectory)
     require(subdirs.isEmpty,
       s"compactTable($name): table has partition subdirectories " +
         s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
-        "compact per partition slice instead of flattening the layout")
+        "compact per partition slice (compactPartition) instead of " +
+        "flattening the layout")
     // Same silent-flatten hazard for BUCKETED tables: the staging rewrite
     // goes through resetTable, which drops the bucket spec, and every
     // Exchange-free join keyed on the buckets would silently regain a
@@ -112,15 +118,104 @@ object TableOps {
       s"compactTable($name): table is bucketed (${bucketSpec.orNull}) — a " +
         "flat rewrite would drop the bucket layout; recompact via " +
         "resetBucketedTable with the original spec instead")
-    val before = dataFiles(loc)
+    val before = dataFiles(spark, loc)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = s"${name}_compacting"
     resetTable(spark, staging, spark.table(name).repartition(nOut))
+    (staging, before.length)
+  }
+
+  /** Small-file compaction — the standing lake-maintenance job every
+    * 100 TB deployment runs: streaming ingest and per-batch writes leave
+    * thousands of KB-sized parquet files per table (each costing a task,
+    * a footer read, and an open at scan time); compaction rewrites the
+    * table into ⌈bytes / targetFileBytes⌉ right-sized files. The rewrite
+    * goes to a staging table first ([[stageCompaction]] — all the heavy
+    * I/O happens there, crash-safe) and swaps in via drop+RENAME, so a
+    * reader never sees a HALF-WRITTEN table. The swap itself is two
+    * metadata ops, not atomic: a death between them loses the table
+    * NAME but never data (the staging table holds the full compacted
+    * copy; re-point or re-run to recover) — the classic
+    * non-transactional-catalog caveat a production lake closes with a
+    * metastore-atomic rename or a table format's commit protocol (see
+    * SCALING.md). Returns (filesBefore, filesAfter). */
+  def compactTable(spark: SparkSession, name: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val (staging, nBefore) = stageCompaction(spark, name, targetFileBytes)
     dropWithLocation(spark, name)
     spark.sql(s"ALTER TABLE $staging RENAME TO $name")
-    (before.length, dataFiles(new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)).length)
+    (nBefore, dataFiles(spark, warehousePath(spark, name)).length)
+  }
+
+  /** Stage phase of [[compactPartition]]: rewrite ONE partition's files
+    * into a HIDDEN sibling directory (dot-prefixed — both Spark's file
+    * index and [[dataFiles]] ignore it), leaving the live partition
+    * untouched. A death here leaves the table byte-identical; the
+    * orphaned staging dir is overwritten by the next attempt. Returns
+    * (stagingPath, filesBefore). */
+  private[graft] def stagePartitionCompaction(spark: SparkSession,
+      name: String, partCol: String, partVal: String,
+      targetFileBytes: Long): (org.apache.hadoop.fs.Path, Int) = {
+    val partDirName = s"$partCol=$partVal"
+    val partPath = new org.apache.hadoop.fs.Path(
+      warehousePath(spark, name), partDirName)
+    val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(partPath),
+      s"compactPartition($name, $partDirName): no such partition directory")
+    val before = dataFiles(spark, partPath)
+    val nOut = math.max(1L,
+      (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    // Read the slice THROUGH the table so the partition filter prunes to
+    // exactly this directory (cast both sides to string: partition values
+    // arrive typed from the directory name). The partition column itself
+    // is directory-encoded, so the staged files must not contain it.
+    val slice = spark.table(name)
+      .filter(org.apache.spark.sql.functions.col(partCol).cast("string")
+        === partVal)
+      .drop(partCol)
+    val staging = new org.apache.hadoop.fs.Path(
+      warehousePath(spark, name), s".compacting_$partDirName")
+    slice.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
+    (staging, before.length)
+  }
+
+  /** Per-partition small-file compaction — the form of [[compactTable]]
+    * the steady-state lake actually runs: a day-partitioned ingest table
+    * (`events_by_day`) accretes small files ONLY in the most recent
+    * day's directory, so the maintenance job compacts one partition
+    * slice at a time and never rewrites the table. Layout-preserving by
+    * construction: the partition directory keeps its name, no other
+    * partition is touched, and the table's partitioning metadata never
+    * changes — so partition pruning (static and dynamic) over the table
+    * is exactly as before. The swap is rename-out + rename-in of one
+    * directory (two FS metadata ops on the partition only — the rest of
+    * the table stays readable throughout; the crashed-swap recovery
+    * parallels compactTable's: the renamed-aside `.old` dir holds the
+    * original files, the staging dir the compacted ones, nothing is
+    * deleted until both renames landed). Returns (filesBefore,
+    * filesAfter) for the compacted partition. */
+  def compactPartition(spark: SparkSession, name: String,
+      partCol: String, partVal: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val (staging, nBefore) =
+      stagePartitionCompaction(spark, name, partCol, partVal, targetFileBytes)
+    val partDirName = s"$partCol=$partVal"
+    val partPath = new org.apache.hadoop.fs.Path(
+      warehousePath(spark, name), partDirName)
+    val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(
+      warehousePath(spark, name), s".old_$partDirName")
+    if (fs.exists(retired)) fs.delete(retired, true): Unit
+    require(fs.rename(partPath, retired),
+      s"compactPartition($name, $partDirName): could not retire live dir")
+    require(fs.rename(staging, partPath),
+      s"compactPartition($name, $partDirName): could not promote staging")
+    fs.delete(retired, true): Unit
+    // The files under the partition changed; drop any cached file-index
+    // so the next scan lists the compacted layout.
+    spark.catalog.refreshTable(name)
+    (nBefore, dataFiles(spark, partPath).length)
   }
 
   /** Reference S11 (`hive.py:12-17`): engine config introspection. */

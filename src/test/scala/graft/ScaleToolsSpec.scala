@@ -130,6 +130,104 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
   }
 
+  test("a crash between compaction stage and swap leaves readers on the intact table") {
+    // The stage+swap protocol's crash window: all heavy I/O happens in
+    // the staging table; a death BEFORE the swap must leave the live
+    // table byte-identical (same files, same rows) with only an orphaned
+    // staging table behind — and the next compaction run must reclaim
+    // the orphan and complete normally.
+    val src = Tables.orders(spark, sf001)
+    TableOps.resetTable(spark, "orders_cc", src.repartition(32))
+    def liveFiles(): Set[(String, Long)] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "orders_cc")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(s => (s.getPath.getName, s.getLen)).toSet
+    }
+    val filesBefore = liveFiles()
+    val wantRows = src.count()
+    // stage, then "crash" — the swap never runs
+    val (staging, _) = TableOps.stageCompaction(spark, "orders_cc",
+      targetFileBytes = 128L * 1024 * 1024)
+    assert(liveFiles() == filesBefore,
+      "staging touched the live table's files — a crash here would corrupt readers")
+    val live = spark.table("orders_cc")
+    assert(live.count() == wantRows)
+    assert(live.exceptAll(src).count() == 0 && src.exceptAll(live).count() == 0,
+      "live table content changed during staging")
+    assert(spark.catalog.tableExists(staging),
+      "expected the orphaned staging table after the simulated crash")
+    // recovery: re-running compaction reclaims the orphan and completes
+    val (before, after) = TableOps.compactTable(spark, "orders_cc")
+    assert(before >= 32 && after < before,
+      s"post-crash compaction did not complete: $before -> $after files")
+    val got = spark.table("orders_cc")
+    assert(got.count() == wantRows)
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
+      "post-crash compaction changed the data")
+    assert(!spark.catalog.tableExists(staging),
+      "orphaned staging table survived the recovery run")
+    spark.sql("DROP TABLE IF EXISTS orders_cc")
+  }
+
+  test("per-partition compaction is lossless, layout-preserving, and crash-safe pre-swap") {
+    // The partitioned lake's real maintenance job: only ONE partition's
+    // files are rewritten; every other partition directory must be
+    // byte-untouched and the partition's directory name (the pruning
+    // contract) unchanged.
+    val src = Tables.orders(spark, sf001).withColumn("st", col("o_orderstatus"))
+    TableOps.resetTable(spark, "orders_pc", src.repartition(32), Seq("st"))
+    val statuses = src.select("st").distinct().collect().map(_.getString(0)).sorted
+    val target = statuses.head
+    val others = statuses.tail
+    def partFiles(v: String): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"orders_pc/st=$v")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .map(s => (s.getPath.getName, s.getLen)).toSet
+    }
+    val targetBefore = partFiles(target)
+    val othersBefore = others.map(v => v -> partFiles(v)).toMap
+    val wantRows = src.count()
+    // crash window first: stage only, live partition must be untouched
+    val (stagingPath, _) = TableOps.stagePartitionCompaction(
+      spark, "orders_pc", "st", target, targetFileBytes = 128L * 1024 * 1024)
+    assert(partFiles(target) == targetBefore,
+      "partition staging touched the live partition directory")
+    assert(spark.table("orders_pc").count() == wantRows)
+    // now the real swap (reuses the staged dir's sibling protocol)
+    val (before, after) =
+      TableOps.compactPartition(spark, "orders_pc", "st", target)
+    assert(before > 1 && after < before,
+      s"partition compaction did not consolidate: $before -> $after files")
+    val got = spark.table("orders_pc")
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() == wantRows)
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
+      "partition compaction changed the table's rows")
+    // layout-preserving: every OTHER partition's files are byte-identical
+    others.foreach { v =>
+      assert(partFiles(v) == othersBefore(v),
+        s"compacting st=$target touched sibling partition st=$v")
+    }
+    // and the partitioning still prunes statically: a filter on the
+    // partition column reads only that directory
+    val prunedPlan = spark.table("orders_pc")
+      .filter(col("st") === target).queryExecution.executedPlan.toString
+    assert(prunedPlan.contains(s"st=$target") ||
+      prunedPlan.contains("PartitionFilters"),
+      s"partition filter did not reach the scan:\n$prunedPlan")
+    // staging dir was promoted (no orphan left behind)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(stagingPath), "staging dir survived the swap")
+    spark.sql("DROP TABLE IF EXISTS orders_pc")
+  }
+
   test("schema drift: merged read equals pinned-schema read, nulls only pre-drift") {
     import graft.sources.SchemaDrift
     val merged = SchemaDrift.ordersDrifted(spark, sf001)
