@@ -650,4 +650,27 @@ object StreamIngest {
       .format("parquet")
       .option("path", outPath)
       .start()
+
+  /** Checkpointed exactly-once sink into the DAY-partitioned lake — ST7
+    * joined to the batch path's partitioned-scan story
+    * (`PartitionedScan.eventsByDay`): the stream lands one directory per
+    * EVENT-TIME calendar day, the steady-state ingest layout, so the
+    * growing table keeps the partitioned-read contract while batches
+    * append — a dim-filtered join over it still prunes day directories
+    * dynamically (spec-asserted in StreamIngestSpec), and the
+    * FileStreamSink's transaction log keeps concurrent batch reads
+    * consistent with in-flight appends (a reader lists committed batches,
+    * never half-written files). Day-2 maintenance composes:
+    * `TableOps.compactPartition` compacts the accreting current-day
+    * slice without touching the sink's older directories. */
+  def startDaySink(readings: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readings.withColumn("day", to_date(col("event_ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("day")
+      .format("parquet")
+      .option("path", outPath)
+      .start()
 }

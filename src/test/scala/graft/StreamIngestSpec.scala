@@ -822,4 +822,41 @@ class StreamIngestSpec extends SparkSpec {
     assert(keptSecs == Seq(0L, 70L),
       s"state not recovered across restart: kept $keptSecs")
   }
+
+  test("day-partitioned streaming sink keeps dynamic pruning on the growing lake") {
+    // The streaming analog of q_partition_pruned: the sink lands one
+    // directory per event-time day, and a dim-filtered join over the
+    // GROWING table must still prune day directories at runtime — the
+    // contract that makes the streamed lake queryable like the batch one.
+    val base = java.nio.file.Files.createTempDirectory("graft_daysink").toString
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+    // 2017-03-05 = Sunday, 03-06 = Monday, 03-07 = Tuesday
+    addInputFile(inDir, "f0.txt", Seq(
+      notif("Kitchen", 17.5, "2017-03-05T10:00:00+00:00"),
+      notif("Kitchen", 18.5, "2017-03-06T10:00:00+00:00")))
+    val q = StreamIngest.startDaySink(
+      fileNotifications(inDir), s"$base/lake", s"$base/ckpt")
+    q.processAllAvailable()
+    // grow the lake: a later batch adds a NEW day partition
+    addInputFile(inDir, "f1.txt", Seq(
+      notif("Kitchen", 19.5, "2017-03-07T10:00:00+00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val lake = spark.read.parquet(s"$base/lake")
+    val weekdays = spark.read.parquet(s"$base/lake")
+      .select(col("day")).distinct()
+      .filter(expr("pmod(datediff(day, DATE '1970-01-01') + 3, 7) <= 4"))
+    val joined = lake.join(broadcast(weekdays), Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the streamed lake's fact scan:\n$plan")
+    val got = joined.collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // Sunday (03-05) pruned out; both weekday partitions present — the
+    // one from batch 0 AND the one appended after the first read cycle
+    assert(got == Map("2017-03-06" -> 1L, "2017-03-07" -> 1L),
+      s"weekday-filtered lake read wrong: $got")
+  }
 }
