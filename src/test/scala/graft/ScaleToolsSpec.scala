@@ -268,6 +268,44 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS events_by_day")
   }
 
+  test("q1's time-window literal reaches the events scan as a pushed filter") {
+    // The claim PLANS.md publishes — and the one the round-10 testdata
+    // generation silently broke (events.ts drifted TIMESTAMP(NANOS) →
+    // TIMESTAMP(MICROS, NTZ) and the raw-column filter stopped
+    // resolving). Guard it: the scan must carry a GreaterThanOrEqual
+    // pushed filter on ts and read only the 3 projected columns.
+    val df = graft.ops.ReferenceQueries.q1TimeFilter(spark, sf001)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"q1's window bound is not pushed into the events scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:"),
+      s"q1's scan reads more than the projected columns:\n$plan")
+  }
+
+  test("events loader adapts to the footer's timestamp generation") {
+    // The lake's type-drift posture applied to the engine's own corpus:
+    // a pre-drift footer that stores ts as a raw nanosecond LONG (the
+    // round-1..9 testdata generation, and what nanosAsLong hands the
+    // reader for TIMESTAMP(NANOS) footers) must come out of
+    // Tables.events as the SAME µs/UTC TimestampType the current NTZ
+    // generation produces — downstream operators never see the
+    // generation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    Tables.events(spark, sf001) // current generation, already-typed
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L)) // ns long
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val adapted = Tables.events(spark, dir)
+    assert(adapted.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"long-ns generation not normalized: ${adapted.schema("ts").dataType}")
+    val want = Tables.events(spark, sf001).select("event_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val got = adapted.select("event_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(got == want, "ns-long and NTZ generations disagree after adaptation")
+  }
+
   test("orc round-trip is lossless and pushes the scan predicate") {
     import graft.sources.OrcSource
     val orc = OrcSource.ordersOrc(spark, sf001)
