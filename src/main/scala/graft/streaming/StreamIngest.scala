@@ -660,9 +660,18 @@ object StreamIngest {
     * dynamically (spec-asserted in StreamIngestSpec), and the
     * FileStreamSink's transaction log keeps concurrent batch reads
     * consistent with in-flight appends (a reader lists committed batches,
-    * never half-written files). Day-2 maintenance composes:
-    * `TableOps.compactPartition` compacts the accreting current-day
-    * slice without touching the sink's older directories. */
+    * never half-written files).
+    *
+    * Day-2 compaction caveat — the flip side of that same transaction
+    * log: batch readers of a FileStreamSink directory resolve files
+    * through `_spark_metadata`, which pins EXACT file names, so
+    * `TableOps.compactPartition` must NOT rewrite files underneath it
+    * (readers would chase deleted files; this is the problem
+    * log-rewriting table formats solve). The composition that works:
+    * periodically fold the sink's closed day directories into the
+    * CATALOG lake table (`PartitionedScan.eventsByDay`-shaped, no
+    * metadata log) and compact THERE — the pattern the spec suite
+    * exercises on the catalog side. */
   def startDaySink(readings: DataFrame, outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     readings.withColumn("day", to_date(col("event_ts")))
