@@ -93,9 +93,10 @@ object Bench {
     * nanosAsLong, so `events.ts` stays a nanosecond long through the
     * round-trip and `Tables.events` reads the copy identically. Write cost
     * is NOT timed — only the queries over the materialized fraction are. */
-  private def materializeFraction(
-      spark: SparkSession, sfDir: String, pct: Int): String = {
-    val out = s"/tmp/graft_bench_frac/p$pct"
+  private[graft] def materializeFraction(
+      spark: SparkSession, sfDir: String, pct: Int,
+      outBase: String = "/tmp/graft_bench_frac"): String = {
+    val out = s"$outBase/p$pct"
     fracTables.foreach { case (t, keys) =>
       val df = Tables.table(spark, sfDir, t)
       val n = df.count()
@@ -119,7 +120,7 @@ object Bench {
       median: Double)
 
   /** Warm-up + `runs` timed materializations; reference-parity stats. */
-  private def time(fn: (SparkSession, String) => DataFrame,
+  private[graft] def timeQuery(fn: (SparkSession, String) => DataFrame,
       spark: SparkSession, sfDir: String, runs: Int): Stat = {
     materialize(fn(spark, sfDir)) // warm-up (codegen + file listing)
     val times = (1 to runs).map { _ =>
@@ -181,7 +182,7 @@ object Bench {
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        try name -> time(fn, spark, sfDir, runs)
+        try name -> timeQuery(fn, spark, sfDir, runs)
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -195,13 +196,35 @@ object Bench {
       .orElse(siblingSf("sf0.01")
         .filter(d => new java.io.File(d).getCanonicalPath != sfDirCanonical))
       .getOrElse(sfDir)
-    // Extended/scale ops: point estimates only, no CI claim — max(5,
-    // runs/6) passes keeps the whole artifact inside the same wall-clock
-    // budget that the 30-run headline protocol already dominates. Median,
-    // not mean: same load-spike robustness rationale as the sweeps below.
-    val ext = extended.flatMap { name =>
+    // Contention sentinel: a fixed-cost, IO-free aggregation over a cached
+    // 4 M-row range, timed before / midway through / after the extended
+    // pass. The extended set reports 5-run point medians, so a concurrent
+    // workload on the machine (another JVM, a parallel oracle sweep) can
+    // silently multiply individual numbers without leaving any trace in
+    // the artifact — round 10's driver run recorded two 10×+ outliers that
+    // were *probably* contention but unprovable after the fact. The
+    // sentinel's workload never changes, so any drift across its three
+    // readings is environmental by construction and makes the artifact
+    // self-diagnosing: extended numbers taken between two inflated
+    // sentinel readings are suspect; between flat readings they're real.
+    val sentinelDf = {
+      import org.apache.spark.sql.functions.{col, pmod, lit, sum}
+      // keep the hashed values < 1e9 so the 4 M-row sum stays ~4e15,
+      // far inside Long range (ANSI mode makes a sum overflow a task
+      // failure, not a wraparound)
+      val df = spark.range(1L << 22)
+        .select(pmod(col("id") * 2654435761L, lit(1000000007L)).as("h"),
+          (col("id") % 1024).as("b"))
+        .cache()
+      df.count() // materialize the cache so timed passes are pure compute
+      df.groupBy(col("b")).agg(sum(col("h")).as("s"))
+    }
+    def sentinelRead(): Double =
+      try timeQuery((_, _) => sentinelDf, spark, sfDir, 5).median
+      catch { case _: Throwable => -1.0 }
+    def runExt(names: Seq[String]): Seq[(String, Double)] = names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        try name -> time(fn, spark, extSfDir, math.max(5, runs / 6)).median
+        try name -> timeQuery(fn, spark, extSfDir, math.max(5, runs / 6)).median
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
@@ -209,6 +232,17 @@ object Bench {
         }
       }
     }
+    // Extended/scale ops: point estimates only, no CI claim — max(5,
+    // runs/6) passes keeps the whole artifact inside the same wall-clock
+    // budget that the 30-run headline protocol already dominates. Median,
+    // not mean: same load-spike robustness rationale as the sweeps below.
+    val sentinelBefore = sentinelRead()
+    val (extFront, extBack) = extended.splitAt(extended.size / 2)
+    val extA = runExt(extFront)
+    val sentinelMid = sentinelRead()
+    val extB = runExt(extBack)
+    val sentinelAfter = sentinelRead()
+    val ext = extA ++ extB
     // Optional SF sweep: the WHOLE headline set per listed directory with
     // one warm-up + max(3, runs/3) timed passes each (totals only — the
     // per-query distribution at the primary SF is already in `stats`).
@@ -216,7 +250,7 @@ object Bench {
     // than silently under-reporting it.
     val sweep = sweepDirs.map { dir =>
       val perQuery = headline.flatMap(SparkEntry.queries.get).map { fn =>
-        try time(fn, spark, dir, math.max(5, runs / 3)).median
+        try timeQuery(fn, spark, dir, math.max(5, runs / 3)).median
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] sweep $dir failed: ${e.getMessage}")
@@ -242,7 +276,7 @@ object Bench {
       try {
         val dir = materializeFraction(spark, sfDir, pct)
         val perQuery = refQueries.flatMap(SparkEntry.queries.get)
-          .map(fn => time(fn, spark, dir, fracRuns).median)
+          .map(fn => timeQuery(fn, spark, dir, fracRuns).median)
         pct -> perQuery.sum
       } catch {
         case e: Throwable =>
@@ -255,7 +289,7 @@ object Bench {
     // the fixture, see `extended`), the banded pipeline is
     // candidate-bounded and must demonstrate that at sf0.1.
     val pipelineSec = SparkEntry.queries.get("d_dedup_pipeline").map { fn =>
-      try time(fn, spark, sfDir, math.max(5, runs / 6)).median
+      try timeQuery(fn, spark, sfDir, math.max(5, runs / 6)).median
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
@@ -286,6 +320,7 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       (f"""{"total":$total%.4f,"unit":"sec","stats":$statsFull,""" +
         f""""extended":$extJson,"extended_sf":"$extSfDir",""" +
+        f""""sentinel":{"before":$sentinelBefore%.4f,"mid":$sentinelMid%.4f,"after":$sentinelAfter%.4f},""" +
         f""""pipeline":$pipeJson,"fractions":$fracJson,"sweep":$sweepJson,""" +
         f""""sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
 
