@@ -92,7 +92,7 @@ object TableOps {
     * orphan is reclaimed by the NEXT compaction's own resetTable (drop
     * if exists + clear location). Returns (stagingName, filesBefore). */
   private[graft] def stageCompaction(spark: SparkSession, name: String,
-      targetFileBytes: Long): (String, Int) = {
+      targetFileBytes: Long, stagingName: String = null): (String, Int) = {
     val loc = warehousePath(spark, name)
     // Partitioned tables keep their data under per-partition
     // SUBDIRECTORIES; compacting through a flat rewrite would silently
@@ -121,7 +121,7 @@ object TableOps {
     val before = dataFiles(spark, loc)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val staging = s"${name}_compacting"
+    val staging = Option(stagingName).getOrElse(s"${name}_compacting")
     resetTable(spark, staging, spark.table(name).repartition(nOut))
     (staging, before.length)
   }
@@ -148,6 +148,79 @@ object TableOps {
     (nBefore, dataFiles(spark, warehousePath(spark, name)).length)
   }
 
+  /** Current backing version N of a VIEW-fronted table (`name` resolves
+    * through a view to `name_vN` — see [[resetViewedTable]]). */
+  private[graft] def backingVersion(spark: SparkSession, name: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    require(meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+      s"$name is not a view — use compactTable for directly-named tables")
+    val txt = meta.viewText.getOrElse("")
+    s"(?i)${java.util.regex.Pattern.quote(name)}_v(\\d+)".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$name's view text does not name a ${name}_v<N> backing table: $txt"))
+  }
+
+  /** Idempotent reset of a VIEW-fronted table: data lands in `name_v1`
+    * and the query-visible `name` is a view over it. This indirection is
+    * what makes [[compactTableAtomic]]'s swap metadata-only: readers
+    * always resolve `name`, and repointing a view is ONE catalog op. */
+  def resetViewedTable(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    // the name may pre-exist as either form; drop with the matching DDL
+    if (spark.catalog.tableExists(name)) {
+      val isView = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      if (isView) spark.sql(s"DROP VIEW $name") else dropWithLocation(spark, name)
+    }
+    // reclaim every stale backing version from prior generations
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(_.matches(s"(?i)${java.util.regex.Pattern.quote(name)}_v\\d+"))
+      .foreach(dropWithLocation(spark, _))
+    resetTable(spark, s"${name}_v1", df)
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}_v1")
+  }
+
+  /** [[compactTable]] with the swap window shrunk to METADATA-ONLY: the
+    * query-visible name is a view over a versioned backing table
+    * (`name` → `name_vN`), the compacted rewrite stages as `name_v(N+1)`
+    * (all heavy I/O crash-safe — the live view never references it), and
+    * the swap is a single `CREATE OR REPLACE VIEW`, which the catalog
+    * applies as one atomic metastore op — there is no instant at which a
+    * reader resolving `name` finds it absent, closing the drop+RENAME
+    * window [[compactTable]] documents (a crash there loses the NAME
+    * until re-pointed). Crash matrix: before the swap — view still reads
+    * vN, byte-identical, and the orphaned v(N+1) is reclaimed by the next
+    * attempt's resetTable; after the swap — view reads the compacted
+    * v(N+1), and the stale vN is reclaimed by the cleanup pass at the
+    * START of the next compaction (so a crash before this run's own
+    * cleanup converges one round later). Bucketed tables keep the
+    * [[compactTable]] path: their Exchange-free joins hang off catalog
+    * bucket metadata, which a view does not carry, so view indirection
+    * would silently re-introduce shuffles ([[stageCompaction]] refuses
+    * bucketed inputs for the same reason). Returns (filesBefore,
+    * filesAfter). */
+  def compactTableAtomic(spark: SparkSession, name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val v = backingVersion(spark, name)
+    val cur = s"${name}_v$v"
+    // reclaim stale versions a crashed prior run left behind (anything
+    // versioned that is not the live backing table)
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(_.matches(s"(?i)${java.util.regex.Pattern.quote(name)}_v\\d+"))
+      .filter(!_.equalsIgnoreCase(cur))
+      .foreach(dropWithLocation(spark, _))
+    val next = s"${name}_v${v + 1}"
+    val (staging, nBefore) = stageCompaction(spark, cur, targetFileBytes, next)
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $staging")
+    dropWithLocation(spark, cur)
+    (nBefore, dataFiles(spark, warehousePath(spark, staging)).length)
+  }
+
   /** Stage phase of [[compactPartition]]: rewrite ONE partition's files
     * into a HIDDEN sibling directory (dot-prefixed — both Spark's file
     * index and [[dataFiles]] ignore it), leaving the live partition
@@ -161,8 +234,40 @@ object TableOps {
     val partPath = new org.apache.hadoop.fs.Path(
       warehousePath(spark, name), partDirName)
     val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Half-swapped recovery: a crash between compactPartition's two
+    // renames leaves the LIVE directory absent while the data sits intact
+    // in a hidden sibling — `.compacting_<dir>` (the completed staged
+    // rewrite; the retire rename only starts after the staging write
+    // finished, so when the live dir is missing AND staging carries its
+    // _SUCCESS commit marker, staging is a full copy) and/or
+    // `.old_<dir>` (the retired originals). Auto-complete instead of
+    // aborting: promote the committed staging if present, else restore
+    // the retired originals — either way the next attempt starts from a
+    // whole partition, with no manual spelunking through hidden dirs.
+    if (!fs.exists(partPath)) {
+      val staged = new org.apache.hadoop.fs.Path(
+        warehousePath(spark, name), s".compacting_$partDirName")
+      val retired = new org.apache.hadoop.fs.Path(
+        warehousePath(spark, name), s".old_$partDirName")
+      val stagedCommitted = fs.exists(staged) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+      if (stagedCommitted) {
+        require(fs.rename(staged, partPath),
+          s"compactPartition($name, $partDirName): recovery could not " +
+            s"promote $staged")
+        if (fs.exists(retired)) fs.delete(retired, true): Unit
+        spark.catalog.refreshTable(name)
+      } else if (fs.exists(retired)) {
+        require(fs.rename(retired, partPath),
+          s"compactPartition($name, $partDirName): recovery could not " +
+            s"restore $retired")
+        spark.catalog.refreshTable(name)
+      }
+    }
     require(fs.exists(partPath),
-      s"compactPartition($name, $partDirName): no such partition directory")
+      s"compactPartition($name, $partDirName): no such partition directory " +
+        s"(and no .old_$partDirName/.compacting_$partDirName recovery " +
+        "sibling holds its data)")
     val before = dataFiles(spark, partPath)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
