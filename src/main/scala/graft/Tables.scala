@@ -29,12 +29,21 @@ object Tables {
     * SchemaDrift), so the loader adapts on the footer's declared type
     * rather than pinning one generation:
     *
-    *   - long nanos → truncate to µs with INTEGER division (`ts div
-    *     1000` stays in long arithmetic; a double `/1000` would lose
-    *     precision above 2^53 ns and could shift a timestamp by 1 µs);
-    *   - TIMESTAMP_NTZ → reinterpret the wall-clock as UTC (sessions
-    *     run with spark.sql.session.timeZone=UTC, so the cast is a
-    *     pure type change, not an instant shift).
+    *   - LongType (TIMESTAMP(NANOS) under nanosAsLong, or a plain
+    *     INT64 column) → [[longTsIsNanos]] decides the unit from the
+    *     FOOTER (logical-type annotation first, row-group max-stat
+    *     magnitude for unannotated INT64 — µs and ns epochs are 3
+    *     orders of magnitude apart for any date in 1973–5138, so the
+    *     split is unambiguous); ns truncates to µs with INTEGER
+    *     division (`ts div 1000` stays in long arithmetic; a double
+    *     `/1000` would lose precision above 2^53 ns and could shift a
+    *     timestamp by 1 µs);
+    *   - TIMESTAMP_NTZ (µs or ms NTZ footers) → reinterpret the
+    *     wall-clock as UTC (sessions run with
+    *     spark.sql.session.timeZone=UTC, so the cast is a pure type
+    *     change, not an instant shift);
+    *   - TimestampType (µs or ms adjusted-to-UTC footers) → already
+    *     the target type, pass through.
     *
     * Either way callers see one stable type: TimestampType in µs, UTC.
     * DuckDB applies the same ns→µs truncation / NTZ-as-UTC reading, so
@@ -43,11 +52,60 @@ object Tables {
     val raw = eventsRaw(spark, sfDir)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        if (longTsIsNanos(spark, sfDir))
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else
+          raw.withColumn("ts", timestamp_micros(col("ts")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
+  }
+
+  /** Is a LongType `ts` column nanoseconds (vs microseconds)? Decided
+    * from the parquet FOOTER, not assumed: a TIMESTAMP(NANOS) annotation
+    * says ns outright; a plain INT64 column (no annotation) is decided
+    * by the row-group max statistic — 1e17 cleanly splits the epochs
+    * (1e17 ns ≈ 1973, 1e17 µs ≈ year 5138). Falls back to a one-column
+    * aggregate in the (never-written-by-Spark-or-DuckDB) case of a
+    * stats-free footer. Driver-side cost: one footer read of one file. */
+  private def longTsIsNanos(spark: SparkSession, sfDir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p0 = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = p0.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p0).isDirectory)
+        fs.listStatus(p0).toIndexedSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .minBy(_.getPath.getName.toString).getPath
+      else p0
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ =>
+          import scala.jdk.CollectionConverters._
+          val maxes = reader.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == "ts")
+            .flatMap { c =>
+              val s = c.getStatistics
+              if (s != null && s.hasNonNullValue)
+                Some(s.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              else None
+            }
+          val mx =
+            if (maxes.nonEmpty) maxes.max
+            else eventsRaw(spark, sfDir)
+              .agg(max(abs(col("ts")))).head.getLong(0)
+          mx >= 100000000000000000L // 1e17
+      }
+    } finally reader.close()
   }
 
   /** `events` with `ts` still the NATIVE footer type of the scan (long

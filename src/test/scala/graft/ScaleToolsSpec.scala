@@ -228,6 +228,103 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_pc")
   }
 
+  test("view-fronted compaction never loses the query-visible name") {
+    // compactTable's residual weakness is its drop+RENAME swap: a crash
+    // between the two metadata ops loses the table NAME until re-pointed.
+    // The view-fronted variant swaps with ONE catalog op — at every crash
+    // point in the protocol, resolving the name must succeed and return
+    // the full row set.
+    val src = Tables.orders(spark, sf001)
+    TableOps.resetViewedTable(spark, "orders_vf", src.repartition(32))
+    val wantRows = src.count()
+    def readable(): Unit = {
+      val got = spark.table("orders_vf")
+      assert(got.count() == wantRows, "name resolved but rows wrong")
+    }
+    readable()
+    assert(TableOps.backingVersion(spark, "orders_vf") == 1)
+
+    // crash point A: staged v2 exists, view still → v1
+    val (stagedA, _) = TableOps.stageCompaction(spark, "orders_vf_v1",
+      targetFileBytes = 128L * 1024 * 1024, stagingName = "orders_vf_v2")
+    assert(stagedA == "orders_vf_v2" && spark.catalog.tableExists("orders_vf_v2"))
+    readable() // view untouched by the staging write
+    assert(TableOps.backingVersion(spark, "orders_vf") == 1)
+
+    // recovery run: reclaims the orphan, completes, swaps to v2
+    val (before, after) = TableOps.compactTableAtomic(spark, "orders_vf")
+    assert(before >= 32 && after < before,
+      s"viewed compaction did not consolidate: $before -> $after files")
+    readable()
+    assert(TableOps.backingVersion(spark, "orders_vf") == 2)
+    assert(!spark.catalog.tableExists("orders_vf_v1"),
+      "stale v1 backing table survived the completed swap")
+    val got = spark.table("orders_vf")
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
+      "viewed compaction changed the data")
+
+    // crash point B: view already repointed to v3, stale v2 not yet
+    // dropped — readers stay on the new data; next run reclaims v2
+    val (stagedB, _) = TableOps.stageCompaction(spark, "orders_vf_v2",
+      targetFileBytes = 128L * 1024 * 1024, stagingName = "orders_vf_v3")
+    spark.sql(s"CREATE OR REPLACE VIEW orders_vf AS SELECT * FROM $stagedB")
+    readable()
+    assert(TableOps.backingVersion(spark, "orders_vf") == 3)
+    val (_, after2) = TableOps.compactTableAtomic(spark, "orders_vf")
+    assert(after2 >= 1)
+    readable()
+    assert(TableOps.backingVersion(spark, "orders_vf") == 4)
+    assert(!spark.catalog.tableExists("orders_vf_v2") &&
+      !spark.catalog.tableExists("orders_vf_v3"),
+      "stale backing versions survived the next compaction's cleanup")
+
+    spark.sql("DROP VIEW IF EXISTS orders_vf")
+    spark.sql("DROP TABLE IF EXISTS orders_vf_v4")
+  }
+
+  test("half-swapped partition compaction auto-recovers on the next run") {
+    // A crash BETWEEN compactPartition's two renames leaves the live
+    // partition directory absent with the data in hidden siblings; the
+    // next run must recognize the state and complete on its own instead
+    // of aborting with 'no such partition directory'.
+    val src = Tables.orders(spark, sf001).withColumn("st", col("o_orderstatus"))
+    TableOps.resetTable(spark, "orders_hs", src.repartition(16), Seq("st"))
+    val wantRows = src.count()
+    val target = src.select("st").distinct().collect().map(_.getString(0)).sorted.head
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "orders_hs")
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partPath = new org.apache.hadoop.fs.Path(warehouse, s"st=$target")
+    val retired = new org.apache.hadoop.fs.Path(warehouse, s".old_st=$target")
+    val staged = new org.apache.hadoop.fs.Path(warehouse, s".compacting_st=$target")
+
+    // state 1: staged committed + live renamed away (death before promote)
+    TableOps.stagePartitionCompaction(spark, "orders_hs", "st", target,
+      targetFileBytes = 128L * 1024 * 1024): Unit
+    assert(fs.rename(partPath, retired), "test setup: retire rename failed")
+    assert(!fs.exists(partPath) && fs.exists(staged) && fs.exists(retired))
+    val (b1, a1) = TableOps.compactPartition(spark, "orders_hs", "st", target)
+    assert(b1 >= 1 && a1 >= 1, s"recovery run failed: $b1 -> $a1")
+    assert(!fs.exists(retired) && !fs.exists(staged),
+      "recovery left hidden sibling dirs behind")
+    val got1 = spark.table("orders_hs").select(src.columns.map(col).toIndexedSeq: _*)
+    assert(got1.count() == wantRows)
+    assert(got1.exceptAll(src).count() == 0 && src.exceptAll(got1).count() == 0,
+      "promote-recovery changed the table's rows")
+
+    // state 2: live renamed away but staging UNCOMMITTED (no _SUCCESS) —
+    // recovery must restore the retired originals, not promote garbage
+    assert(fs.rename(partPath, retired), "test setup: retire rename failed")
+    fs.mkdirs(staged)
+    val (b2, a2) = TableOps.compactPartition(spark, "orders_hs", "st", target)
+    assert(b2 >= 1 && a2 >= 1, s"restore-recovery run failed: $b2 -> $a2")
+    val got2 = spark.table("orders_hs").select(src.columns.map(col).toIndexedSeq: _*)
+    assert(got2.count() == wantRows)
+    assert(got2.exceptAll(src).count() == 0 && src.exceptAll(got2).count() == 0,
+      "restore-recovery changed the table's rows")
+    spark.sql("DROP TABLE IF EXISTS orders_hs")
+  }
+
   test("schema drift: merged read equals pinned-schema read, nulls only pre-drift") {
     import graft.sources.SchemaDrift
     val merged = SchemaDrift.ordersDrifted(spark, sf001)
@@ -304,6 +401,47 @@ class ScaleToolsSpec extends SparkSpec {
     val got = adapted.select("event_id", "ts")
       .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
     assert(got == want, "ns-long and NTZ generations disagree after adaptation")
+  }
+
+  test("events loader is a no-op drift for MILLIS and INT64-µs generations") {
+    // The two remaining plausible generator outputs (testdata has
+    // drifted twice already — ns long → TIMESTAMP(NANOS) →
+    // TIMESTAMP(MICROS,NTZ)); cover them AHEAD of the generator so the
+    // next drift is a green spec, not a mid-round fire drill.
+    val want = Tables.events(spark, sf001)
+      .select(col("event_id"), date_trunc("millisecond", col("ts")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+
+    // generation A: TIMESTAMP(MILLIS, adjusted-to-UTC) footer
+    val dirMs = java.nio.file.Files.createTempDirectory("graft_ms").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      Tables.events(spark, sf001)
+        .withColumn("ts", date_trunc("millisecond", col("ts")))
+        .write.mode("overwrite").parquet(s"$dirMs/events.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val ms = Tables.events(spark, dirMs)
+    assert(ms.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"MILLIS generation not normalized: ${ms.schema("ts").dataType}")
+    val gotMs = ms.select("event_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(gotMs == want, "MILLIS generation disagrees after adaptation")
+
+    // generation B: plain INT64 holding MICROseconds (no logical type —
+    // the loader must NOT apply the ns÷1000; footer stats decide)
+    val dirUs = java.nio.file.Files.createTempDirectory("graft_usl").toString
+    Tables.events(spark, sf001)
+      .withColumn("ts", unix_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$dirUs/events.parquet")
+    val us = Tables.events(spark, dirUs)
+    assert(us.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"INT64-µs generation not normalized: ${us.schema("ts").dataType}")
+    val wantUs = Tables.events(spark, sf001).select("event_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val gotUs = us.select("event_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(gotUs == wantUs, "INT64-µs generation disagrees after adaptation")
   }
 
   test("orc round-trip is lossless and pushes the scan predicate") {
