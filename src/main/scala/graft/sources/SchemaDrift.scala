@@ -33,15 +33,25 @@ object SchemaDrift {
   /** Idempotent materialization of the mixed-footer directory: generation
     * 1 overwrites (narrow schema), generation 2 appends (wide schema).
     * An underscore-prefixed marker (invisible to the parquet reader)
-    * stamps a COMPLETED two-generation build; when present the rewrite is
-    * skipped, so repeated invocations — including bench passes — time the
-    * mergeSchema read, not the fixture build. A half-built directory
-    * (crash between the two writes) has no marker and rebuilds. */
+    * stamps a COMPLETED two-generation build; when present AND its
+    * content matches the SOURCE table's fingerprint (size + mtime of
+    * `orders.parquet` — the testdata is regenerated in place between
+    * rounds, so a path-keyed marker alone would pin a stale fixture and
+    * make the oracle, rebuilt from the FRESH orders, fail confusingly)
+    * the rewrite is skipped, so repeated invocations — including bench
+    * passes — time the mergeSchema read, not the fixture build. A
+    * half-built directory (crash between the two writes) has no marker
+    * and rebuilds; a source regeneration changes the fingerprint and
+    * rebuilds. */
   def ordersDrifted(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
     val path = driftPath(sfDir)
     val marker = java.nio.file.Paths.get(path, "_GRAFT_DRIFT_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
+    val src = new java.io.File(sfDir, "orders.parquet")
+    val fingerprint = s"${src.length}:${src.lastModified}"
+    val current = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fingerprint
+    if (!current) {
       orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").parquet(path)
@@ -49,7 +59,7 @@ object SchemaDrift {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           concat(lit("ch_"), pmod(col("o_orderkey"), lit(4))).as("o_channel"))
         .write.mode("append").parquet(path)
-      java.nio.file.Files.createFile(marker): Unit
+      java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8")): Unit
     }
     spark.read.option("mergeSchema", "true").parquet(path)
   }

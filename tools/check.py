@@ -15,7 +15,10 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # driver testdata is one file per table; Spark-materialized dirs
+        # (fraction midpoints, replicas) are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     # Queries may skip the oracle only by explicit declaration
@@ -27,12 +30,14 @@ def main():
         with open(rows_only_path) as f:
             rows_only = set(json.load(f))
     n_pass = n_fail = 0
+    seen = set()
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
         name = os.path.basename(qdir)
         if only and name not in only:
             continue
+        seen.add(name)
         spark_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
         if name not in oracle:
             if name in rows_only:
@@ -80,6 +85,15 @@ def main():
         else:
             n_fail += 1
             print(f"[FAIL     ] {name}: {'; '.join(msgs)}")
+    # A query that THROWS inside Verify writes no output dir at all and
+    # would otherwise never enter the loop above — every name the oracle
+    # map or the rows-only declaration expects must have produced a dir.
+    expected = set(oracle) | rows_only
+    if only:
+        expected &= only
+    for name in sorted(expected - seen):
+        print(f"[FAIL-miss] {name}: expected but no output directory written")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
