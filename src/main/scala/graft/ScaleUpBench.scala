@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical scale-up datum for the 100 TB posture (round-11 task): the
+/** Empirical scale-up data for the 100 TB posture (round-11 task): the
   * plan-shape arguments in SCALING.md say the headline operators grow
-  * ~linearly in input size; this main MEASURES one point of that curve
-  * instead of arguing it. It materializes a K× (default 10×) replica of
-  * the two fact tables the headline set touches —
+  * ~linearly in input size; this main MEASURES points of that curve
+  * instead of arguing it. For each factor K it materializes a K× replica
+  * of the two fact tables the headline set touches —
   *
   *   - `events`: K salted copies (event_id / user_id offset per copy so
   *     keys stay unique; ts / value / type untouched so filter
@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
   *     quadratic candidate blowup that says nothing about real scaling)
   *
   * — and times the four reference queries plus the banded dedup pipeline
-  * against a layout-parity x1 rewrite and the xK replica (same writer,
-  * same file-size regime: xK gets K× the output files). Median of `runs`
-  * timed passes after one warm-up, same protocol as Bench's extended
-  * set. Writes BENCH_SCALEUP.json (x1 secs, xK secs, ratio per query);
-  * materialization is untimed.
+  * against a layout-parity x1 rewrite and each xK replica. Median of
+  * `runs` timed passes after one warm-up, same protocol as Bench's
+  * extended set. Alongside the timings it records, per query, whether
+  * the FINAL adaptive plan at xK has the same operator shape as at x1
+  * (AQE re-plans at runtime; a strategy flip under scale — e.g. a
+  * broadcast join demoting to sort-merge — is exactly what this datum
+  * exists to catch). Writes one JSON line per factor to
+  * BENCH_SCALEUP.json; materialization is untimed.
   *
   * Usage: sbt "runMain graft.ScaleUpBench"  (SPARK_GRAFT_SF_DIR,
-  * SPARK_GRAFT_SCALEUP_FACTOR, SPARK_GRAFT_SCALEUP_RUNS override.)
+  * SPARK_GRAFT_SCALEUP_FACTORS (comma list, default "10,30"),
+  * SPARK_GRAFT_SCALEUP_RUNS override.)
   */
 object ScaleUpBench {
 
@@ -38,9 +42,32 @@ object ScaleUpBench {
     "q1_time_filter", "q2_hourly_avg", "q3_union_cube", "q4_join_aggs",
     "d_dedup_pipeline")
 
+  /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
+    * executed DataFrame: one token per tree line, tree-drawing and
+    * codegen-stage decoration stripped, runtime shuffle-read coalescing
+    * (AQEShuffleRead) ignored — partition coalescing legitimately varies
+    * with volume; join/aggregate/exchange STRUCTURE must not. Only the
+    * "== Final Plan ==" section counts: the Initial (pre-runtime-stats)
+    * section legitimately differs with volume — e.g. q4's static
+    * estimate at x30 exceeds the broadcast threshold so the initial
+    * plan says SortMergeJoin, and AQE re-promotes to BroadcastHashJoin
+    * once the 24-row aggregated side is measured. That repromotion is
+    * the behavior this check exists to CONFIRM, not flag. */
+  private def finalPlanShape(df: DataFrame): Seq[String] = {
+    df.collect() // force execution so AdaptiveSparkPlan reaches isFinalPlan=true
+    df.queryExecution.executedPlan.treeString.linesIterator
+      .map(_.dropWhile(c => !c.isLetter))
+      .map(_.takeWhile(_.isLetter))
+      .filter(_.nonEmpty)
+      .takeWhile(_ != "Initial") // stop at "== Initial Plan =="
+      .filterNot(Set("AQEShuffleRead", "InputAdapter", "WholeStageCodegen"))
+      .toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val k = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTOR", "10").toInt
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTORS", "10,30")
+      .split(",").map(_.trim.toInt).toSeq
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_RUNS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -57,26 +84,32 @@ object ScaleUpBench {
     val ev = Tables.table(spark, sfDir, "events")
     val docs = Tables.table(spark, sfDir, "documents")
 
-    // layout-parity baseline: the SAME writer produces both sides, so
-    // the ratio measures data volume, not file-layout differences
-    ev.repartition(8).write.mode("overwrite").parquet(s"$out/x1/events.parquet")
-    docs.repartition(8).write.mode("overwrite").parquet(s"$out/x1/documents.parquet")
+    // layout-parity baseline: the SAME writer produces both sides, and
+    // BOTH sides get >= one file per core (x1: 32, xK: 32K — same
+    // bytes-per-file regime). With fewer files than cores the x1 scan is
+    // parallelism-bound, not volume-bound, and the ratio understates
+    // growth (a first cut with 8/80 files timed x1's q1 at 2.3x its
+    // 32-file time purely from the 8-task scan).
+    ev.repartition(32).write.mode("overwrite").parquet(s"$out/x1/events.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$out/x1/documents.parquet")
 
     // key offsets: one past the current max, per copy
     val evMax = ev.agg(max(col("event_id")), max(col("user_id"))).head()
     val (eOff, uOff) = (evMax.getLong(0) + 1, evMax.getLong(1) + 1)
     val dOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-    val evK = (0 until k).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i.toLong * eOff))
-        .withColumn("user_id", col("user_id") + lit(i.toLong * uOff))
-    }.reduce(_ unionByName _)
-    evK.repartition(8 * k).write.mode("overwrite").parquet(s"$out/x$k/events.parquet")
-    val docsK = (0 until k).map { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * dOff))
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
-    }.reduce(_ unionByName _)
-    docsK.repartition(8 * k).write.mode("overwrite").parquet(s"$out/x$k/documents.parquet")
+    def materializeReplica(k: Int): Unit = {
+      val evK = (0 until k).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i.toLong * eOff))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * uOff))
+      }.reduce(_ unionByName _)
+      evK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/events.parquet")
+      val docsK = (0 until k).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * dOff))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
+      }.reduce(_ unionByName _)
+      docsK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/documents.parquet")
+    }
 
     def sweep(dir: String): Seq[(String, Double)] = queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -88,20 +121,44 @@ object ScaleUpBench {
         }
       }
     }
+    def shapes(dir: String): Map[String, Seq[String]] = queries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        try name -> finalPlanShape(fn(spark, dir))
+        catch { case _: Throwable => name -> Seq.empty[String] }
+      }
+    }.toMap
+
     val x1 = sweep(s"$out/x1")
-    val xk = sweep(s"$out/x$k")
-    val ratio = x1.zip(xk).map { case ((n, a), (_, b)) =>
-      n -> (if (a > 0 && b > 0) b / a else -1.0)
-    }
+    val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
       pairs.map { case (n, v) => "\"" + n + f"\":$v%.4f" }.mkString("{", ",", "}")
-    val line =
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)}}"""
+    val lines = factors.map { k =>
+      materializeReplica(k)
+      val xk = sweep(s"$out/x$k")
+      val xkShapes = shapes(s"$out/x$k")
+      val ratio = x1.zip(xk).map { case ((n, a), (_, b)) =>
+        n -> (if (a > 0 && b > 0) b / a else -1.0)
+      }
+      val planSame = queries.map { n =>
+        // Exact operator sequence, or the same operator MULTISET — the
+        // latter admits AQE flipping a BroadcastHashJoin's build side
+        // (both of q4's aggregated inputs are ~24 rows; which one AQE
+        // measures as smaller at runtime may differ per scale). A
+        // strategy change (BHJ->SMJ, new Exchange) still trips it.
+        val same = x1Shapes.get(n).exists { s =>
+          s.nonEmpty && xkShapes.get(n).exists(t => t == s || t.sorted == s.sorted)
+        }
+        if (!same) System.err.println(
+          s"[scaleup] plan shape drift for $n at x$k:\n  x1=${x1Shapes.getOrElse(n, Nil).mkString(">")}\n  x$k=${xkShapes.getOrElse(n, Nil).mkString(">")}")
+        "\"" + n + s"""":$same"""
+      }.mkString("{", ",", "}")
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame}"""
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALEUP_OUT", "BENCH_SCALEUP.json")),
-      (line + "\n").getBytes("UTF-8"))
-    println(line)
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    lines.foreach(println)
     spark.stop()
   }
 }
