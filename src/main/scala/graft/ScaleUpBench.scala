@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *     other — the MinHash band graph decomposes into K disjoint
   *     replicas of the original and candidate volume grows K×, not K²×
   *     (unsalted copies would collide on every band and manufacture a
-  *     quadratic candidate blowup that says nothing about real scaling)
+  *     quadratic candidate blowup that says nothing about real scaling);
+  *   - `embeddings`: K copies with vec_id offset, vectors untouched —
+  *     e_knn_brute (the compute-bound ANN floor: broadcast 1-row query
+  *     against the corpus, codegen'd dot products, top-k) sees K× the
+  *     distance computations; duplicate vectors only produce top-k
+  *     ties, which timing doesn't care about
   *
   * — and times the four reference queries plus the banded dedup pipeline
   * against a layout-parity x1 rewrite and each xK replica. Median of
@@ -40,7 +45,7 @@ object ScaleUpBench {
 
   private val queries = Seq(
     "q1_time_filter", "q2_hourly_avg", "q3_union_cube", "q4_join_aggs",
-    "d_dedup_pipeline")
+    "d_dedup_pipeline", "e_knn_brute")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -83,6 +88,7 @@ object ScaleUpBench {
     val out = "/tmp/graft_scaleup"
     val ev = Tables.table(spark, sfDir, "events")
     val docs = Tables.table(spark, sfDir, "documents")
+    val emb = Tables.table(spark, sfDir, "embeddings")
 
     // layout-parity baseline: the SAME writer produces both sides, and
     // BOTH sides get >= one file per core (x1: 32, xK: 32K — same
@@ -92,6 +98,7 @@ object ScaleUpBench {
     // 32-file time purely from the 8-task scan).
     ev.repartition(32).write.mode("overwrite").parquet(s"$out/x1/events.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(s"$out/x1/documents.parquet")
+    emb.repartition(32).write.mode("overwrite").parquet(s"$out/x1/embeddings.parquet")
 
     // key offsets: one past the current max, per copy
     val evMax = ev.agg(max(col("event_id")), max(col("user_id"))).head()
@@ -109,6 +116,13 @@ object ScaleUpBench {
             transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
       }.reduce(_ unionByName _)
       docsK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/documents.parquet")
+      // vec_id 0 (e_knn_brute's query vector) exists only in copy 0, so
+      // the broadcast query side stays one row at every K
+      val vOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val embK = (0 until k).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * vOff))
+      }.reduce(_ unionByName _)
+      embK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/embeddings.parquet")
     }
 
     def sweep(dir: String): Seq[(String, Double)] = queries.flatMap { name =>
