@@ -195,9 +195,14 @@ object TableOps {
     * until re-pointed). Crash matrix: before the swap — view still reads
     * vN, byte-identical, and the orphaned v(N+1) is reclaimed by the next
     * attempt's resetTable; after the swap — view reads the compacted
-    * v(N+1), and the stale vN is reclaimed by the cleanup pass at the
-    * START of the next compaction (so a crash before this run's own
-    * cleanup converges one round later). Bucketed tables keep the
+    * v(N+1). The retired vN is NEVER dropped by the run that retired it:
+    * an in-flight reader that resolved the view to vN just before the
+    * swap still holds a plan over vN's files, and deleting them under it
+    * fails the query mid-collect. Instead the cleanup pass at the START
+    * of the next compaction reclaims every non-live version — readers
+    * get a full inter-compaction grace window (the vacuum retention idea
+    * from snapshot table formats), at the storage cost of carrying at
+    * most one previous version between runs. Bucketed tables keep the
     * [[compactTable]] path: their Exchange-free joins hang off catalog
     * bucket metadata, which a view does not carry, so view indirection
     * would silently re-introduce shuffles ([[stageCompaction]] refuses
@@ -217,7 +222,8 @@ object TableOps {
     val next = s"${name}_v${v + 1}"
     val (staging, nBefore) = stageCompaction(spark, cur, targetFileBytes, next)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $staging")
-    dropWithLocation(spark, cur)
+    // cur is deliberately NOT dropped here — see the reader-grace note in
+    // the scaladoc; the next run's cleanup pass reclaims it
     (nBefore, dataFiles(spark, warehousePath(spark, staging)).length)
   }
 

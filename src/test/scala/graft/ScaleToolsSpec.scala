@@ -251,14 +251,25 @@ class ScaleToolsSpec extends SparkSpec {
     readable() // view untouched by the staging write
     assert(TableOps.backingVersion(spark, "orders_vf") == 1)
 
+    // An IN-FLIGHT reader: resolve the view to v1 NOW (analysis pins the
+    // plan to the current backing table), execute only after the swap —
+    // the long-running-query-during-compaction case at 100 TB.
+    val inFlight = spark.table("orders_vf")
+    inFlight.schema // force analysis pre-swap
+
     // recovery run: reclaims the orphan, completes, swaps to v2
     val (before, after) = TableOps.compactTableAtomic(spark, "orders_vf")
     assert(before >= 32 && after < before,
       s"viewed compaction did not consolidate: $before -> $after files")
     readable()
     assert(TableOps.backingVersion(spark, "orders_vf") == 2)
-    assert(!spark.catalog.tableExists("orders_vf_v1"),
-      "stale v1 backing table survived the completed swap")
+    // reader grace: the retired v1 must SURVIVE the run that retired it —
+    // dropping it here would delete files out from under inFlight; the
+    // NEXT run's cleanup pass is what reclaims it
+    assert(spark.catalog.tableExists("orders_vf_v1"),
+      "retired v1 was dropped by its own run — in-flight readers stranded")
+    assert(inFlight.count() == wantRows,
+      "in-flight reader resolved pre-swap failed after the swap")
     val got = spark.table("orders_vf")
     assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
       "viewed compaction changed the data")
@@ -274,11 +285,17 @@ class ScaleToolsSpec extends SparkSpec {
     assert(after2 >= 1)
     readable()
     assert(TableOps.backingVersion(spark, "orders_vf") == 4)
-    assert(!spark.catalog.tableExists("orders_vf_v2") &&
-      !spark.catalog.tableExists("orders_vf_v3"),
+    // this run's cleanup reclaimed every PRE-EXISTING non-live version
+    // (v1 from the grace window, v2 from the simulated crash)…
+    assert(!spark.catalog.tableExists("orders_vf_v1") &&
+      !spark.catalog.tableExists("orders_vf_v2"),
       "stale backing versions survived the next compaction's cleanup")
+    // …while the version IT retired (v3) stays for ITS grace window
+    assert(spark.catalog.tableExists("orders_vf_v3"),
+      "retired v3 was dropped by its own run — in-flight readers stranded")
 
     spark.sql("DROP VIEW IF EXISTS orders_vf")
+    spark.sql("DROP TABLE IF EXISTS orders_vf_v3")
     spark.sql("DROP TABLE IF EXISTS orders_vf_v4")
   }
 
