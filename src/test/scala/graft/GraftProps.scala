@@ -237,4 +237,79 @@ object GraftProps extends Properties("graft") {
         spark.catalog.dropTempView(name)
       }
     }
+
+  // --- spark: lake day-fold converges from any crash state ----------
+
+  /** Scenario family for [[graft.sources.LakeFold]]: three string days
+    * ("d1" < "d2" < "d3") with disjoint row sets in a day-partitioned
+    * sink dir; an ARBITRARY subset of each closed day's rows is already
+    * in the lake (residue of a fold that died mid-append, before the
+    * completion mark); the watermark closes an arbitrary prefix of
+    * days. LakeFoldSpec drives one such scenario end-to-end from a real
+    * FileStreamSink; this property sweeps the crash-state space. */
+  private val foldScenarioGen: Gen[(Seq[Int], Seq[Boolean], Int)] =
+    for {
+      rowsPerDay <- Gen.listOfN(3, Gen.choose(1, 4)).map(_.toSeq)
+      residue <- Gen.listOfN(12, Gen.oneOf(true, false)).map(_.toSeq)
+      wmIdx <- Gen.choose(0, 3) // days with index < wmIdx are closed
+    } yield (rowsPerDay, residue, wmIdx)
+
+  private var foldPropRuns = 0
+
+  property("foldClosedDays + combinedRead exact from any crash residue") =
+    forAll(foldScenarioGen) { case (rowsPerDay, residue, wmIdx) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val days = Seq("d1", "d2", "d3")
+      val wmDay = "d" + (wmIdx + 1) // "d4" closes everything
+      val closed = days.take(wmIdx)
+      // (room, value, day): values disjoint across days, so full-row
+      // identity — the fold's default anti-join key — is unique
+      val rows = days.zipWithIndex.flatMap { case (d, i) =>
+        (0 until rowsPerDay(i)).map(j => (s"r$j", (i * 10 + j).toDouble, d))
+      }
+      val sinkDf = rows.toDF("room", "value", "day")
+      val base = java.nio.file.Files.createTempDirectory("graft_foldprop").toString
+      val sink = s"$base/sink"
+      sinkDf.write.partitionBy("day").parquet(sink)
+      foldPropRuns += 1
+      val lake = s"fold_prop_$foldPropRuns"
+      graft.sources.TableOps.resetTable(spark, lake,
+        spark.read.parquet(sink).limit(0), partitionCols = Seq("day"))
+      // crash residue: this subset of CLOSED-day rows already landed
+      // (a fold only ever runs on closed days), completion never marked
+      val lakeCols = spark.table(lake).columns.toIndexedSeq
+      val residueRows = rows.filter(r => closed.contains(r._3))
+        .zip(residue).collect { case (r, true) => r }
+      if (residueRows.nonEmpty)
+        residueRows.toDF("room", "value", "day")
+          .select(lakeCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.insertInto(lake)
+
+      def combinedSet(): (Long, Set[(String, Double, String)]) = {
+        val c = graft.sources.LakeFold.combinedRead(spark, sink, lake)
+          .select("room", "value", "day").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+        (c.length.toLong, c.toSet)
+      }
+      val want = rows.toSet
+      val (nCrash, sCrash) = combinedSet() // exact even BEFORE recovery
+      val folded = graft.sources.LakeFold.foldClosedDays(spark, sink, lake, wmDay)
+      val lakeGot = spark.table(lake).select("room", "value", "day").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+      val wantLake = rows.filter(r => closed.contains(r._3))
+      val (nAfter, sAfter) = combinedSet()
+      val again = graft.sources.LakeFold.foldClosedDays(spark, sink, lake, wmDay)
+      val (nAgain, sAgain) = combinedSet()
+      spark.sql(s"DROP TABLE IF EXISTS $lake")
+      Prop(
+        nCrash == rows.length && sCrash == want &&
+          folded == closed &&
+          lakeGot.length == wantLake.length && lakeGot.toSet == wantLake.toSet &&
+          nAfter == rows.length && sAfter == want &&
+          again.isEmpty &&
+          nAgain == rows.length && sAgain == want
+      ) :| s"rowsPerDay=$rowsPerDay residue=$residueRows wm=$wmDay " +
+        s"folded=$folded lake=${lakeGot.toSeq}"
+    }
 }
