@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * `day=<event-date>` directories; once a day is CLOSED (strictly older
   * than the watermark — no in-flight batch can still append to it),
   * [[foldClosedDays]] copies its rows into the catalog lake and compacts
-  * the folded partition there. The sink keeps its own files (its
-  * metadata log cannot survive deletions); a folded day's sink directory
-  * is cold data a retention job can drop wholesale later.
+  * the folded partition there. The sink's metadata log is never
+  * rewritten; a folded day's sink directory is cold data that
+  * [[retireFoldedSinkDays]] drops wholesale — every read in this module
+  * stays correct afterwards because listing comes from the log, the
+  * sink read pins the lake's schema (no inference footer-open), and
+  * partition pruning drops retired days before any file opens.
   *
   * Idempotence is by ANTI-JOIN, not by marker: a fold appends only the
   * sink rows whose key is absent from the lake's same-day partition, so
@@ -50,9 +53,34 @@ object LakeFold {
 
   /** The sink's committed rows — `spark.read.parquet` on a FileStreamSink
     * directory resolves files through `_spark_metadata`, so half-written
-    * or uncommitted-batch files are invisible by construction. */
-  private def sinkRows(spark: SparkSession, sinkPath: String): DataFrame =
-    spark.read.parquet(sinkPath)
+    * or uncommitted-batch files are invisible by construction. The read
+    * takes the LAKE's schema explicitly: schema inference opens some
+    * data file's footer, and after [[retireFoldedSinkDays]] the first
+    * log entry may point at a deleted file — with the schema pinned, no
+    * file is touched until execution, by which point partition pruning
+    * has dropped every retired day. */
+  private def sinkRows(spark: SparkSession, sinkPath: String,
+      lakeTable: String): DataFrame =
+    spark.read.schema(spark.table(lakeTable).schema).parquet(sinkPath)
+
+  /** The sink's day partitions, from DIRECTORY NAMES, not a data scan: a
+    * full-sink `distinct(day)` query would open every committed file,
+    * which fails once retired days' files are gone — the directory
+    * listing is metadata-only and equally authoritative (a `day=` dir
+    * exists iff some batch wrote there; a dir holding only
+    * never-committed files yields zero committed rows downstream, which
+    * folds as an empty day — harmless either way). */
+  private[graft] def sinkDays(spark: SparkSession, sinkPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toIndexedSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(_.stripPrefix("day="))
+      .sorted
+  }
 
   /** Fold ONE day from the sink into the lake: append the day's sink
     * rows that are not already in the lake's same-day partition (keyed
@@ -65,7 +93,7 @@ object LakeFold {
     val lake = spark.table(lakeTable)
     val cols = lake.columns.toIndexedSeq
     val keys = if (keyCols.nonEmpty) keyCols else cols
-    val dayRows = sinkRows(spark, sinkPath)
+    val dayRows = sinkRows(spark, sinkPath, lakeTable)
       .filter(col("day").cast("string") === day)
       .select(cols.map(col): _*) // table column order: insertInto is positional
     val existing = lake.filter(col("day").cast("string") === day)
@@ -86,10 +114,8 @@ object LakeFold {
       watermarkDay: String, keyCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
     val settled = foldedDays(spark, lakeTable).toSet
-    val closed = sinkRows(spark, sinkPath)
-      .select(col("day").cast("string").as("day")).distinct()
-      .filter(col("day") < watermarkDay)
-      .collect().map(_.getString(0)).toIndexedSeq.sorted
+    val closed = sinkDays(spark, sinkPath)
+      .filter(_ < watermarkDay)
       .filterNot(settled)
     closed.foreach { day =>
       foldDay(spark, sinkPath, lakeTable, day, keyCols): Unit
@@ -113,7 +139,7 @@ object LakeFold {
     val keys = if (keyCols.nonEmpty) keyCols else cols
     val settled = foldedDays(spark, lakeTable)
     val open = {
-      val s = sinkRows(spark, sinkPath).select(cols.map(col): _*)
+      val s = sinkRows(spark, sinkPath, lakeTable).select(cols.map(col): _*)
       if (settled.isEmpty) s
       else s.filter(!col("day").cast("string").isin(settled: _*))
     }
@@ -122,5 +148,30 @@ object LakeFold {
       else lake.filter(!col("day").cast("string").isin(settled: _*))
     lake.unionByName(
       open.join(lakeUnsettled.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
+  /** Retire the sink directories of SETTLED days — the retention job the
+    * fold's lifecycle story promises. A folded day's sink files are cold
+    * duplicates of lake data; deleting the `day=` directory reclaims the
+    * space. The `_spark_metadata` log keeps naming the deleted files,
+    * which is safe by construction everywhere in this module: file
+    * LISTING comes from the log (no filesystem access to data files),
+    * [[sinkRows]] pins the lake schema so inference opens no footer, and
+    * every downstream read is partition-pruned to unsettled days before
+    * any file opens. What retirement does FORECLOSE is un-pruned direct
+    * reads of the sink path by outside code — after retiring, the sink
+    * is no longer a standalone queryable table; [[combinedRead]] is the
+    * query surface (which is true of any sink whose settled days have
+    * moved to the lake). Only days already marked folded on the lake
+    * table are eligible; returns the days whose directories were
+    * actually deleted this run (a re-run is a no-op). */
+  def retireFoldedSinkDays(spark: SparkSession, sinkPath: String,
+      lakeTable: String): Seq[String] = {
+    val settled = foldedDays(spark, lakeTable).toSet
+    val base = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sinkDays(spark, sinkPath).filter(settled).filter { day =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$day"), true)
+    }
   }
 }

@@ -155,4 +155,49 @@ class LakeFoldSpec extends SparkSpec {
     assert(all == Map("2017-03-05" -> 21.0, "2017-03-06" -> 25.0,
       "2017-03-07" -> 29.0), s"$all")
   }
+
+  test("retiring folded sink days keeps every read exact") {
+    // The lifecycle's last step: folded days' sink directories are cold
+    // duplicates — retire them and prove the module's whole read surface
+    // still answers exactly, even though the sink's _spark_metadata log
+    // still names the deleted files.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldret").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_ret")
+    LakeFold.foldClosedDays(spark, sink, "fold_lake_ret", "2017-03-07"): Unit
+
+    val retired = LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_ret")
+    assert(retired == Seq("2017-03-05", "2017-03-06"), s"retired $retired")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink, "day=2017-03-05")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(sink, "day=2017-03-06")),
+      "retired day directories still on disk")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(sink, "day=2017-03-07")),
+      "open day directory must survive retention")
+
+    // combined read: folded days answer from the lake, the open day from
+    // the sink's surviving files — exact despite the stale log entries
+    def byDay(): Map[String, Long] =
+      LakeFold.combinedRead(spark, sink, "fold_lake_ret")
+        .groupBy(col("day").cast("string").as("d")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay() == Map(
+      "2017-03-05" -> 2L, "2017-03-06" -> 2L, "2017-03-07" -> 2L))
+
+    // a re-run retires nothing and folding is still a no-op
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_ret").isEmpty)
+    assert(LakeFold.foldClosedDays(spark, sink, "fold_lake_ret", "2017-03-07").isEmpty)
+
+    // the watermark later closes 03-07: the fold must still work from
+    // the retired sink (directory-listed days, pruned file reads)
+    val folded2 = LakeFold.foldClosedDays(spark, sink, "fold_lake_ret", "2017-03-08")
+    assert(folded2 == Seq("2017-03-07"), s"late fold $folded2")
+    assert(spark.table("fold_lake_ret").count() == 6)
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_ret") ==
+      Seq("2017-03-07"))
+    // everything now lives in the lake; the combined read agrees
+    assert(byDay() == Map(
+      "2017-03-05" -> 2L, "2017-03-06" -> 2L, "2017-03-07" -> 2L))
+  }
 }
