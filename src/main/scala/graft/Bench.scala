@@ -207,7 +207,7 @@ object Bench {
     // readings is environmental by construction and makes the artifact
     // self-diagnosing: extended numbers taken between two inflated
     // sentinel readings are suspect; between flat readings they're real.
-    val sentinelDf = {
+    val (sentinelCached, sentinelDf) = {
       import org.apache.spark.sql.functions.{col, pmod, lit, sum}
       // keep the hashed values < 1e9 so the 4 M-row sum stays ~4e15,
       // far inside Long range (ANSI mode makes a sum overflow a task
@@ -217,7 +217,7 @@ object Bench {
           (col("id") % 1024).as("b"))
         .cache()
       df.count() // materialize the cache so timed passes are pure compute
-      df.groupBy(col("b")).agg(sum(col("h")).as("s"))
+      (df, df.groupBy(col("b")).agg(sum(col("h")).as("s")))
     }
     def sentinelRead(): Double =
       try timeQuery((_, _) => sentinelDf, spark, sfDir, 5).median
@@ -242,6 +242,10 @@ object Bench {
     val sentinelMid = sentinelRead()
     val extB = runExt(extBack)
     val sentinelAfter = sentinelRead()
+    // the sentinel is done — release its pinned storage block so the
+    // sweep/fraction/pipeline timings below run against an unperturbed
+    // heap (the sentinel guards those measurements; it must not skew them)
+    sentinelCached.unpersist(): Unit
     val ext = extA ++ extB
     // Optional SF sweep: the WHOLE headline set per listed directory with
     // one warm-up + max(3, runs/3) timed passes each (totals only — the

@@ -59,7 +59,12 @@ object ScaleUpBench {
     * once the 24-row aggregated side is measured. That repromotion is
     * the behavior this check exists to CONFIRM, not flag. */
   private def finalPlanShape(df: DataFrame): Seq[String] = {
-    df.collect() // force execution so AdaptiveSparkPlan reaches isFinalPlan=true
+    // Execute through the df's OWN QueryExecution so ITS AdaptiveSparkPlan
+    // reaches isFinalPlan=true (a noop-sink write would finalize a
+    // separate write-command plan instead), but count InternalRows rather
+    // than collect()ing them — a selective query at x30 returns millions
+    // of rows and a driver-side collect would OOM the sweep.
+    df.queryExecution.toRdd.count(): Unit
     df.queryExecution.executedPlan.treeString.linesIterator
       .map(_.dropWhile(c => !c.isLetter))
       .map(_.takeWhile(_.isLetter))
@@ -75,6 +80,7 @@ object ScaleUpBench {
       .split(",").map(_.trim.toInt).toSeq
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_RUNS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCores = cpus.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,13 +98,14 @@ object ScaleUpBench {
 
     // layout-parity baseline: the SAME writer produces both sides, and
     // BOTH sides get >= one file per core (x1: 32, xK: 32K — same
-    // bytes-per-file regime). With fewer files than cores the x1 scan is
+    // bytes-per-file regime, file counts tracking SPARK_GRAFT_CPUS so an
+    // overridden core count keeps the invariant). With fewer files than cores the x1 scan is
     // parallelism-bound, not volume-bound, and the ratio understates
     // growth (a first cut with 8/80 files timed x1's q1 at 2.3x its
     // 32-file time purely from the 8-task scan).
-    ev.repartition(32).write.mode("overwrite").parquet(s"$out/x1/events.parquet")
-    docs.repartition(32).write.mode("overwrite").parquet(s"$out/x1/documents.parquet")
-    emb.repartition(32).write.mode("overwrite").parquet(s"$out/x1/embeddings.parquet")
+    ev.repartition(nCores).write.mode("overwrite").parquet(s"$out/x1/events.parquet")
+    docs.repartition(nCores).write.mode("overwrite").parquet(s"$out/x1/documents.parquet")
+    emb.repartition(nCores).write.mode("overwrite").parquet(s"$out/x1/embeddings.parquet")
 
     // key offsets: one past the current max, per copy
     val evMax = ev.agg(max(col("event_id")), max(col("user_id"))).head()
@@ -109,20 +116,20 @@ object ScaleUpBench {
         ev.withColumn("event_id", col("event_id") + lit(i.toLong * eOff))
           .withColumn("user_id", col("user_id") + lit(i.toLong * uOff))
       }.reduce(_ unionByName _)
-      evK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/events.parquet")
+      evK.repartition(nCores * k).write.mode("overwrite").parquet(s"$out/x$k/events.parquet")
       val docsK = (0 until k).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * dOff))
           .withColumn("text", array_join(
             transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
       }.reduce(_ unionByName _)
-      docsK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/documents.parquet")
+      docsK.repartition(nCores * k).write.mode("overwrite").parquet(s"$out/x$k/documents.parquet")
       // vec_id 0 (e_knn_brute's query vector) exists only in copy 0, so
       // the broadcast query side stays one row at every K
       val vOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
       val embK = (0 until k).map { i =>
         emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * vOff))
       }.reduce(_ unionByName _)
-      embK.repartition(32 * k).write.mode("overwrite").parquet(s"$out/x$k/embeddings.parquet")
+      embK.repartition(nCores * k).write.mode("overwrite").parquet(s"$out/x$k/embeddings.parquet")
     }
 
     def sweep(dir: String): Seq[(String, Double)] = queries.flatMap { name =>

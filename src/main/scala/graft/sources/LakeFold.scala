@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Day-fold maintenance for the streamed lake — the missing composition
@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   * partition pruning drops retired days before any file opens.
   *
   * Idempotence is by ANTI-JOIN, not by marker: a fold appends only the
-  * sink rows whose key is absent from the lake's same-day partition, so
-  * a re-run after ANY crash — including a death mid-append that left a
-  * subset of task files committed — appends exactly the missing rows and
-  * converges. The per-day completion property
-  * (`graft.folded.days` on the lake table) is an optimization that lets
-  * later runs and [[combinedRead]] skip settled days, never a
-  * correctness input.
+  * sink rows whose key is absent from the lake's same-day partition
+  * (null-SAFE key equality — a NULL-valued reading must still match its
+  * already-landed copy, or every crash/re-run cycle would duplicate it),
+  * so a re-run after ANY crash — including a death mid-append that left
+  * a subset of task files committed — appends exactly the missing rows
+  * and converges. The completion bookkeeping
+  * (`graft.folded.days` + `graft.retired.floor` on the lake table) is an
+  * optimization that lets later runs and [[combinedRead]] skip settled
+  * days, never a correctness input — and it is BOUNDED: settled days
+  * drop out of the list when their sink dirs retire (the floor, one
+  * day-string, absorbs them), so a years-long daily cadence cannot grow
+  * a table property past metastore value limits.
   *
   * 100 TB posture: one fold touches one day of data (the anti-join keys
   * shuffle one day's rows against one lake partition — static partition
@@ -38,12 +43,29 @@ import org.apache.spark.sql.functions._
   */
 object LakeFold {
 
+  /** Settled-but-unretired days (the bounded working list). Days at or
+    * below [[retiredFloor]] are ALSO settled; [[isSettled]] checks both. */
   private[graft] def foldedDays(spark: SparkSession, lakeTable: String): Seq[String] =
-    spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(lakeTable))
-      .properties.get("graft.folded.days")
+    tableProp(spark, lakeTable, "graft.folded.days")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+
+  /** Every day <= this day-string has been folded AND had its sink dir
+    * retired. One O(1) property, so retirement PRUNES bookkeeping
+    * instead of growing it. */
+  private[graft] def retiredFloor(spark: SparkSession, lakeTable: String): Option[String] =
+    tableProp(spark, lakeTable, "graft.retired.floor").filter(_.nonEmpty)
+
+  private def tableProp(spark: SparkSession, table: String, key: String): Option[String] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(key)
+
+  private def isSettled(spark: SparkSession, lakeTable: String): String => Boolean = {
+    val listed = foldedDays(spark, lakeTable).toSet
+    val floor = retiredFloor(spark, lakeTable)
+    day => listed(day) || floor.exists(day <= _)
+  }
 
   private def markFolded(spark: SparkSession, lakeTable: String, day: String): Unit = {
     val all = (foldedDays(spark, lakeTable) :+ day).distinct.sorted
@@ -82,6 +104,15 @@ object LakeFold {
       .sorted
   }
 
+  /** Null-safe conjunction over `keys` between two aliased sides — the
+    * anti-join predicate everywhere in this module. Plain `===` (or the
+    * usingColumns form) is null-UNSAFE: a row with a NULL key column
+    * would never match its own already-landed copy, so every
+    * crash/re-run would append it again. `<=>` is still an equi-join
+    * predicate, so the planner keeps hash/sort-merge strategies. */
+  private def nullSafeOn(left: String, right: String, keys: Seq[String]): Column =
+    keys.map(k => col(s"$left.$k") <=> col(s"$right.$k")).reduce(_ && _)
+
   /** Fold ONE day from the sink into the lake: append the day's sink
     * rows that are not already in the lake's same-day partition (keyed
     * on `keyCols`, defaulting to every lake column — full-row identity).
@@ -97,10 +128,17 @@ object LakeFold {
       .filter(col("day").cast("string") === day)
       .select(cols.map(col): _*) // table column order: insertInto is positional
     val existing = lake.filter(col("day").cast("string") === day)
-    val missing = dayRows.join(existing.select(keys.map(col): _*), keys, "left_anti")
-    val n = missing.count()
-    if (n > 0) missing.write.insertInto(lakeTable)
-    n
+    val missing = dayRows.as("s")
+      .join(existing.select(keys.map(col): _*).as("l"),
+        nullSafeOn("s", "l", keys), "left_anti")
+    // persist across the count + insert pair: without it the day-scan +
+    // anti-join shuffle — the fold's whole cost — executes twice
+    missing.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missing.count()
+      if (n > 0) missing.write.insertInto(lakeTable)
+      n
+    } finally { missing.unpersist(): Unit }
   }
 
   /** Fold every sink day STRICTLY older than `watermarkDay` into
@@ -109,17 +147,27 @@ object LakeFold {
     * via the completion property, partially-folded days (crash residue)
     * finish via the anti-join, and compaction's own stage+swap recovery
     * handles a death mid-rewrite (`TableOps.stagePartitionCompaction`).
+    * Oldest-first processing with per-day completion marking keeps the
+    * settled set a PREFIX of the sink's days at every instant — the
+    * invariant [[retireFoldedSinkDays]]'s floor depends on.
     * Returns the days folded by THIS run (settled days don't reappear). */
   def foldClosedDays(spark: SparkSession, sinkPath: String, lakeTable: String,
       watermarkDay: String, keyCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
-    val settled = foldedDays(spark, lakeTable).toSet
+    val settled = isSettled(spark, lakeTable)
     val closed = sinkDays(spark, sinkPath)
       .filter(_ < watermarkDay)
       .filterNot(settled)
     closed.foreach { day =>
       foldDay(spark, sinkPath, lakeTable, day, keyCols): Unit
-      TableOps.compactPartition(spark, lakeTable, "day", day, targetFileBytes): Unit
+      // a day dir holding only never-committed files folds zero rows and
+      // creates no lake partition — nothing to compact, but it MUST still
+      // settle, or this run and every re-run would wedge on it forever
+      val partPath = new org.apache.hadoop.fs.Path(
+        TableOps.warehousePath(spark, lakeTable), s"day=$day")
+      val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(partPath))
+        TableOps.compactPartition(spark, lakeTable, "day", day, targetFileBytes): Unit
       markFolded(spark, lakeTable, day)
     }
     closed
@@ -137,17 +185,19 @@ object LakeFold {
     val lake = spark.table(lakeTable)
     val cols = lake.columns.toIndexedSeq
     val keys = if (keyCols.nonEmpty) keyCols else cols
-    val settled = foldedDays(spark, lakeTable)
-    val open = {
-      val s = sinkRows(spark, sinkPath, lakeTable).select(cols.map(col): _*)
-      if (settled.isEmpty) s
-      else s.filter(!col("day").cast("string").isin(settled: _*))
+    val listed = foldedDays(spark, lakeTable)
+    val floor = retiredFloor(spark, lakeTable)
+    def unsettledOnly(df: DataFrame): DataFrame = {
+      val d = col("day").cast("string")
+      val afterFloor = floor.map(f => df.filter(d > f)).getOrElse(df)
+      if (listed.isEmpty) afterFloor
+      else afterFloor.filter(!d.isin(listed: _*))
     }
-    val lakeUnsettled =
-      if (settled.isEmpty) lake
-      else lake.filter(!col("day").cast("string").isin(settled: _*))
+    val open = unsettledOnly(sinkRows(spark, sinkPath, lakeTable).select(cols.map(col): _*))
+    val lakeUnsettled = unsettledOnly(lake)
     lake.unionByName(
-      open.join(lakeUnsettled.select(keys.map(col): _*), keys, "left_anti"))
+      open.as("s").join(lakeUnsettled.select(keys.map(col): _*).as("l"),
+        nullSafeOn("s", "l", keys), "left_anti"))
   }
 
   /** Retire the sink directories of SETTLED days — the retention job the
@@ -162,16 +212,33 @@ object LakeFold {
     * reads of the sink path by outside code — after retiring, the sink
     * is no longer a standalone queryable table; [[combinedRead]] is the
     * query surface (which is true of any sink whose settled days have
-    * moved to the lake). Only days already marked folded on the lake
-    * table are eligible; returns the days whose directories were
-    * actually deleted this run (a re-run is a no-op). */
+    * moved to the lake).
+    *
+    * Only the maximal settled PREFIX of the sink's days is retired (a
+    * settled day past an unsettled one is left alone — unreachable under
+    * [[foldClosedDays]]'s oldest-first marking, but enforced anyway),
+    * which is what lets bookkeeping SHRINK: the retired days leave
+    * `graft.folded.days` and are absorbed into the O(1)
+    * `graft.retired.floor`, so a years-long daily fold+retire cadence
+    * carries a bounded property, not one comma entry per day forever.
+    * Returns the days whose directories were deleted this run (a re-run
+    * is a no-op). */
   def retireFoldedSinkDays(spark: SparkSession, sinkPath: String,
       lakeTable: String): Seq[String] = {
-    val settled = foldedDays(spark, lakeTable).toSet
+    val settled = isSettled(spark, lakeTable)
     val base = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    sinkDays(spark, sinkPath).filter(settled).filter { day =>
+    val prefix = sinkDays(spark, sinkPath).takeWhile(settled)
+    val deleted = prefix.filter { day =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$day"), true)
     }
+    if (deleted.nonEmpty) {
+      val newFloor = (deleted ++ retiredFloor(spark, lakeTable)).max
+      val remaining = foldedDays(spark, lakeTable).filter(_ > newFloor)
+      spark.sql(s"ALTER TABLE $lakeTable SET TBLPROPERTIES " +
+        s"('graft.retired.floor' = '$newFloor', " +
+        s"'graft.folded.days' = '${remaining.mkString(",")}')")
+    }
+    deleted
   }
 }

@@ -79,7 +79,7 @@ object TableOps {
         !s.getPath.getName.startsWith("."))
   }
 
-  private def warehousePath(spark: SparkSession, name: String) =
+  private[sources] def warehousePath(spark: SparkSession, name: String) =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
 
@@ -176,13 +176,23 @@ object TableOps {
       if (isView) spark.sql(s"DROP VIEW $name") else dropWithLocation(spark, name)
     }
     // reclaim every stale backing version from prior generations
-    spark.catalog.listTables().collect()
-      .map(_.name)
-      .filter(_.matches(s"(?i)${java.util.regex.Pattern.quote(name)}_v\\d+"))
-      .foreach(dropWithLocation(spark, _))
+    dropStaleVersions(spark, name, keep = None)
     resetTable(spark, s"${name}_v1", df)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${name}_v1")
   }
+
+  /** Drop every `name_v<N>` backing table except `keep` — the one
+    * version-reclaim rule, shared by [[resetViewedTable]] (keep nothing:
+    * a reset replaces all generations) and [[compactTableAtomic]] (keep
+    * the live version; everything else is crash debris or the previous
+    * run's reader-grace version). */
+  private def dropStaleVersions(spark: SparkSession, name: String,
+      keep: Option[String]): Unit =
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(_.matches(s"(?i)${java.util.regex.Pattern.quote(name)}_v\\d+"))
+      .filter(n => !keep.exists(n.equalsIgnoreCase))
+      .foreach(dropWithLocation(spark, _))
 
   /** [[compactTable]] with the swap window shrunk to METADATA-ONLY: the
     * query-visible name is a view over a versioned backing table
@@ -212,13 +222,10 @@ object TableOps {
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val v = backingVersion(spark, name)
     val cur = s"${name}_v$v"
-    // reclaim stale versions a crashed prior run left behind (anything
-    // versioned that is not the live backing table)
-    spark.catalog.listTables().collect()
-      .map(_.name)
-      .filter(_.matches(s"(?i)${java.util.regex.Pattern.quote(name)}_v\\d+"))
-      .filter(!_.equalsIgnoreCase(cur))
-      .foreach(dropWithLocation(spark, _))
+    // reclaim stale versions a crashed prior run left behind and the
+    // previous run's reader-grace version (anything versioned that is
+    // not the live backing table)
+    dropStaleVersions(spark, name, keep = Some(cur))
     val next = s"${name}_v${v + 1}"
     val (staging, nBefore) = stageCompaction(spark, cur, targetFileBytes, next)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $staging")

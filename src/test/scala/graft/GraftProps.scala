@@ -247,26 +247,31 @@ object GraftProps extends Properties("graft") {
     * completion mark); the watermark closes an arbitrary prefix of
     * days. LakeFoldSpec drives one such scenario end-to-end from a real
     * FileStreamSink; this property sweeps the crash-state space. */
-  private val foldScenarioGen: Gen[(Seq[Int], Seq[Boolean], Int)] =
+  private val foldScenarioGen: Gen[(Seq[Int], Seq[Boolean], Int, Seq[Boolean])] =
     for {
       rowsPerDay <- Gen.listOfN(3, Gen.choose(1, 4)).map(_.toSeq)
-      residue <- Gen.listOfN(12, Gen.oneOf(true, false)).map(_.toSeq)
+      residue <- Gen.listOfN(15, Gen.oneOf(true, false)).map(_.toSeq)
       wmIdx <- Gen.choose(0, 3) // days with index < wmIdx are closed
-    } yield (rowsPerDay, residue, wmIdx)
+      // NULL-keyed rows (e.g. an unparseable reading): the fold's
+      // anti-join must be null-SAFE or each crash/re-run duplicates them
+      nullRows <- Gen.listOfN(3, Gen.oneOf(true, false)).map(_.toSeq)
+    } yield (rowsPerDay, residue, wmIdx, nullRows)
 
   private var foldPropRuns = 0
 
   property("foldClosedDays + combinedRead exact from any crash residue") =
-    forAll(foldScenarioGen) { case (rowsPerDay, residue, wmIdx) =>
+    forAll(foldScenarioGen) { case (rowsPerDay, residue, wmIdx, nullRows) =>
       val spark = SparkSpec.session
       import spark.implicits._
       val days = Seq("d1", "d2", "d3")
       val wmDay = "d" + (wmIdx + 1) // "d4" closes everything
       val closed = days.take(wmIdx)
       // (room, value, day): values disjoint across days, so full-row
-      // identity — the fold's default anti-join key — is unique
+      // identity — the fold's default anti-join key — is unique; some
+      // days also carry a NULL-roomed row to pin anti-join null-safety
       val rows = days.zipWithIndex.flatMap { case (d, i) =>
-        (0 until rowsPerDay(i)).map(j => (s"r$j", (i * 10 + j).toDouble, d))
+        (0 until rowsPerDay(i)).map(j => (s"r$j", (i * 10 + j).toDouble, d)) ++
+          (if (nullRows(i)) Seq((null: String, (i * 10 + 99).toDouble, d)) else Nil)
       }
       val sinkDf = rows.toDF("room", "value", "day")
       val base = java.nio.file.Files.createTempDirectory("graft_foldprop").toString
