@@ -168,6 +168,12 @@ class LakeFoldSpec extends SparkSpec {
 
     val retired = LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_ret")
     assert(retired == Seq("2017-03-05", "2017-03-06"), s"retired $retired")
+    // bounded bookkeeping: the retired prefix left the per-day list and
+    // was absorbed into the O(1) floor — a daily fold+retire cadence
+    // must not grow one comma entry per day forever
+    assert(LakeFold.foldedDays(spark, "fold_lake_ret").isEmpty,
+      "retired days must leave graft.folded.days")
+    assert(LakeFold.retiredFloor(spark, "fold_lake_ret").contains("2017-03-06"))
     val fs = new org.apache.hadoop.fs.Path(sink)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(sink, "day=2017-03-05")) &&
@@ -194,8 +200,12 @@ class LakeFoldSpec extends SparkSpec {
     val folded2 = LakeFold.foldClosedDays(spark, sink, "fold_lake_ret", "2017-03-08")
     assert(folded2 == Seq("2017-03-07"), s"late fold $folded2")
     assert(spark.table("fold_lake_ret").count() == 6)
+    assert(LakeFold.foldedDays(spark, "fold_lake_ret") == Seq("2017-03-07"),
+      "the newly folded, unretired day is the only listed entry")
     assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_ret") ==
       Seq("2017-03-07"))
+    assert(LakeFold.foldedDays(spark, "fold_lake_ret").isEmpty &&
+      LakeFold.retiredFloor(spark, "fold_lake_ret").contains("2017-03-07"))
     // everything now lives in the lake; the combined read agrees
     assert(byDay() == Map(
       "2017-03-05" -> 2L, "2017-03-06" -> 2L, "2017-03-07" -> 2L))
