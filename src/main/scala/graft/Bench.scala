@@ -245,7 +245,7 @@ object Bench {
     // the sentinel is done — release its pinned storage block so the
     // sweep/fraction/pipeline timings below run against an unperturbed
     // heap (the sentinel guards those measurements; it must not skew them)
-    sentinelCached.unpersist(): Unit
+    sentinelCached.unpersist(blocking = true): Unit
     val ext = extA ++ extB
     // Optional SF sweep: the WHOLE headline set per listed directory with
     // one warm-up + max(3, runs/3) timed passes each (totals only — the

@@ -56,14 +56,27 @@ object LakeFold {
   private[graft] def retiredFloor(spark: SparkSession, lakeTable: String): Option[String] =
     tableProp(spark, lakeTable, "graft.retired.floor").filter(_.nonEmpty)
 
-  private def tableProp(spark: SparkSession, table: String, key: String): Option[String] =
+  private def lakeMeta(spark: SparkSession, table: String) =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .properties.get(key)
+
+  private def tableProp(spark: SparkSession, table: String, key: String): Option[String] =
+    lakeMeta(spark, table).properties.get(key)
+
+  /** (settled-unretired list, floor) from ONE metadata fetch — the two
+    * properties are always read together, and against a real metastore
+    * each getTableMetadata is a round-trip. */
+  private def bookkeeping(spark: SparkSession, lakeTable: String)
+      : (Seq[String], Option[String]) = {
+    val props = lakeMeta(spark, lakeTable).properties
+    val listed = props.get("graft.folded.days")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (listed, props.get("graft.retired.floor").filter(_.nonEmpty))
+  }
 
   private def isSettled(spark: SparkSession, lakeTable: String): String => Boolean = {
-    val listed = foldedDays(spark, lakeTable).toSet
-    val floor = retiredFloor(spark, lakeTable)
+    val (listedSeq, floor) = bookkeeping(spark, lakeTable)
+    val listed = listedSeq.toSet
     day => listed(day) || floor.exists(day <= _)
   }
 
@@ -80,18 +93,43 @@ object LakeFold {
     * data file's footer, and after [[retireFoldedSinkDays]] the first
     * log entry may point at a deleted file — with the schema pinned, no
     * file is touched until execution, by which point partition pruning
-    * has dropped every retired day. */
+    * has dropped every retired day. The pinned schema would silently
+    * NULL-fill a lake column the sink never wrote (where inference
+    * failed loudly), so [[foldClosedDays]] runs [[assertNoDrift]] — a
+    * one-footer check against a live day's files — before any fold. */
   private def sinkRows(spark: SparkSession, sinkPath: String,
       lakeTable: String): DataFrame =
     spark.read.schema(spark.table(lakeTable).schema).parquet(sinkPath)
+
+  /** Loud lake-vs-sink schema-drift check, scoped to ONE live day's
+    * directory (its files exist — it is about to be folded), restoring
+    * the failure the pinned-schema read traded away: without this, a
+    * lake column the sink never wrote would be silently NULL-filled,
+    * folded, settled, and the authentic sink copy later retired. Reads
+    * the day dir DIRECTLY (below the sink root, so no _spark_metadata
+    * resolution) — fine for a schema-only look: uncommitted files in
+    * the dir carry the same writer schema. */
+  private def assertNoDrift(spark: SparkSession, sinkPath: String,
+      lakeTable: String, liveDay: String): Unit = {
+    val fileCols = spark.read.parquet(s"$sinkPath/day=$liveDay").schema
+      .map(f => f.name -> f.dataType).toSet
+    val lakeCols = spark.table(lakeTable).schema
+      .filterNot(_.name == "day").map(f => f.name -> f.dataType).toSet
+    require(fileCols == lakeCols,
+      s"lake/sink schema drift: sink day=$liveDay files carry " +
+        s"${fileCols.toSeq.sortBy(_._1).mkString(", ")} but $lakeTable " +
+        s"expects ${lakeCols.toSeq.sortBy(_._1).mkString(", ")} — folding " +
+        "would NULL-fill or drop columns; reconcile the schemas first")
+  }
 
   /** The sink's day partitions, from DIRECTORY NAMES, not a data scan: a
     * full-sink `distinct(day)` query would open every committed file,
     * which fails once retired days' files are gone — the directory
     * listing is metadata-only and equally authoritative (a `day=` dir
     * exists iff some batch wrote there; a dir holding only
-    * never-committed files yields zero committed rows downstream, which
-    * folds as an empty day — harmless either way). */
+    * never-committed files yields zero committed rows downstream —
+    * [[foldClosedDays]] leaves such a day UNSETTLED in case a restarted
+    * stream replays the batch). */
   private[graft] def sinkDays(spark: SparkSession, sinkPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,10 +185,14 @@ object LakeFold {
     * via the completion property, partially-folded days (crash residue)
     * finish via the anti-join, and compaction's own stage+swap recovery
     * handles a death mid-rewrite (`TableOps.stagePartitionCompaction`).
-    * Oldest-first processing with per-day completion marking keeps the
-    * settled set a PREFIX of the sink's days at every instant — the
-    * invariant [[retireFoldedSinkDays]]'s floor depends on.
-    * Returns the days folded by THIS run (settled days don't reappear). */
+    * Oldest-first processing marks days settled as they complete. A
+    * closed day whose directory holds only never-committed files is
+    * examined but NOT settled (see the in-loop comment), so the settled
+    * set can have a gap; [[retireFoldedSinkDays]] only ever retires the
+    * maximal SETTLED PREFIX of the sink's days, so such a gap merely
+    * pauses retirement at that day — the floor can never come to cover
+    * an unsettled one.
+    * Returns the days folded AND SETTLED by this run. */
   def foldClosedDays(spark: SparkSession, sinkPath: String, lakeTable: String,
       watermarkDay: String, keyCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
@@ -158,19 +200,29 @@ object LakeFold {
     val closed = sinkDays(spark, sinkPath)
       .filter(_ < watermarkDay)
       .filterNot(settled)
-    closed.foreach { day =>
+    if (closed.nonEmpty) assertNoDrift(spark, sinkPath, lakeTable, closed.head)
+    // partition existence is probed at the table's CATALOG location, not
+    // a reconstructed warehouse path — an external lake would otherwise
+    // never probe true and silently skip compaction forever
+    val lakeLoc = new org.apache.hadoop.fs.Path(lakeMeta(spark, lakeTable).location)
+    val fs = lakeLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    closed.filter { day =>
       foldDay(spark, sinkPath, lakeTable, day, keyCols): Unit
-      // a day dir holding only never-committed files folds zero rows and
-      // creates no lake partition — nothing to compact, but it MUST still
-      // settle, or this run and every re-run would wedge on it forever
-      val partPath = new org.apache.hadoop.fs.Path(
-        TableOps.warehousePath(spark, lakeTable), s"day=$day")
-      val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(partPath))
+      if (fs.exists(new org.apache.hadoop.fs.Path(lakeLoc, s"day=$day"))) {
         TableOps.compactPartition(spark, lakeTable, "day", day, targetFileBytes): Unit
-      markFolded(spark, lakeTable, day)
+        markFolded(spark, lakeTable, day)
+        true
+      } else {
+        // zero committed rows AND no lake partition: the day dir holds
+        // only never-committed files. Do NOT settle it — a restarted
+        // stream may REPLAY that batch and commit rows into this day
+        // later; a settled day would hide them from combinedRead and
+        // retirement would then delete the only copy. Leaving it
+        // unsettled costs one pruned empty fold per run and converges
+        // the moment a replay commits (or never, harmlessly).
+        false
+      }
     }
-    closed
   }
 
   /** The query-facing combined lake: catalog table ∪ the sink's
@@ -185,13 +237,20 @@ object LakeFold {
     val lake = spark.table(lakeTable)
     val cols = lake.columns.toIndexedSeq
     val keys = if (keyCols.nonEmpty) keyCols else cols
-    val listed = foldedDays(spark, lakeTable)
-    val floor = retiredFloor(spark, lakeTable)
+    val (listed, floor) = bookkeeping(spark, lakeTable)
     def unsettledOnly(df: DataFrame): DataFrame = {
       val d = col("day").cast("string")
-      val afterFloor = floor.map(f => df.filter(d > f)).getOrElse(df)
-      if (listed.isEmpty) afterFloor
-      else afterFloor.filter(!d.isin(listed: _*))
+      // NULL-day rows (unparseable event dates land in the default
+      // partition, reading back as NULL) are NEVER folded — the default
+      // partition's name sorts above every date so no watermark closes
+      // it — so they must stay on the open side: a bare `d > floor` or
+      // `!d.isin(...)` evaluates to NULL for them and would silently
+      // drop rows that exist nowhere else
+      val unsettled = Seq(
+        floor.map(f => d > f),
+        Option.when(listed.nonEmpty)(!d.isin(listed: _*))
+      ).flatten.reduceOption(_ && _)
+      unsettled.map(c => df.filter(d.isNull || c)).getOrElse(df)
     }
     val open = unsettledOnly(sinkRows(spark, sinkPath, lakeTable).select(cols.map(col): _*))
     val lakeUnsettled = unsettledOnly(lake)

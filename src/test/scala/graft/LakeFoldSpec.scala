@@ -156,6 +156,61 @@ class LakeFoldSpec extends SparkSpec {
       "2017-03-07" -> 29.0), s"$all")
   }
 
+  test("an uncommitted-only day never settles; a later replay commit converges") {
+    // The data-loss edge: a stream dies mid-batch leaving day=03-04 with
+    // files NOT in _spark_metadata. Settling that day would hide the
+    // rows a RESTARTED stream later commits there (Structured Streaming
+    // replays the failed batch), and retirement would then delete the
+    // only copy. The fold must leave it unsettled and converge when the
+    // replayed commit lands.
+    val base = java.nio.file.Files.createTempDirectory("graft_folduncommit").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_uc")
+
+    // fabricate the crash residue: a parquet file in day=2017-03-04 that
+    // no metadata-log entry names (copied from a committed day, so the
+    // writer schema matches)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcFile = fs.listStatus(new org.apache.hadoop.fs.Path(sink, "day=2017-03-05"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")).head.getPath
+    val ucDir = new org.apache.hadoop.fs.Path(sink, "day=2017-03-04")
+    fs.mkdirs(ucDir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcFile, fs,
+      new org.apache.hadoop.fs.Path(ucDir, "part-uncommitted.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    // fold: 03-05/03-06 settle; 03-04 is examined (it IS closed) but
+    // must NOT settle — zero committed rows, no lake partition
+    val folded = LakeFold.foldClosedDays(spark, sink, "fold_lake_uc", "2017-03-07")
+    assert(folded == Seq("2017-03-05", "2017-03-06"), s"folded $folded")
+    assert(LakeFold.foldedDays(spark, "fold_lake_uc") ==
+      Seq("2017-03-05", "2017-03-06"))
+    // the uncommitted file stays invisible to the query surface
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_uc").count() == 6)
+    // retirement is takeWhile-prefix: the unsettled 03-04 gates it, so
+    // nothing is deleted while a replay could still commit to 03-04
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_uc").isEmpty,
+      "retirement must pause at the unsettled day")
+
+    // the restarted stream replays: same checkpoint, a new input file
+    // carrying the 03-04 reading — batch commits into day=2017-03-04
+    addInputFile(s"$base/in", "f2.txt",
+      Seq(notif("Kitchen", 9.0, "2017-03-04T08:00:00+00:00")))
+    val q = StreamIngest.startDaySink(
+      fileNotifications(s"$base/in"), sink, s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    // now the day folds, settles, and retirement proceeds through it
+    val folded2 = LakeFold.foldClosedDays(spark, sink, "fold_lake_uc", "2017-03-07")
+    assert(folded2 == Seq("2017-03-04"), s"replayed day fold: $folded2")
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_uc").count() == 7)
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_uc") ==
+      Seq("2017-03-04", "2017-03-05", "2017-03-06"))
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_uc").count() == 7)
+  }
+
   test("retiring folded sink days keeps every read exact") {
     // The lifecycle's last step: folded days' sink directories are cold
     // duplicates — retire them and prove the module's whole read surface
