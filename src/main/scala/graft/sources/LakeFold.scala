@@ -200,7 +200,15 @@ object LakeFold {
     val closed = sinkDays(spark, sinkPath)
       .filter(_ < watermarkDay)
       .filterNot(settled)
-    if (closed.nonEmpty) assertNoDrift(spark, sinkPath, lakeTable, closed.head)
+    // drift-check against the first closed day whose dir actually holds
+    // a data file — an EMPTY day dir (writer died before its first file)
+    // has no schema to read and nothing to fold, so it can't drift
+    val sinkBase = new org.apache.hadoop.fs.Path(sinkPath)
+    val sinkFs = sinkBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    closed.find { day =>
+      sinkFs.listStatus(new org.apache.hadoop.fs.Path(sinkBase, s"day=$day"))
+        .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }.foreach(day => assertNoDrift(spark, sinkPath, lakeTable, day))
     // partition existence is probed at the table's CATALOG location, not
     // a reconstructed warehouse path — an external lake would otherwise
     // never probe true and silently skip compaction forever
