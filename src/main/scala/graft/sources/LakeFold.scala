@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Day-fold maintenance for the streamed lake — the missing composition
@@ -101,22 +102,59 @@ object LakeFold {
       lakeTable: String): DataFrame =
     spark.read.schema(spark.table(lakeTable).schema).parquet(sinkPath)
 
-  /** Loud lake-vs-sink schema-drift check, scoped to ONE live day's
-    * directory (its files exist — it is about to be folded), restoring
-    * the failure the pinned-schema read traded away: without this, a
-    * lake column the sink never wrote would be silently NULL-filled,
-    * folded, settled, and the authentic sink copy later retired. Reads
-    * the day dir DIRECTLY (below the sink root, so no _spark_metadata
-    * resolution) — fine for a schema-only look: uncommitted files in
-    * the dir carry the same writer schema. */
+  /** Writer schema of one day directory, from the first READABLE parquet
+    * footer among its data files — `None` when the dir holds no data
+    * files at all (writer died before its first file: nothing to fold,
+    * nothing to drift). A writer that died MID-WRITE can leave a torn
+    * file with no footer; inferring over the whole dir would surface
+    * that as an opaque parquet error and wedge every fold until manual
+    * cleanup, so this probes file-by-file and falls back past torn ones.
+    * Only when EVERY data file is unreadable does it throw — naming the
+    * offending files, so the operator knows what to delete. One
+    * listStatus + (usually) one footer open per call. */
+  private[graft] def dayWriterSchema(spark: SparkSession, sinkPath: String,
+      day: String): Option[org.apache.spark.sql.types.StructType] = {
+    val dir = new org.apache.hadoop.fs.Path(sinkPath, s"day=$day")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val files = fs.listStatus(dir).toIndexedSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (files.isEmpty) return None
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, Throwable)]
+    val found = files.iterator.map { f =>
+      try Some(spark.read.parquet(f.toString).schema)
+      catch {
+        case scala.util.control.NonFatal(e) => failures += f.toString -> e; None
+      }
+    }.collectFirst { case Some(s) => s }
+    found.orElse(throw new IllegalStateException(
+      s"sink day=$day has ${files.length} data file(s) but none carries a " +
+        s"readable parquet footer (torn crash residue?): " +
+        failures.map(_._1).mkString(", "), failures.last._2))
+  }
+
+  /** Loud lake-vs-sink schema-drift check against ONE day's writer
+    * schema, restoring the failure the pinned-schema read traded away:
+    * without this, a lake column the sink never wrote would be silently
+    * NULL-filled, folded, settled, and the authentic sink copy later
+    * retired. Reads the day dir DIRECTLY (below the sink root, so no
+    * _spark_metadata resolution) — fine for a schema-only look:
+    * uncommitted files in the dir carry the same writer schema. A
+    * no-data-file day passes vacuously. */
   private def assertNoDrift(spark: SparkSession, sinkPath: String,
-      lakeTable: String, liveDay: String): Unit = {
-    val fileCols = spark.read.parquet(s"$sinkPath/day=$liveDay").schema
-      .map(f => f.name -> f.dataType).toSet
+      lakeTable: String, liveDay: String): Unit =
+    dayWriterSchema(spark, sinkPath, liveDay)
+      .foreach(assertSchemaMatches(spark, lakeTable, liveDay, _))
+
+  private def assertSchemaMatches(spark: SparkSession, lakeTable: String,
+      day: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fileCols = schema.map(f => f.name -> f.dataType).toSet
     val lakeCols = spark.table(lakeTable).schema
       .filterNot(_.name == "day").map(f => f.name -> f.dataType).toSet
     require(fileCols == lakeCols,
-      s"lake/sink schema drift: sink day=$liveDay files carry " +
+      s"lake/sink schema drift: sink day=$day files carry " +
         s"${fileCols.toSeq.sortBy(_._1).mkString(", ")} but $lakeTable " +
         s"expects ${lakeCols.toSeq.sortBy(_._1).mkString(", ")} — folding " +
         "would NULL-fill or drop columns; reconcile the schemas first")
@@ -200,21 +238,21 @@ object LakeFold {
     val closed = sinkDays(spark, sinkPath)
       .filter(_ < watermarkDay)
       .filterNot(settled)
-    // drift-check against the first closed day whose dir actually holds
-    // a data file — an EMPTY day dir (writer died before its first file)
-    // has no schema to read and nothing to fold, so it can't drift
-    val sinkBase = new org.apache.hadoop.fs.Path(sinkPath)
-    val sinkFs = sinkBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    closed.find { day =>
-      sinkFs.listStatus(new org.apache.hadoop.fs.Path(sinkBase, s"day=$day"))
-        .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
-    }.foreach(day => assertNoDrift(spark, sinkPath, lakeTable, day))
     // partition existence is probed at the table's CATALOG location, not
     // a reconstructed warehouse path — an external lake would otherwise
     // never probe true and silently skip compaction forever
     val lakeLoc = new org.apache.hadoop.fs.Path(lakeMeta(spark, lakeTable).location)
     val fs = lakeLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     closed.filter { day =>
+      // drift-check EVERY day about to fold, not just the first with a
+      // data file: a long-lived stream restarted with an evolved schema
+      // leaves different closed days carrying different writer schemas,
+      // and a drifted later day would otherwise be silently NULL-filled,
+      // folded, settled, and its authentic sink copy retired. One
+      // listStatus + one footer per day — noise next to the fold itself.
+      // (An EMPTY day dir has no schema to read and nothing to fold, so
+      // it can't drift — assertNoDrift passes it vacuously.)
+      assertNoDrift(spark, sinkPath, lakeTable, day)
       foldDay(spark, sinkPath, lakeTable, day, keyCols): Unit
       if (fs.exists(new org.apache.hadoop.fs.Path(lakeLoc, s"day=$day"))) {
         TableOps.compactPartition(spark, lakeTable, "day", day, targetFileBytes): Unit
@@ -234,37 +272,79 @@ object LakeFold {
   }
 
   /** The query-facing combined lake: catalog table ∪ the sink's
-    * not-yet-settled days. Exact under EVERY fold state — the sink side
-    * anti-joins away rows a partial fold already landed in the lake, so
-    * a crash between append and completion-marking cannot surface
-    * duplicates. Cost note: the anti-join's lake side is restricted to
-    * unsettled days (static partition pruning), which at steady state is
-    * the open tail — the bulk of the lake joins nothing. */
+    * not-yet-settled days. Exact under EVERY fold state — a sink row a
+    * partial fold already landed in the lake is suppressed by a
+    * key-grouped window that keeps the lake copy, so a crash between
+    * append and completion-marking cannot surface duplicates.
+    *
+    * Exact under CONCURRENT folding too, which is why this is a window
+    * over one merged dataset and not the anti-join it used to be: a
+    * partitioned catalog table lists its partitions lazily PER SCAN, so
+    * two lake subtrees in one plan can observe different snapshots when
+    * a fold's insertInto lands between their listings — the anti-join
+    * formulation double-counted a freshly folded day when its lake scan
+    * for the union side saw the insert but the anti-join side did not
+    * (caught by the concurrency soak spec). Here the lake is split into
+    * COMPLEMENTARY partition sets (settled | unsettled, constants from
+    * plan-time bookkeeping): the settled side cannot collide with the
+    * sink by construction, and the unsettled side merges with the open
+    * sink rows into ONE dataset deduplicated by a key-partitioned
+    * min-over-window (lake copy wins) — a row landing mid-read is
+    * either seen by the lake scan (sink copy suppressed) or not (sink
+    * copy serves), exactly once either way.
+    *
+    * Cost note: the window shuffles only unsettled-day lake rows + open
+    * sink rows — at steady state the open tail, pruned before any file
+    * opens; the settled bulk of the lake is a bare scan with no shuffle
+    * (same class as the anti-join it replaces, one shuffle vs two
+    * shuffled join sides). */
   def combinedRead(spark: SparkSession, sinkPath: String, lakeTable: String,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil, checkDrift: Boolean = true): DataFrame = {
     val lake = spark.table(lakeTable)
     val cols = lake.columns.toIndexedSeq
     val keys = if (keyCols.nonEmpty) keyCols else cols
     val (listed, floor) = bookkeeping(spark, lakeTable)
-    def unsettledOnly(df: DataFrame): DataFrame = {
-      val d = col("day").cast("string")
-      // NULL-day rows (unparseable event dates land in the default
-      // partition, reading back as NULL) are NEVER folded — the default
-      // partition's name sorts above every date so no watermark closes
-      // it — so they must stay on the open side: a bare `d > floor` or
-      // `!d.isin(...)` evaluates to NULL for them and would silently
-      // drop rows that exist nowhere else
-      val unsettled = Seq(
-        floor.map(f => d > f),
-        Option.when(listed.nonEmpty)(!d.isin(listed: _*))
-      ).flatten.reduceOption(_ && _)
-      unsettled.map(c => df.filter(d.isNull || c)).getOrElse(df)
+    if (checkDrift) {
+      // The open side serves under the PINNED lake schema, so a drifted
+      // sink would silently NULL-fill / drop open-day columns until the
+      // next fold fails loudly — close that interim window here: check
+      // the NEWEST unsettled day carrying a readable footer (the day the
+      // live writer is appending to — where drift appears first). One
+      // listStatus + one footer; `checkDrift = false` opts out for
+      // tight-loop callers that run foldClosedDays on a cadence anyway.
+      val settledNow: String => Boolean = { val l = listed.toSet
+        day => l(day) || floor.exists(day <= _) }
+      sinkDays(spark, sinkPath).filterNot(settledNow).reverse.iterator
+        .map(day => day -> dayWriterSchema(spark, sinkPath, day))
+        .collectFirst { case (day, Some(s)) => (day, s) }
+        .foreach { case (day, s) => assertSchemaMatches(spark, lakeTable, day, s) }
     }
-    val open = unsettledOnly(sinkRows(spark, sinkPath, lakeTable).select(cols.map(col): _*))
-    val lakeUnsettled = unsettledOnly(lake)
-    lake.unionByName(
-      open.as("s").join(lakeUnsettled.select(keys.map(col): _*).as("l"),
-        nullSafeOn("s", "l", keys), "left_anti"))
+    val d = col("day").cast("string")
+    // NULL-day rows (unparseable event dates land in the default
+    // partition, reading back as NULL) are NEVER folded — the default
+    // partition's name sorts above every date so no watermark closes
+    // it — so they must stay on the unsettled side: a bare `d > floor`
+    // or `!d.isin(...)` evaluates to NULL for them and would silently
+    // drop rows that exist nowhere else
+    val unsettledCond: Column = Seq(
+      floor.map(f => d > f),
+      Option.when(listed.nonEmpty)(!d.isin(listed: _*))
+    ).flatten.reduceOption(_ && _)
+      .map(c => d.isNull || c).getOrElse(lit(true))
+    val open = sinkRows(spark, sinkPath, lakeTable)
+      .filter(unsettledCond).select(cols.map(col): _*)
+    // merged open tail: unsettled lake rows win over their sink copies
+    // via min(_src) per key group (window grouping treats NULL keys as
+    // equal — the same null-safe identity `<=>` gave the anti-join)
+    val merged = lake.filter(unsettledCond)
+      .select(cols.map(col): _*).withColumn("_src", lit(0))
+      .unionByName(open.withColumn("_src", lit(1)))
+    val dedup = merged
+      .withColumn("_minsrc",
+        min(col("_src")).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("_src") === 0 || col("_minsrc") === 1)
+      .select(cols.map(col): _*)
+    lake.filter(!unsettledCond).unionByName(dedup)
   }
 
   /** Retire the sink directories of SETTLED days — the retention job the
@@ -307,5 +387,57 @@ object LakeFold {
         s"'graft.folded.days' = '${remaining.mkString(",")}')")
     }
     deleted
+  }
+
+  /** Closed-day floor of a LIVE stream, read from the query's own
+    * event-time watermark (`lastProgress.eventTime["watermark"]`, an ISO
+    * instant — its date is the day). A day STRICTLY before the
+    * watermark's day can never receive another committed row: any event
+    * landing there is older than the watermark and the engine drops it
+    * as too-late, so `day < watermarkDay` is exactly
+    * [[foldClosedDays]]'s closedness contract. `None` when the query
+    * has no event-time watermark (no `withWatermark` upstream — nothing
+    * is provably closed), has produced no progress yet, or still sits
+    * at the epoch sentinel (watermark before first data). */
+  def watermarkDay(query: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[String] =
+    Option(query.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(_.take(10))
+      .filter(_ > "1970-01-01")
+
+  /** The self-driving fold tick: derive the closed-day floor from the
+    * live stream and run one fold (+ optional retirement) cycle against
+    * it. This is the whole steady-state maintenance loop — schedule it
+    * on any cadence (each call is independently idempotent and
+    * crash-re-runnable, per [[foldClosedDays]] /
+    * [[retireFoldedSinkDays]]); with no watermark to act on it is a
+    * no-op. Safe to run WHILE the stream appends: the stream only ever
+    * commits into days >= the watermark day, the fold only touches days
+    * strictly below it, and [[combinedRead]] stays exact under every
+    * interleaving (soak-spec-verified: concurrent append / fold / retire
+    * / read threads).
+    *
+    * One reader-visible race to know about: a [[combinedRead]] PLANNED
+    * while a day was still unsettled lists that day's sink files; if the
+    * day folds, settles, and is RETIRED before the read executes, those
+    * files are gone and the read fails with missing-file — re-invoking
+    * [[combinedRead]] re-plans against the new bookkeeping and succeeds
+    * (the settled day now prunes out; its rows serve from the lake).
+    * That retry-on-conflict contract is the standard one for readers of
+    * any storage that physically removes files (compaction/vacuum in
+    * log-structured formats); deferring retirement (calling this with
+    * `retire = false` plus a delayed retirement job) shrinks the window
+    * to zero for readers slower than the deferral. */
+  def foldFromStream(spark: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      sinkPath: String, lakeTable: String, keyCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      retire: Boolean = true): Seq[String] = {
+    val folded = watermarkDay(query)
+      .map(foldClosedDays(spark, sinkPath, lakeTable, _, keyCols, targetFileBytes))
+      .getOrElse(Nil)
+    if (retire) retireFoldedSinkDays(spark, sinkPath, lakeTable): Unit
+    folded
   }
 }

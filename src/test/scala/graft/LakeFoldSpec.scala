@@ -211,6 +211,234 @@ class LakeFoldSpec extends SparkSpec {
     assert(LakeFold.combinedRead(spark, sink, "fold_lake_uc").count() == 7)
   }
 
+  test("foldFromStream derives the closed-day floor from the live watermark") {
+    // The self-driving tick: no caller-supplied watermark string — the
+    // closed-day floor comes from the RUNNING query's own event-time
+    // watermark (lastProgress), and one foldFromStream call folds,
+    // compacts, and retires everything that floor closes.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldwm").toString
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+    addInputFile(inDir, "f0.txt", Seq(
+      notif("Kitchen", 10.0, "2017-03-05T08:00:00+00:00"),
+      notif("Bedroom", 11.0, "2017-03-05T09:00:00+00:00"),
+      notif("Kitchen", 12.0, "2017-03-06T08:00:00+00:00")))
+    addInputFile(inDir, "f1.txt", Seq(
+      notif("Bedroom", 13.0, "2017-03-06T09:00:00+00:00"),
+      notif("Kitchen", 14.0, "2017-03-07T08:00:00+00:00"),
+      notif("Bedroom", 15.0, "2017-03-07T09:00:00+00:00")))
+    val q = StreamIngest.startDaySink(
+      fileNotifications(inDir).withWatermark("event_ts", "1 second"),
+      s"$base/sink", s"$base/ckpt")
+    q.processAllAvailable()
+    // two more 03-08 files: the watermark trails the max event time by
+    // one batch, so a second 03-08 batch guarantees the REPORTED
+    // watermark has crossed into 03-08 whichever semantics the engine
+    // version uses
+    addInputFile(inDir, "f2.txt",
+      Seq(notif("Attic", 16.0, "2017-03-08T08:00:00+00:00")))
+    q.processAllAvailable()
+    addInputFile(inDir, "f3.txt",
+      Seq(notif("Attic", 17.0, "2017-03-08T09:00:00+00:00")))
+    q.processAllAvailable()
+    resetLake(s"$base/sink", "fold_lake_wm")
+
+    val wd = LakeFold.watermarkDay(q)
+    assert(wd.exists(_ >= "2017-03-08"), s"watermark day $wd")
+    val folded = LakeFold.foldFromStream(spark, q, s"$base/sink", "fold_lake_wm")
+    q.stop()
+    val expect = Seq("2017-03-05", "2017-03-06", "2017-03-07")
+      .filter(d => wd.exists(d < _))
+    assert(folded == expect, s"folded $folded, watermark day $wd")
+    // retirement ran in the same tick: the settled prefix left the list
+    // and collapsed into the floor; the open 03-08 dir survives
+    assert(LakeFold.foldedDays(spark, "fold_lake_wm").isEmpty)
+    assert(LakeFold.retiredFloor(spark, "fold_lake_wm").contains(folded.last))
+    val fs = new org.apache.hadoop.fs.Path(s"$base/sink")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/sink", s"day=${folded.head}")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/sink", "day=2017-03-08")))
+    assert(LakeFold.combinedRead(spark, s"$base/sink", "fold_lake_wm").count() == 8)
+    // a stopped/fresh query with no progress yields no floor → no-op tick
+    assert(LakeFold.foldFromStream(spark, q, s"$base/sink", "fold_lake_wm").isEmpty)
+  }
+
+  test("soak: concurrent append, fold, retire, and combined reads stay exact") {
+    // The steady state run AS a steady state: one thread streams new
+    // days in, one folds on the live watermark, one retires settled
+    // days, two read the combined surface — all concurrently. Every
+    // successful read must be exact (no duplicate reading, row count
+    // within the commit bounds captured around it); a read that trips
+    // over a file retired/compacted between its plan and its execution
+    // is the documented retry-on-conflict case, counted and retried,
+    // never a pass.
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+    import scala.util.control.NonFatal
+
+    val base = java.nio.file.Files.createTempDirectory("graft_foldsoak").toString
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+    val sink = s"$base/sink"
+    addInputFile(inDir, "seed.txt", Seq(
+      notif("Kitchen", 10.0, "2017-03-05T08:00:00+00:00"),
+      notif("Bedroom", 11.0, "2017-03-05T09:00:00+00:00")))
+    val q = StreamIngest.startDaySink(
+      fileNotifications(inDir).withWatermark("event_ts", "1 second"),
+      sink, s"$base/ckpt")
+    q.processAllAvailable()
+    resetLake(sink, "fold_lake_soak")
+
+    val errors = new ConcurrentLinkedQueue[Throwable]
+    val committed = new AtomicInteger(2)
+    val running = new AtomicBoolean(true)
+    val conflicts = new AtomicInteger(0)
+    val readsOk = new AtomicInteger(0)
+    def spawn(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case NonFatal(e) => errors.add(e): Unit }, name)
+      t.start(); t
+    }
+
+    val lastDay = 15
+    val appender = spawn("soak-append") {
+      var v = 100.0
+      (6 to lastDay).foreach { d =>
+        val day = f"2017-03-$d%02d"
+        addInputFile(inDir, s"d$d.txt", Seq(
+          notif("Kitchen", v, s"${day}T08:00:00+00:00"),
+          notif("Bedroom", v + 1, s"${day}T09:00:00+00:00")))
+        v += 2
+        q.processAllAvailable()
+        committed.addAndGet(2): Unit
+      }
+    }
+    val folder = spawn("soak-fold") {
+      while (running.get) {
+        LakeFold.foldFromStream(spark, q, sink, "fold_lake_soak",
+          retire = false): Unit
+        Thread.sleep(50)
+      }
+    }
+    val retirer = spawn("soak-retire") {
+      while (running.get) {
+        LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_soak"): Unit
+        Thread.sleep(70)
+      }
+    }
+    val readers = (1 to 2).map { i =>
+      spawn(s"soak-read-$i") {
+        while (running.get) {
+          val before = committed.get
+          // retry-on-conflict, but NEVER retry an exactness failure:
+          // the collect is inside the catch scope, the asserts outside
+          val got =
+            try Some(LakeFold.combinedRead(spark, sink, "fold_lake_soak")
+              .select(col("room"), col("value"), col("day").cast("string"))
+              .collect().toSeq)
+            catch { case NonFatal(_) => conflicts.incrementAndGet(); None }
+          got.foreach { rows =>
+            val after = committed.get
+            assert(rows.distinct.size == rows.size,
+              s"duplicate readings in combined read: ${rows.groupBy(identity)
+                .filter(_._2.size > 1).keys}")
+            assert(rows.size >= before && rows.size <= after,
+              s"combined read ${rows.size} outside commit bounds [$before,$after]")
+            readsOk.incrementAndGet(): Unit
+          }
+        }
+      }
+    }
+
+    appender.join(120000)
+    Thread.sleep(500) // let fold/retire/read overlap the final commits
+    running.set(false)
+    (Seq(folder, retirer) ++ readers).foreach(_.join(60000))
+
+    assert(errors.isEmpty, s"soak thread failures: ${errors.toArray.toSeq}")
+    assert(readsOk.get > 0, "no reader ever completed a successful read")
+    // quiesced: one final tick settles everything the watermark closed,
+    // then the combined surface must hold exactly every committed row
+    LakeFold.foldFromStream(spark, q, sink, "fold_lake_soak"): Unit
+    q.stop()
+    val total = committed.get
+    val rows = LakeFold.combinedRead(spark, sink, "fold_lake_soak")
+      .select(col("room"), col("value"), col("day").cast("string"))
+      .collect().toSeq
+    assert(rows.size == total, s"final combined read ${rows.size} != $total")
+    assert(rows.distinct.size == rows.size)
+    // the soak genuinely exercised the lifecycle: days folded AND retired
+    assert(LakeFold.retiredFloor(spark, "fold_lake_soak").exists(_ >= "2017-03-05"),
+      "no day was retired during or after the soak")
+    assert(spark.table("fold_lake_soak").count() > 0)
+    info(s"soak: ${readsOk.get} exact reads, ${conflicts.get} retried conflicts")
+  }
+
+  test("a torn data file cannot wedge the fold; an all-torn day fails naming it") {
+    // A writer that dies MID-WRITE (not just mid-commit) leaves a file
+    // with no parquet footer. The drift check must fall back past it to
+    // a readable sibling — and only when a day has NO readable data file
+    // at all may it fail, loudly, naming the residue.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldtorn").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_torn")
+    def writeGarbage(day: String, name: String): Unit = {
+      val dir = java.nio.file.Paths.get(sink, s"day=$day")
+      java.nio.file.Files.createDirectories(dir): Unit
+      java.nio.file.Files.write(dir.resolve(name),
+        "this is not a parquet file".getBytes("UTF-8")): Unit
+    }
+    writeGarbage("2017-03-05", "part-torn.parquet")
+
+    // the torn file sits beside committed ones: schema probing falls
+    // back to a readable footer and the fold completes normally (the
+    // torn file itself is invisible to the data read — no log entry)
+    val folded = LakeFold.foldClosedDays(spark, sink, "fold_lake_torn", "2017-03-07")
+    assert(folded == Seq("2017-03-05", "2017-03-06"), s"folded $folded")
+    assert(spark.table("fold_lake_torn").count() == 4)
+
+    // an ALL-torn day has no schema to check and blocks with a named
+    // culprit instead of an opaque parquet error
+    writeGarbage("2017-03-04", "part-torn2.parquet")
+    val e = intercept[IllegalStateException] {
+      LakeFold.foldClosedDays(spark, sink, "fold_lake_torn", "2017-03-07")
+    }
+    assert(e.getMessage.contains("2017-03-04") &&
+      e.getMessage.contains("part-torn2.parquet"), e.getMessage)
+  }
+
+  test("schema drift in a LATER closed day fails before that day folds") {
+    // Each closed day can carry a different writer schema (a restarted
+    // stream with an evolved schema): the drift check runs per day, so
+    // a drifted day sorting AFTER healthy ones still fails loudly —
+    // after the healthy prefix folded, before the drifted day moves.
+    val base = java.nio.file.Files.createTempDirectory("graft_folddrift").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_drift")
+    // a drifted-writer day between 03-06 and 03-07 (string-sorted):
+    // one parquet file whose columns are nothing like the lake's
+    val driftSrc = s"$base/drift_src"
+    spark.range(1).selectExpr("id AS weird_col").write.parquet(driftSrc)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(driftSrc))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")).head.getPath
+    val driftDay = new org.apache.hadoop.fs.Path(sink, "day=2017-03-06x")
+    fs.mkdirs(driftDay)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(driftDay, part.getName), false,
+      spark.sparkContext.hadoopConfiguration)
+
+    val e = intercept[IllegalArgumentException] {
+      LakeFold.foldClosedDays(spark, sink, "fold_lake_drift", "2017-03-07")
+    }
+    assert(e.getMessage.contains("2017-03-06x") &&
+      e.getMessage.contains("weird_col"), e.getMessage)
+    // the healthy prefix DID fold before the failure — per-day checking
+    // gates each day on its own schema, not the whole run on the first
+    assert(LakeFold.foldedDays(spark, "fold_lake_drift") ==
+      Seq("2017-03-05", "2017-03-06"))
+    assert(spark.table("fold_lake_drift").count() == 4)
+  }
+
   test("retiring folded sink days keeps every read exact") {
     // The lifecycle's last step: folded days' sink directories are cold
     // duplicates — retire them and prove the module's whole read surface
