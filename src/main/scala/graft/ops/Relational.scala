@@ -1649,17 +1649,44 @@ object Relational {
     * joins (backward + forward) this replaces. Time math stays in the
     * integer µs domain; the lerp is the only FP step and uses identical
     * operation order in both engines. Duplicate (user, ts) readings
-    * pre-average so the series is a well-defined function. */
-  def resampleInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    * pre-average so the series is a well-defined function.
+    *
+    * Density contract: a user's grid cardinality is the HOURS OF THEIR
+    * TIME SPAN, independent of how many readings they have — one
+    * degenerate key (a sensor that reported once in 1990 and once
+    * today) would explode into hundreds of thousands of grid rows on a
+    * single partition regardless of corpus size. `maxGridPerUser`
+    * (default 100 000 ≈ 11.4 years hourly) bounds that: a user whose
+    * span exceeds it fails the job LOUDLY, naming the user and its
+    * span, before a single grid row for it is generated — at 100 TB
+    * you want the degenerate key surfaced at the |users|-row aggregate,
+    * not discovered as a hot straggler partition. In-contract inputs
+    * are untouched (the guard branch never taints the plan: the error
+    * lives in the untaken arm of a lazily-evaluated CASE). */
+  def resampleInterpolate(spark: SparkSession, sfDir: String): DataFrame =
+    resampleInterpolate(spark, sfDir, maxGridPerUser = 100000)
+
+  private[graft] def resampleInterpolate(spark: SparkSession, sfDir: String,
+      maxGridPerUser: Int): DataFrame = {
     val hourUs = 3600L * 1000000L
     val r = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
       .groupBy(col("user_id"), col("t")).agg(avg(col("value")).as("value"))
     val grid = r.groupBy(col("user_id"))
       .agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
-      .select(col("user_id"), explode(sequence(
-        expr(s"((tmin + ${hourUs - 1}) div $hourUs) * $hourUs"),
-        col("tmax"), lit(hourUs))).as("t"))
+      .withColumn("g0", expr(s"((tmin + ${hourUs - 1}) div $hourUs) * $hourUs"))
+      // grid points this user would generate — pure long arithmetic on
+      // the per-user aggregate row, evaluated BEFORE any sequence() is
+      // materialized for it
+      .withColumn("npts", expr(s"(tmax - g0) div $hourUs + 1"))
+      .select(col("user_id"), explode(
+        when(col("npts") > maxGridPerUser,
+          raise_error(format_string(
+            s"resample grid overflow: user_id=%s spans %s hourly grid " +
+              s"points (cap $maxGridPerUser) — a degenerate long-lived " +
+              "key; raise maxGridPerUser or pre-filter the span",
+            col("user_id"), col("npts"))).cast("array<bigint>"))
+          .otherwise(sequence(col("g0"), col("tmax"), lit(hourUs)))).as("t"))
     val rows = r.select(col("user_id"), col("t"), col("value"), lit(0).as("is_grid"))
       .unionByName(grid.select(col("user_id"), col("t"),
         lit(null).cast("double").as("value"), lit(1).as("is_grid")))

@@ -315,4 +315,45 @@ class RelationalSpec extends SparkSpec {
       assert(vs.count(_._5) == 1, s"user $uid: expected exactly one current row")
     }
   }
+
+  test("resample lerp fails loudly on a degenerate long-lived key, not on a hot partition") {
+    // Grid rows per user = hours of that user's SPAN, independent of
+    // reading count: a sensor that reported once in 1990 and once in
+    // 2020 would explode into ~263k grid rows on one partition. The
+    // density guard must name the key at the per-user aggregate — and
+    // leave in-contract inputs bit-identical.
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_lerpguard").toString
+    val base = Tables.events(spark, sf001)
+    val w = Window.orderBy(col("event_id")) // 2 rows, test-only
+    val degen = base.limit(2)
+      .withColumn("k", row_number().over(w))
+      .withColumn("user_id", lit(424242L))
+      .withColumn("ts", when(col("k") === 1,
+        to_timestamp(lit("1990-01-01 00:30:00")))
+        .otherwise(to_timestamp(lit("2020-01-01 00:30:00"))))
+      .drop("k")
+    base.unionByName(degen)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val e = intercept[Exception] {
+      Relational.resampleInterpolate(spark, dir).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("resample grid overflow") &&
+      chain.contains("424242"), s"guard message unhelpful: $chain")
+
+    // in-contract inputs (the corpus without the degenerate key) are
+    // untouched by the guard: default cap == effectively-unbounded cap
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lerpok").toString
+    base.write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val guarded = Relational.resampleInterpolate(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    val unbounded = Relational.resampleInterpolate(spark, dir2,
+      maxGridPerUser = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    assert(guarded.nonEmpty && guarded == unbounded)
+  }
 }

@@ -513,4 +513,42 @@ class ScaleToolsSpec extends SparkSpec {
     assert(userSpanZSort < userSpanGlobal.toDouble,
       s"z-sort must still cluster user_id below the global span $userSpanGlobal")
   }
+
+  test("the benign-accumulator-race log filter installs and stays scoped") {
+    // The filter must (a) install without touching logger levels,
+    // (b) DENY exactly the DAGScheduler accumulator-race message, and
+    // (c) stay NEUTRAL for every other logger and message — a genuine
+    // scheduler ERROR must remain loud in the bench record.
+    Bench.quietBenignAccumulatorRace()
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val serving = cfg.getLoggerConfig("org.apache.spark.scheduler.DAGScheduler")
+    val f = serving.getFilter
+    assert(f != null, "no filter installed on the serving LoggerConfig")
+    def result(logger: String, msg: String) = {
+      val ev = org.apache.logging.log4j.core.impl.Log4jLogEvent.newBuilder()
+        .setLoggerName(logger)
+        .setLevel(org.apache.logging.log4j.Level.ERROR)
+        .setMessage(new org.apache.logging.log4j.message.SimpleMessage(msg))
+        .build()
+      f.filter(ev)
+    }
+    import org.apache.logging.log4j.core.Filter.Result._
+    assert(result("org.apache.spark.scheduler.DAGScheduler",
+      "Failed to update accumulator 12345 (internal.metrics.x) for task 3") == DENY)
+    assert(result("org.apache.spark.scheduler.DAGScheduler",
+      "Failed to cancel job group abc") == NEUTRAL,
+      "other DAGScheduler errors must stay loud")
+    assert(result("some.other.Logger",
+      "Failed to update accumulator 1 (x) for task 0") == NEUTRAL,
+      "the filter must be scoped to the DAGScheduler logger name")
+    // idempotence guard: calling twice must not stack filters into a
+    // CompositeFilter that this spec can no longer reason about -- the
+    // second install may add, but DENY/NEUTRAL behavior must hold
+    Bench.quietBenignAccumulatorRace()
+    assert(result("org.apache.spark.scheduler.DAGScheduler",
+      "Failed to update accumulator 9 (y) for task 1") == DENY)
+  }
 }
