@@ -188,6 +188,16 @@ object ScaleUpBench {
       }
     }.toMap
 
+    // Layout probe (SPARK_GRAFT_SCALEUP_LAYOUT_PROBE=1): rewrite the
+    // xK events replica at x1's FILE COUNT (so bytes-per-file grows K×
+    // instead of file count) and re-time q1 against it. Separates the
+    // two candidate growth drivers for a scan-bound query: if xK's
+    // growth was per-file task overhead (K× more tasks), the fat
+    // layout collapses toward the x1 time; if it was bytes scanned,
+    // the fat layout times the same as the parity layout.
+    val layoutProbe =
+      sys.env.get("SPARK_GRAFT_SCALEUP_LAYOUT_PROBE").contains("1")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -216,7 +226,19 @@ object ScaleUpBench {
           s"[scaleup] plan shape drift for $n at x$k:\n  x1=${x1Shapes.getOrElse(n, Nil).mkString(">")}\n  x$k=${xkShapes.getOrElse(n, Nil).mkString(">")}")
         "\"" + n + (if (probeFailed) "\":null" else s"""":$same""")
       }.mkString("{", ",", "}")
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame}"""
+      val probeJson =
+        if (layoutProbe && needsTable("events") &&
+            queries.contains("q1_time_filter")) {
+          spark.read.parquet(s"$out/x$k/events.parquet")
+            .repartition(nCores)
+            .write.mode("overwrite").parquet(s"$out/x${k}_fat/events.parquet")
+          val t = SparkEntry.queries.get("q1_time_filter").map { fn =>
+            try Bench.timeQuery(fn, spark, s"$out/x${k}_fat", runs).median
+            catch { case _: Throwable => -1.0 }
+          }.getOrElse(-1.0)
+          f""","layout_probe":{"q1_time_filter_sec":$t%.4f,"files":$nCores,"note":"x$k bytes in x1 file count"}"""
+        } else ""
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
