@@ -98,6 +98,58 @@ class ScaleToolsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_rt_$t"))
   }
 
+  test("serve-path model caches invalidate on rebuild, never serve stale state") {
+    // The round-12 resident-model memos (ivfPqModelCache keyed on the
+    // codes table's createTime; ann_exact_gt keyed on the source-dir
+    // property) must never outlive the artifacts they cache: rebuild
+    // the index/ground truth from a DIFFERENT corpus and the serve
+    // path must answer from the NEW model in the same JVM.
+    import graft.ext.Similarity
+    // corpus B: same schema, elementwise-squared vectors — changes both
+    // distance magnitudes (ADC values) and neighbor structure
+    val dirB = java.nio.file.Files.createTempDirectory("graft_annb").toString
+    Tables.embeddings(spark, sf001)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(x * x AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+
+    Similarity.annIndexEnsure(spark, sf001, prefix = "ann_inv")
+    val servedA = rows(Similarity.annIndexLookup(spark, sf001, prefix = "ann_inv"))
+    // same source dir: ensure is a no-op, the memoized model serves
+    Similarity.annIndexEnsure(spark, sf001, prefix = "ann_inv")
+    assert(rows(Similarity.annIndexLookup(spark, sf001, prefix = "ann_inv")) == servedA)
+    // different source dir: ensure rebuilds, the createTime key rolls,
+    // and the lookup must answer from corpus B's model — proven by
+    // agreeing with the fully in-memory build over B
+    Similarity.annIndexEnsure(spark, dirB, prefix = "ann_inv")
+    val servedB = rows(Similarity.annIndexLookup(spark, dirB, prefix = "ann_inv"))
+    val memB = rows(Similarity.annIvfPq(spark, dirB))
+    assert(servedB == memB,
+      s"serve path answered stale model state after rebuild: " +
+        s"only-served=${(servedB -- memB).take(3)} only-mem=${(memB -- servedB).take(3)}")
+    assert(servedB != servedA, "corpus B fixture failed to change the results")
+
+    // the persisted exact ground truth follows the same contract
+    Similarity.annExactEnsure(spark, sf001)
+    def gt() = spark.table("ann_exact_gt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fresh(dir: String) = Similarity.knnPerVec(spark, dir)
+      .filter(col("q_id") < 10).select(col("q_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gt() == fresh(sf001))
+    Similarity.annExactEnsure(spark, dirB)
+    assert(gt() == fresh(dirB),
+      "ann_exact_gt served a stale corpus after the source dir changed")
+    // leave the shared table rebuilt from the standard fixture so later
+    // suites' ensure calls see a consistent (dir, table) pair
+    Similarity.annExactEnsure(spark, sf001)
+    Seq("codes", "centroids", "codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_inv_$t"))
+  }
+
   test("compaction collapses a fragmented table without changing its rows") {
     val src = Tables.orders(spark, sf001)
     TableOps.resetTable(spark, "orders_frag", src.repartition(64))
