@@ -1660,14 +1660,15 @@ object Similarity {
     * straight from the bucketed table, and run the standard query-side
     * scoring. No training happens here — this is the serve path of the
     * train-once/persist/serve split. */
-  def annIndexLookup(spark: SparkSession, sfDir: String,
-      prefix: String = "ann_ivfpq", probes: Int = 1): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+  /** The memoized model load behind every serve-path consumer (batch
+    * [[annIndexLookup]] and streaming [[annServeStream]]). */
+  private def loadIvfPqModel(spark: SparkSession, prefix: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val version = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_codes"))
       .createTime
     if (ivfPqModelCache.size > 8) ivfPqModelCache.clear()
-    val (cents, cb) = ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => {
+    ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => {
       val cents = spark.table(s"${prefix}_centroids").collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).map(_._2)
@@ -1680,7 +1681,71 @@ object Similarity {
       cbRows.foreach { case (m, code, v) => cb(m)(code) = v }
       (cents, cb)
     })
+  }
+
+  def annIndexLookup(spark: SparkSession, sfDir: String,
+      prefix: String = "ann_ivfpq", probes: Int = 1): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (cents, cb) = loadIvfPqModel(spark, prefix)
     ivfPqScore(emb, spark.table(s"${prefix}_codes"), cents, cb, probes)
+  }
+
+  /** Online ANN serving over a LIVE query stream — the missing runtime
+    * half of the train-once/persist/serve split: `queries` is a
+    * STREAMING DataFrame of (q_id, event_ts, embedding), and each
+    * micro-batch's vectors are answered from the persisted IVF-PQ
+    * index without any training or corpus scan on the hot path.
+    *
+    * Dataflow, all stream-legal: the resident model (centroids +
+    * codebooks, [[loadIvfPqModel]] — collected once per index version,
+    * never per batch) enters the plan as broadcast literals; cell
+    * assignment, residual, and the per-subspace ADC distance table are
+    * pure map-side expressions on the stream (the batch path's
+    * window-based probe selection specializes to `array_min` argmin at
+    * probes = 1, and its dtab groupBy becomes a `zip_with` over the
+    * subvector/codebook arrays — both shuffle-free, leaving ONE
+    * stateful operator); candidates come from a STREAM-STATIC inner
+    * join against the bucketed codes table on `cell`; and the top-k
+    * cut is a watermarked streaming aggregation keyed on
+    * (q_id, event_ts) whose state evicts `lateness` behind the event
+    * clock — bounded by in-flight queries, never by stream length.
+    * Emits (q_id, event_ts, topk: array<struct<adc, neighbor_id>>) in
+    * append mode once the watermark closes each query's slot;
+    * `array_sort` on (adc, neighbor_id) structs makes ties — and
+    * therefore the cut — deterministic, bit-matching the batch serve
+    * path (spec-asserted against [[annIndexLookup]] row for row).
+    *
+    * 100 TB posture: per query the work is O(d·k_cells + M·K·d) map
+    * arithmetic plus one bucketed-cell read — the static side is
+    * bucket-partitioned by `cell`, so a serving cluster reads only the
+    * probed cell's bucket files; no shuffle of the corpus, ever. */
+  def annServeStream(queries: DataFrame, k: Int = 3,
+      prefix: String = "ann_ivfpq",
+      lateness: String = "10 seconds"): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, cb) = loadIvfPqModel(spark, prefix)
+    val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    graft.functions.AdcSum.register(spark)
+    val qcell = queries
+      .withWatermark("event_ts", lateness)
+      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
+      .withColumn("cell",
+        (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+      .withColumn("rv", zip_with(col("embedding"),
+        element_at(centLit, col("cell") + 1), (x, c) => x.cast("double") - c))
+      .withColumn("dtabs", zip_with(pqSubvectorExpr("rv"), pqCbLit(cb),
+        (v, cbm) => transform(cbm, c => aggregate(
+          zip_with(v, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, d) => a + d))))
+      .select(col("q_id"), col("event_ts"), col("cell"), col("dtabs"))
+    qcell.join(spark.table(s"${prefix}_codes"), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("event_ts"),
+        col("vec_id").as("neighbor_id"),
+        Num.r4(expr("adc_sum(codes, dtabs)")).as("adc"))
+      .groupBy(col("q_id"), col("event_ts"))
+      .agg(slice(array_sort(collect_list(struct(col("adc"), col("neighbor_id")))),
+        1, k).as("topk"))
   }
 
   /** Registry form of the persistence round-trip: build + persist the

@@ -859,4 +859,61 @@ class StreamIngestSpec extends SparkSpec {
     assert(got == Map("2017-03-06" -> 1L, "2017-03-07" -> 1L),
       s"weekday-filtered lake read wrong: $got")
   }
+
+  test("streaming ANN serve answers from the persisted index, matching batch serve") {
+    // The serve half of train-once/persist/serve run ONLINE: a memory
+    // stream of query vectors, answered per micro-batch from the saved
+    // IVF-PQ index via a stream-static bucketed join, top-k cut by a
+    // watermarked aggregation. Every emitted row must match the batch
+    // serve path (annIndexLookup, probes=1) bit for bit.
+    import spark.implicits._
+    import graft.ext.Similarity
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    Similarity.annIndexEnsure(spark, sf, prefix = "ann_srv")
+
+    val qvecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val served = Similarity.annServeStream(
+      mem.toDF().toDF("q_id", "event_ts", "embedding"),
+      k = 3, prefix = "ann_srv", lateness = "1 second")
+    val q = served.writeStream.format("memory").queryName("ann_served")
+      .outputMode("append").start()
+
+    // two query batches 1 min apart, then a flush row far ahead so the
+    // watermark closes every real slot
+    val (front, back) = qvecs.splitAt(5)
+    // timestamps sit WELL above the epoch: the initial watermark is
+    // the epoch itself, and a row at exactly that instant is dropped
+    // as late before it ever reaches the aggregation
+    mem.addData(front.map { case (id, v) => (id, new Timestamp(100000L), v) }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(back.map { case (id, v) => (id, new Timestamp(160000L), v) }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData((9999L, new Timestamp(3600000L), qvecs.head._2))
+    q.processAllAvailable()
+    val got = spark.sql(
+      """SELECT q_id, CAST(pos + 1 AS BIGINT) AS rank, t.neighbor_id, t.adc
+        |FROM ann_served LATERAL VIEW posexplode(topk) v AS pos, t
+        |WHERE q_id < 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+
+    val want = Similarity.annIndexLookup(spark, sf, prefix = "ann_srv")
+      .select(col("q_id"), col("rank").cast("long"), col("neighbor_id"), col("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"stream serve diverged from batch serve: only-stream=${(got -- want).take(3)} " +
+        s"only-batch=${(want -- got).take(3)}")
+
+    // bounded state: the flush query's own slot is still open (nothing
+    // newer closed it) -- exactly the in-flight set, nothing more
+    assert(spark.sql("SELECT DISTINCT q_id FROM ann_served").count() == 10)
+    Seq("codes", "centroids", "codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_srv_$t"))
+  }
 }
