@@ -371,11 +371,17 @@ object LakeFold {
     * Returns the days whose directories were deleted this run (a re-run
     * is a no-op). */
   def retireFoldedSinkDays(spark: SparkSession, sinkPath: String,
-      lakeTable: String): Seq[String] = {
+      lakeTable: String, exclude: Set[String] = Set.empty): Seq[String] = {
     val settled = isSettled(spark, lakeTable)
     val base = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prefix = sinkDays(spark, sinkPath).takeWhile(settled)
+    // `exclude` implements TWO-PHASE retirement (see [[foldFromStream]]):
+    // days the CURRENT tick just settled are passed here so their sink
+    // files survive until the next tick — and because retirement is
+    // strictly prefix-of-settled, an excluded day also shields every
+    // day after it this run
+    val prefix = sinkDays(spark, sinkPath)
+      .takeWhile(d => settled(d) && !exclude(d))
     val deleted = prefix.filter { day =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$day"), true)
     }
@@ -418,17 +424,21 @@ object LakeFold {
     * interleaving (soak-spec-verified: concurrent append / fold / retire
     * / read threads).
     *
-    * One reader-visible race to know about: a [[combinedRead]] PLANNED
-    * while a day was still unsettled lists that day's sink files; if the
-    * day folds, settles, and is RETIRED before the read executes, those
-    * files are gone and the read fails with missing-file — re-invoking
-    * [[combinedRead]] re-plans against the new bookkeeping and succeeds
-    * (the settled day now prunes out; its rows serve from the lake).
-    * That retry-on-conflict contract is the standard one for readers of
-    * any storage that physically removes files (compaction/vacuum in
-    * log-structured formats); deferring retirement (calling this with
-    * `retire = false` plus a delayed retirement job) shrinks the window
-    * to zero for readers slower than the deferral. */
+    * Retirement is TWO-PHASE: the days THIS tick just settled are
+    * excluded from this tick's retirement and only become
+    * retire-eligible on the next one. The race that motivates it: a
+    * [[combinedRead]] PLANNED while a day was still unsettled lists
+    * that day's sink files, and if the day folds, settles, and is
+    * retired before the read executes, those files are gone and the
+    * read fails with missing-file. With the deferral, any reader that
+    * completes within one tick interval can never hit it — it either
+    * planned before the settle (files survive until next tick) or
+    * after (the settled day prunes out; its rows serve from the lake).
+    * A reader slower than a full tick interval retains the standard
+    * retry-on-conflict contract of any store that physically removes
+    * files (compaction/vacuum in log-structured formats): re-invoking
+    * [[combinedRead]] re-plans against the new bookkeeping and
+    * succeeds. */
   def foldFromStream(spark: SparkSession,
       query: org.apache.spark.sql.streaming.StreamingQuery,
       sinkPath: String, lakeTable: String, keyCols: Seq[String] = Nil,
@@ -437,7 +447,8 @@ object LakeFold {
     val folded = watermarkDay(query)
       .map(foldClosedDays(spark, sinkPath, lakeTable, _, keyCols, targetFileBytes))
       .getOrElse(Nil)
-    if (retire) retireFoldedSinkDays(spark, sinkPath, lakeTable): Unit
+    if (retire)
+      retireFoldedSinkDays(spark, sinkPath, lakeTable, folded.toSet): Unit
     folded
   }
 }

@@ -245,20 +245,31 @@ class LakeFoldSpec extends SparkSpec {
     val wd = LakeFold.watermarkDay(q)
     assert(wd.exists(_ >= "2017-03-08"), s"watermark day $wd")
     val folded = LakeFold.foldFromStream(spark, q, s"$base/sink", "fold_lake_wm")
-    q.stop()
     val expect = Seq("2017-03-05", "2017-03-06", "2017-03-07")
       .filter(d => wd.exists(d < _))
     assert(folded == expect, s"folded $folded, watermark day $wd")
-    // retirement ran in the same tick: the settled prefix left the list
-    // and collapsed into the floor; the open 03-08 dir survives
-    assert(LakeFold.foldedDays(spark, "fold_lake_wm").isEmpty)
-    assert(LakeFold.retiredFloor(spark, "fold_lake_wm").contains(folded.last))
+    // TWO-PHASE retirement: the days THIS tick settled keep their sink
+    // files until the next tick, so a reader that planned before the
+    // settle still finds them — they are listed, not yet floored
+    assert(LakeFold.foldedDays(spark, "fold_lake_wm") == folded)
+    assert(LakeFold.retiredFloor(spark, "fold_lake_wm").isEmpty)
     val fs = new org.apache.hadoop.fs.Path(s"$base/sink")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/sink", s"day=${folded.head}")),
+      "a just-settled day's sink dir must survive its own settling tick")
+    assert(LakeFold.combinedRead(spark, s"$base/sink", "fold_lake_wm").count() == 8)
+
+    // next tick: nothing new to fold, the previously-settled prefix
+    // retires, bookkeeping collapses into the floor
+    assert(LakeFold.foldFromStream(spark, q, s"$base/sink", "fold_lake_wm").isEmpty)
+    q.stop()
+    assert(LakeFold.foldedDays(spark, "fold_lake_wm").isEmpty)
+    assert(LakeFold.retiredFloor(spark, "fold_lake_wm").contains(folded.last))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/sink", s"day=${folded.head}")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/sink", "day=2017-03-08")))
     assert(LakeFold.combinedRead(spark, s"$base/sink", "fold_lake_wm").count() == 8)
-    // a stopped/fresh query with no progress yields no floor → no-op tick
+    // a stopped query's last progress still yields the floor → the tick
+    // stays a safe no-op once everything is settled and retired
     assert(LakeFold.foldFromStream(spark, q, s"$base/sink", "fold_lake_wm").isEmpty)
   }
 
