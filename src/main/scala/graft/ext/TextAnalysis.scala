@@ -1918,6 +1918,53 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Seeded global shuffle + sharding — the read-order primitive of a
+    * training run: before data loads, the corpus must be shuffled (so
+    * batches are i.i.d.-ish, not crawl-ordered) and split into shard
+    * files a data-loader fleet can stream independently. Both come from
+    * ONE portable hash: `skey = md5_prefix60(seed ':' doc_id)` gives a
+    * pseudo-random 60-bit rank; `shard = skey mod shards` is a pure
+    * map-side assignment (statistically balanced, no global barrier),
+    * and `pos = row_number` within the shard ordered by (skey, doc_id)
+    * is the shard's shuffled read order. Deliberately NOT a single
+    * global row_number: that is an unpartitioned window — one reducer
+    * owning the universe — while the per-shard window shuffles each row
+    * exactly once on its shard key, the same cost class as writing the
+    * shard files themselves. Changing the seed re-deals everything;
+    * re-running with the same seed is bit-identical on any engine and
+    * any partitioning (same md5-prefix determinism contract as
+    * [[datasetSplit]] / `q_sample_hash`). */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    corpusShuffle(spark, sfDir, seed = "graft42", shards = 8)
+
+  private[graft] def corpusShuffle(spark: SparkSession, sfDir: String,
+      seed: String, shards: Int): DataFrame = {
+    graft.functions.Md5Prefix60.register(spark)
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
+          .as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val corpusShuffleSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(0, 15),
+      |      p -> CAST(strpos('0123456789abcdef',
+      |             substr(md5('graft42:' || CAST(doc_id AS VARCHAR)),
+      |                    CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS skey
+      |  FROM documents)
+      |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY skey % 8
+      |                               ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality-gate ensemble — what a production pipeline actually ships:
     * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
     * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —

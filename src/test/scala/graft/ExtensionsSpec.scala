@@ -1424,4 +1424,32 @@ class ExtensionsSpec extends SparkSpec {
           .as("distinct_types_so_far"))
     assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0)
   }
+
+  test("corpus shuffle is a seeded permutation: exact cover, contiguous shard order") {
+    import graft.ext.TextAnalysis
+    val n = Tables.documents(spark, sf001).count()
+    val out = TextAnalysis.corpusShuffle(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // exact cover: every document exactly once, shards in range
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // per shard, positions are exactly 1..count in skey order — a
+    // loader can stream shard files independently with no gaps
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      val pos = rows.map(_._3).sorted.toSeq
+      assert(pos == (1L to rows.length.toLong), s"shard $sh positions not contiguous")
+    }
+    // statistically balanced assignment (n=500, 8 shards: expected
+    // ~62/shard; a generous band still catches a broken mod)
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 30 && sizes.max < 100, s"shard skew: $sizes")
+    // seeded determinism: identical rerun; a different seed re-deals
+    val again = TextAnalysis.corpusShuffle(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val reseeded = TextAnalysis.corpusShuffle(spark, sf001, seed = "other", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(reseeded.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq,
+      "a different seed must produce a different deal")
+  }
 }
