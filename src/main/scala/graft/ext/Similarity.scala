@@ -1698,12 +1698,13 @@ object Similarity {
     *
     * Dataflow, all stream-legal: the resident model (centroids +
     * codebooks, [[loadIvfPqModel]] — collected once per index version,
-    * never per batch) enters the plan as broadcast literals; cell
-    * assignment, residual, and the per-subspace ADC distance table are
+    * never per batch) enters the plan as broadcast literals; probe-cell
+    * selection, residual, and the per-subspace ADC distance table are
     * pure map-side expressions on the stream (the batch path's
-    * window-based probe selection specializes to `array_min` argmin at
-    * probes = 1, and its dtab groupBy becomes a `zip_with` over the
-    * subvector/codebook arrays — both shuffle-free, leaving ONE
+    * window-based probe selection becomes an `array_sort` + `slice`
+    * over (dist, cell) structs — identical tie-breaking, any `probes`
+    * count, no window — and its dtab groupBy becomes a `zip_with` over
+    * the subvector/codebook arrays: both shuffle-free, leaving ONE
     * stateful operator); candidates come from a STREAM-STATIC inner
     * join against the bucketed codes table on `cell`; and the top-k
     * cut is a watermarked streaming aggregation keyed on
@@ -1713,14 +1714,23 @@ object Similarity {
     * append mode once the watermark closes each query's slot;
     * `array_sort` on (adc, neighbor_id) structs makes ties — and
     * therefore the cut — deterministic, bit-matching the batch serve
-    * path (spec-asserted against [[annIndexLookup]] row for row).
+    * path (spec-asserted against [[annIndexLookup]] row for row at
+    * probes 1 AND 2).
+    *
+    * Operational contract: the model is PINNED at stream start (plan
+    * literals) and the codes relation resolves once — rebuilding the
+    * index under a running serve stream desyncs model and codes, so a
+    * rebuild is followed by a serve-stream RESTART (the restart reloads
+    * via the version-keyed memo; checkpointed sinks resume exactly).
+    * This is the same contract every online feature store applies to
+    * model hot-swaps.
     *
     * 100 TB posture: per query the work is O(d·k_cells + M·K·d) map
-    * arithmetic plus one bucketed-cell read — the static side is
+    * arithmetic plus `probes` bucketed-cell reads — the static side is
     * bucket-partitioned by `cell`, so a serving cluster reads only the
-    * probed cell's bucket files; no shuffle of the corpus, ever. */
+    * probed cells' bucket files; no shuffle of the corpus, ever. */
   def annServeStream(queries: DataFrame, k: Int = 3,
-      prefix: String = "ann_ivfpq",
+      prefix: String = "ann_ivfpq", probes: Int = 1,
       lateness: String = "10 seconds"): DataFrame = {
     val spark = queries.sparkSession
     val (cents, cb) = loadIvfPqModel(spark, prefix)
@@ -1729,8 +1739,11 @@ object Similarity {
     val qcell = queries
       .withWatermark("event_ts", lateness)
       .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
-      .withColumn("cell",
-        (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+      .withColumn("pc", expr(
+        s"""explode(slice(array_sort(zip_with(darr,
+           |  sequence(0, ${cents.length - 1}),
+           |  (d, c) -> struct(d AS dist, c AS cell))), 1, $probes))""".stripMargin))
+      .withColumn("cell", col("pc.cell").cast("int"))
       .withColumn("rv", zip_with(col("embedding"),
         element_at(centLit, col("cell") + 1), (x, c) => x.cast("double") - c))
       .withColumn("dtabs", zip_with(pqSubvectorExpr("rv"), pqCbLit(cb),

@@ -913,6 +913,32 @@ class StreamIngestSpec extends SparkSpec {
     // bounded state: the flush query's own slot is still open (nothing
     // newer closed it) -- exactly the in-flight set, nothing more
     assert(spark.sql("SELECT DISTINCT q_id FROM ann_served").count() == 10)
+
+    // multiprobe arm: probes = 2 (map-side sort-slice cell selection,
+    // no window) must equal the batch serve at probes = 2
+    val mem2 = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val served2 = Similarity.annServeStream(
+      mem2.toDF().toDF("q_id", "event_ts", "embedding"),
+      k = 3, prefix = "ann_srv", probes = 2, lateness = "1 second")
+    val q2 = served2.writeStream.format("memory").queryName("ann_served_p2")
+      .outputMode("append").start()
+    mem2.addData(qvecs.map { case (id, v) =>
+      (id, new Timestamp(100000L), v) }.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    mem2.addData((9999L, new Timestamp(3600000L), qvecs.head._2))
+    q2.processAllAvailable()
+    val got2 = spark.sql(
+      """SELECT q_id, CAST(pos + 1 AS BIGINT) AS rank, t.neighbor_id, t.adc
+        |FROM ann_served_p2 LATERAL VIEW posexplode(topk) v AS pos, t
+        |WHERE q_id < 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    q2.stop()
+    val want2 = Similarity.annIndexLookup(spark, sf, prefix = "ann_srv", probes = 2)
+      .select(col("q_id"), col("rank").cast("long"), col("neighbor_id"), col("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got2 == want2,
+      s"probes=2 stream serve diverged: only-stream=${(got2 -- want2).take(3)} " +
+        s"only-batch=${(want2 -- got2).take(3)}")
     Seq("codes", "centroids", "codebooks")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_srv_$t"))
   }
