@@ -1692,14 +1692,33 @@ object Relational {
         lit(null).cast("double").as("value"), lit(1).as("is_grid")))
     val wb = Window.partitionBy(col("user_id")).orderBy(col("t"), col("is_grid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col("user_id")).orderBy(col("t"), col("is_grid"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The FORWARD neighbor deliberately comes from a REVERSED running
+    // frame, not `first(...).over(currentRow → unboundedFollowing)`:
+    // Spark executes an unbounded-FOLLOWING frame by re-scanning from
+    // the current row to the partition end for EVERY row
+    // (UnboundedFollowingWindowFunctionFrame) — O(n²) per user, and
+    // measured as ~10× this operator's entire runtime at sf0.01 —
+    // while the running unbounded-PRECEDING frame is a single O(n)
+    // accumulation pass. last-ignoreNulls over the (t, is_grid)-DESC
+    // running frame is definitionally first-ignoreNulls over the ASC
+    // following frame, current row included in both; (t, is_grid) is
+    // unique per user (readings pre-averaged), so both orders are
+    // total and the swap is exact. Cost: one extra in-partition sort
+    // (same key, reversed), no extra exchange.
+    val wfRev = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").desc, col("is_grid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def reading(c: org.apache.spark.sql.Column) = when(col("is_grid") === 0, c)
+    // one select, not chained withColumns: the interleaved Projects
+    // block CollapseWindow and the plan runs FOUR Window passes over
+    // the sorted run; declared together, the same-frame functions fuse
+    // into exactly two Window operators sharing one exchange
     rows
-      .withColumn("tp", last(reading(col("t")), ignoreNulls = true).over(wb))
-      .withColumn("vp", last(reading(col("value")), ignoreNulls = true).over(wb))
-      .withColumn("tn", first(reading(col("t")), ignoreNulls = true).over(wf))
-      .withColumn("vn", first(reading(col("value")), ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("t"), col("is_grid"),
+        last(reading(col("t")), ignoreNulls = true).over(wb).as("tp"),
+        last(reading(col("value")), ignoreNulls = true).over(wb).as("vp"),
+        last(reading(col("t")), ignoreNulls = true).over(wfRev).as("tn"),
+        last(reading(col("value")), ignoreNulls = true).over(wfRev).as("vn"))
       .filter(col("is_grid") === 1)
       .select(col("user_id"), col("t").as("grid_t"),
         Num.r4(
