@@ -1938,10 +1938,17 @@ object TextAnalysis {
     corpusShuffle(spark, sfDir, seed = "graft42", shards = 8)
 
   private[graft] def corpusShuffle(spark: SparkSession, sfDir: String,
+      seed: String, shards: Int): DataFrame =
+    corpusShuffleOn(Tables.documents(spark, sfDir), seed, shards)
+
+  /** The deal itself, over any (doc_id)-bearing relation — split out so
+    * the ScalaCheck property can drive arbitrary id sets through the
+    * identical dataflow the registry query uses. */
+  private[graft] def corpusShuffleOn(docs: DataFrame,
       seed: String, shards: Int): DataFrame = {
-    graft.functions.Md5Prefix60.register(spark)
+    graft.functions.Md5Prefix60.register(docs.sparkSession)
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"),
         expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
           .as("skey"))

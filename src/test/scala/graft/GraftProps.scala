@@ -317,4 +317,33 @@ object GraftProps extends Properties("graft") {
       ) :| s"rowsPerDay=$rowsPerDay residue=$residueRows wm=$wmDay " +
         s"folded=$folded lake=${lakeGot.toSeq}"
     }
+
+  // --- spark: corpus shuffle is a bijective deal on ANY id set -----
+
+  property("corpus shuffle: bijective deal, contiguous shards, seed-stable") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)).map(_.distinct),
+      Gen.choose(1, 8),
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+    ) { (ids, shards, seed) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val docs = ids.toDF("doc_id")
+      def deal() = graft.ext.TextAnalysis.corpusShuffleOn(docs, seed, shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val out = deal()
+      val cover = out.length == ids.length &&
+        out.map(_._1).toSet == ids.toSet
+      val inRange = out.forall { case (_, sh, _) => sh >= 0 && sh < shards }
+      val contiguous = out.groupBy(_._2).forall { case (_, rows) =>
+        rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong)
+      }
+      // same input re-dealt (and re-partitioned) is bit-identical
+      val again = graft.ext.TextAnalysis
+        .corpusShuffleOn(docs.repartition(7), seed, shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val stable = out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq
+      Prop(cover && inRange && contiguous && stable) :|
+        s"ids=${ids.take(5)}... shards=$shards seed=$seed out=${out.take(5)}..."
+    }
 }
