@@ -41,15 +41,52 @@ import org.apache.spark.sql.functions._
   * pruning on both sides), compaction rewrites one partition directory,
   * and the days loop is driver-side over a bounded list of calendar
   * days, not data.
+  *
+  * LATE-DATA CONTRACT (read this before sizing the watermark): Spark
+  * enforces event-time watermarks only at STATEFUL operators; the day
+  * sink (`StreamIngest.startDaySink`) is a stateless partitioned file
+  * sink, so an event later than the watermark delay is still COMMITTED
+  * into its (already-closed) day directory — the engine does not drop
+  * it. This module therefore treats "day < watermarkDay ⇒ closed" as a
+  * well-sized-watermark ASSUMPTION and makes violations loud and exact
+  * instead of silent loss: every settle records the day's committed
+  * sink file count, [[foldClosedDays]] re-examines settled-unretired
+  * days and RE-FOLDS any whose directory grew (the anti-join keeps the
+  * re-fold exact), [[retireFoldedSinkDays]] re-counts immediately
+  * before each delete and refuses to retire a grown day (the next fold
+  * tick absorbs it first), and a day that gains data AFTER its sink
+  * directory was retired — the one case that cannot be absorbed,
+  * because the sink's metadata log names deleted files — fails both
+  * entry points with a sizing diagnostic. Net: a late event inside the
+  * fold+retire lag is folded (visible after the next tick); a late
+  * event beyond it halts maintenance loudly; no row is ever silently
+  * hidden and deleted.
   */
 object LakeFold {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Settled-but-unretired days (the bounded working list). Days at or
     * below [[retiredFloor]] are ALSO settled; [[isSettled]] checks both. */
   private[graft] def foldedDays(spark: SparkSession, lakeTable: String): Seq[String] =
+    foldedDayCounts(spark, lakeTable).map(_._1)
+
+  /** Settled-unretired days WITH the sink data-file count recorded at
+    * settle time (`day:count` entries in `graft.folded.days`) — the
+    * growth detector's baseline. `None` count tolerates entries written
+    * before counts existed (growth check then treats the day as grown
+    * once, re-folds, and records a real count). */
+  private[graft] def foldedDayCounts(spark: SparkSession, lakeTable: String)
+      : Seq[(String, Option[Int])] =
     tableProp(spark, lakeTable, "graft.folded.days")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(parseDayCount))
       .getOrElse(Nil)
+
+  private def parseDayCount(entry: String): (String, Option[Int]) =
+    entry.split(":") match {
+      case Array(day, n) => (day, n.toIntOption)
+      case _             => (entry, None)
+    }
 
   /** Every day <= this day-string has been folded AND had its sink dir
     * retired. One O(1) property, so retirement PRUNES bookkeeping
@@ -71,7 +108,8 @@ object LakeFold {
       : (Seq[String], Option[String]) = {
     val props = lakeMeta(spark, lakeTable).properties
     val listed = props.get("graft.folded.days")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(e => parseDayCount(e)._1)).getOrElse(Nil)
     (listed, props.get("graft.retired.floor").filter(_.nonEmpty))
   }
 
@@ -81,11 +119,56 @@ object LakeFold {
     day => listed(day) || floor.exists(day <= _)
   }
 
-  private def markFolded(spark: SparkSession, lakeTable: String, day: String): Unit = {
-    val all = (foldedDays(spark, lakeTable) :+ day).distinct.sorted
+  /** Record `day` as settled with `fileCount` committed sink data files
+    * observed at settle time (replacing any prior entry for the day —
+    * a growth-triggered re-fold re-records the new count). */
+  private def markFolded(spark: SparkSession, lakeTable: String, day: String,
+      fileCount: Int): Unit = {
+    val all = (foldedDayCounts(spark, lakeTable).filterNot(_._1 == day) :+
+      (day, Some(fileCount))).sortBy(_._1)
+      .map { case (d, n) => n.fold(d)(c => s"$d:$c") }
     spark.sql(s"ALTER TABLE $lakeTable SET TBLPROPERTIES " +
       s"('graft.folded.days' = '${all.mkString(",")}')")
   }
+
+  /** Committed-or-not data-file count of one sink day directory (0 when
+    * the dir is absent). Counts ALL data files, not just log-committed
+    * ones: the stream only ever ADDS files to a day dir, so any count
+    * increase — committed late batch or crash residue alike — is a
+    * conservative "this day changed" signal; a spurious re-fold costs
+    * one empty anti-join. One listStatus, no file opens. */
+  private[graft] def dayFileCount(spark: SparkSession, sinkPath: String,
+      day: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(sinkPath, s"day=$day")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+  }
+
+  /** Fail-loudly guard against the unrecoverable late-data case: a day
+    * at or below the retired floor whose sink directory EXISTS again
+    * means the stream committed an event after that day's sink files
+    * were deleted. Those rows cannot be folded — the sink's metadata
+    * log for that day names deleted files, so any log-resolved read of
+    * it fails — and silently proceeding would let the next retirement
+    * delete the only copy. Halt maintenance and tell the operator to
+    * re-size the watermark delay (the module doc's late-data
+    * contract). */
+  private def assertNoRetiredResurrection(spark: SparkSession, sinkPath: String,
+      lakeTable: String): Unit =
+    retiredFloor(spark, lakeTable).foreach { floor =>
+      val back = sinkDays(spark, sinkPath).filter(_ <= floor)
+      require(back.isEmpty,
+        s"late data arrived in RETIRED sink day(s) ${back.mkString(", ")} " +
+          s"(retired floor $floor): the stream committed events later than " +
+          "the watermark delay plus the fold+retire lag. These rows cannot " +
+          "be folded (the sink metadata log for those days names deleted " +
+          "files) and will NOT be silently deleted — recover them by " +
+          "reading the resurrected day directory directly, then delete it, " +
+          "and size the stream's watermark delay to cover your real " +
+          "late-data horizon")
+    }
 
   /** The sink's committed rows — `spark.read.parquet` on a FileStreamSink
     * directory resolves files through `_spark_metadata`, so half-written
@@ -109,11 +192,19 @@ object LakeFold {
     * file with no footer; inferring over the whole dir would surface
     * that as an opaque parquet error and wedge every fold until manual
     * cleanup, so this probes file-by-file and falls back past torn ones.
-    * Only when EVERY data file is unreadable does it throw — naming the
-    * offending files, so the operator knows what to delete. One
-    * listStatus + (usually) one footer open per call. */
+    * When EVERY data file is unreadable: the FOLD path (`lenient =
+    * false`, the default) throws — the day is closed, in-flight writes
+    * are impossible, so all-torn there is real crash residue and the
+    * error names the offending files. The READ-probe path passes
+    * `lenient = true` and gets `None` instead: [[combinedRead]] probes
+    * the NEWEST unsettled day, which is exactly the directory the live
+    * writer is appending to, and at day rollover its only file can be
+    * mid-write with no footer yet — healthy operation, not residue, so
+    * the probe falls back to the next-newest day rather than failing.
+    * One listStatus + (usually) one footer open per call. */
   private[graft] def dayWriterSchema(spark: SparkSession, sinkPath: String,
-      day: String): Option[org.apache.spark.sql.types.StructType] = {
+      day: String, lenient: Boolean = false)
+      : Option[org.apache.spark.sql.types.StructType] = {
     val dir = new org.apache.hadoop.fs.Path(sinkPath, s"day=$day")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
@@ -129,10 +220,12 @@ object LakeFold {
         case scala.util.control.NonFatal(e) => failures += f.toString -> e; None
       }
     }.collectFirst { case Some(s) => s }
-    found.orElse(throw new IllegalStateException(
-      s"sink day=$day has ${files.length} data file(s) but none carries a " +
-        s"readable parquet footer (torn crash residue?): " +
-        failures.map(_._1).mkString(", "), failures.last._2))
+    if (found.isEmpty && !lenient)
+      throw new IllegalStateException(
+        s"sink day=$day has ${files.length} data file(s) but none carries a " +
+          s"readable parquet footer (torn crash residue?): " +
+          failures.map(_._1).mkString(", "), failures.last._2)
+    found
   }
 
   /** Loud lake-vs-sink schema-drift check against ONE day's writer
@@ -214,7 +307,18 @@ object LakeFold {
       val n = missing.count()
       if (n > 0) missing.write.insertInto(lakeTable)
       n
-    } finally { missing.unpersist(): Unit }
+    } finally {
+      missing.unpersist(): Unit
+      // The insert's own cache refresh (refreshByPath over the persisted
+      // `missing`, which reads this lake) RE-LISTS the freshly-inserted
+      // partition files into the lake relation's private file-status
+      // region — a relation instance shared, via the catalog's relation
+      // cache, with any reader DataFrame planned before this fold. When
+      // compaction then swaps those files, that cached listing would
+      // strand such readers on deleted paths; clearing it here makes
+      // them re-list the live layout instead.
+      TableOps.refreshRelationIndex(lake)
+    }
   }
 
   /** Fold every sink day STRICTLY older than `watermarkDay` into
@@ -230,20 +334,31 @@ object LakeFold {
     * maximal SETTLED PREFIX of the sink's days, so such a gap merely
     * pauses retirement at that day — the floor can never come to cover
     * an unsettled one.
-    * Returns the days folded AND SETTLED by this run. */
+    *
+    * Late-data defense (see the module doc's contract): before folding,
+    * every settled-UNRETIRED day whose sink directory holds more data
+    * files than its settle-time record is RE-FOLDED — a watermark-delay
+    * violation landed rows in a day this module already hid from
+    * [[combinedRead]], and the re-fold (exact, by the same anti-join)
+    * moves them into the lake where they become visible again. The
+    * violation is logged loudly with the file-count delta. A day
+    * resurrected AFTER retirement fails the whole call instead
+    * ([[assertNoRetiredResurrection]]).
+    * Returns the days folded AND SETTLED (or re-settled) by this run. */
   def foldClosedDays(spark: SparkSession, sinkPath: String, lakeTable: String,
       watermarkDay: String, keyCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
-    val settled = isSettled(spark, lakeTable)
-    val closed = sinkDays(spark, sinkPath)
-      .filter(_ < watermarkDay)
-      .filterNot(settled)
+    assertNoRetiredResurrection(spark, sinkPath, lakeTable)
+    val counts = foldedDayCounts(spark, lakeTable).toMap
+    val floor = retiredFloor(spark, lakeTable)
+    val days = sinkDays(spark, sinkPath)
     // partition existence is probed at the table's CATALOG location, not
     // a reconstructed warehouse path — an external lake would otherwise
     // never probe true and silently skip compaction forever
     val lakeLoc = new org.apache.hadoop.fs.Path(lakeMeta(spark, lakeTable).location)
     val fs = lakeLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    closed.filter { day =>
+
+    def foldAndSettle(day: String, countNow: Int): Boolean = {
       // drift-check EVERY day about to fold, not just the first with a
       // data file: a long-lived stream restarted with an evolved schema
       // leaves different closed days carrying different writer schemas,
@@ -256,7 +371,7 @@ object LakeFold {
       foldDay(spark, sinkPath, lakeTable, day, keyCols): Unit
       if (fs.exists(new org.apache.hadoop.fs.Path(lakeLoc, s"day=$day"))) {
         TableOps.compactPartition(spark, lakeTable, "day", day, targetFileBytes): Unit
-        markFolded(spark, lakeTable, day)
+        markFolded(spark, lakeTable, day, countNow)
         true
       } else {
         // zero committed rows AND no lake partition: the day dir holds
@@ -269,6 +384,33 @@ object LakeFold {
         false
       }
     }
+
+    // pass 1 — re-fold settled-unretired days that GREW since settling
+    // (count probed BEFORE the fold read: a file landing between the
+    // probe and the read is both folded now and re-checked next run —
+    // the conservative order)
+    val regrown = days.filter { day =>
+      counts.contains(day) && {
+        val now = dayFileCount(spark, sinkPath, day)
+        val grew = counts(day).forall(now > _)
+        if (grew) {
+          log.warn(s"sink day=$day grew after settling " +
+            s"(${counts(day).fold("?")(_.toString)} -> $now data files): " +
+            "events later than the stream's watermark delay were committed " +
+            "into a closed day; re-folding them into the lake. Size the " +
+            "watermark delay to your real late-data horizon")
+          foldAndSettle(day, now): Unit
+        }
+        grew
+      }
+    }
+
+    // pass 2 — first-time fold of unsettled closed days
+    val settledNow: String => Boolean =
+      day => counts.contains(day) || floor.exists(day <= _)
+    val fresh = days.filter(_ < watermarkDay).filterNot(settledNow)
+      .filter(day => foldAndSettle(day, dayFileCount(spark, sinkPath, day)))
+    (regrown ++ fresh).sorted
   }
 
   /** The query-facing combined lake: catalog table ∪ the sink's
@@ -312,10 +454,16 @@ object LakeFold {
       // live writer is appending to — where drift appears first). One
       // listStatus + one footer; `checkDrift = false` opts out for
       // tight-loop callers that run foldClosedDays on a cadence anyway.
+      // LENIENT probe: at day rollover the newest dir's only file can be
+      // mid-write with no footer yet — healthy, not crash residue — so
+      // an all-unreadable day yields None here and the iterator falls
+      // back to the next-newest unsettled day (the loud all-torn failure
+      // is reserved for the fold path, where the day is closed and
+      // in-flight writes are impossible).
       val settledNow: String => Boolean = { val l = listed.toSet
         day => l(day) || floor.exists(day <= _) }
       sinkDays(spark, sinkPath).filterNot(settledNow).reverse.iterator
-        .map(day => day -> dayWriterSchema(spark, sinkPath, day))
+        .map(day => day -> dayWriterSchema(spark, sinkPath, day, lenient = true))
         .collectFirst { case (day, Some(s)) => (day, s) }
         .foreach { case (day, s) => assertSchemaMatches(spark, lakeTable, day, s) }
     }
@@ -372,22 +520,45 @@ object LakeFold {
     * is a no-op). */
   def retireFoldedSinkDays(spark: SparkSession, sinkPath: String,
       lakeTable: String, exclude: Set[String] = Set.empty): Seq[String] = {
-    val settled = isSettled(spark, lakeTable)
+    assertNoRetiredResurrection(spark, sinkPath, lakeTable)
+    val counts = foldedDayCounts(spark, lakeTable).toMap
+    val floor = retiredFloor(spark, lakeTable)
+    val settled: String => Boolean =
+      day => counts.contains(day) || floor.exists(day <= _)
     val base = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A settled day whose dir GREW past its settle-time count holds
+    // late rows the lake does not have yet — deleting it would be the
+    // silent loss the module doc forbids. Stop the prefix there (and
+    // warn); the next foldClosedDays re-folds the day and re-records
+    // its count, after which retirement resumes. Re-counted HERE,
+    // immediately before the delete, so a late commit landing between
+    // a fold tick and this call is still caught.
+    def safeToRetire(day: String): Boolean = counts.get(day) match {
+      case Some(rec) =>
+        val now = dayFileCount(spark, sinkPath, day)
+        val grown = rec.forall(now > _)
+        if (grown) log.warn(s"sink day=$day grew after settling " +
+          s"(${rec.fold("?")(_.toString)} -> $now data files); refusing to " +
+          "retire it until the next fold absorbs the late rows")
+        !grown
+      case None => true // below the floor: already retired, delete is a no-op
+    }
     // `exclude` implements TWO-PHASE retirement (see [[foldFromStream]]):
     // days the CURRENT tick just settled are passed here so their sink
     // files survive until the next tick — and because retirement is
     // strictly prefix-of-settled, an excluded day also shields every
     // day after it this run
     val prefix = sinkDays(spark, sinkPath)
-      .takeWhile(d => settled(d) && !exclude(d))
+      .takeWhile(d => settled(d) && !exclude(d) && safeToRetire(d))
     val deleted = prefix.filter { day =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$day"), true)
     }
     if (deleted.nonEmpty) {
-      val newFloor = (deleted ++ retiredFloor(spark, lakeTable)).max
-      val remaining = foldedDays(spark, lakeTable).filter(_ > newFloor)
+      val newFloor = (deleted ++ floor).max
+      val remaining = foldedDayCounts(spark, lakeTable)
+        .filter(_._1 > newFloor)
+        .map { case (d, n) => n.fold(d)(c => s"$d:$c") }
       spark.sql(s"ALTER TABLE $lakeTable SET TBLPROPERTIES " +
         s"('graft.retired.floor' = '$newFloor', " +
         s"'graft.folded.days' = '${remaining.mkString(",")}')")
@@ -397,14 +568,20 @@ object LakeFold {
 
   /** Closed-day floor of a LIVE stream, read from the query's own
     * event-time watermark (`lastProgress.eventTime["watermark"]`, an ISO
-    * instant — its date is the day). A day STRICTLY before the
-    * watermark's day can never receive another committed row: any event
-    * landing there is older than the watermark and the engine drops it
-    * as too-late, so `day < watermarkDay` is exactly
-    * [[foldClosedDays]]'s closedness contract. `None` when the query
-    * has no event-time watermark (no `withWatermark` upstream — nothing
-    * is provably closed), has produced no progress yet, or still sits
-    * at the epoch sentinel (watermark before first data). */
+    * instant — its date is the day). IMPORTANT: this is a
+    * WELL-SIZED-WATERMARK heuristic, not an engine guarantee — Spark
+    * enforces watermarks only at stateful operators, and the day sink
+    * is a stateless file sink, so an event arriving later than the
+    * watermark delay is still committed into its day < watermarkDay
+    * directory. The module's late-data defense (settle-time file
+    * counts, re-fold on growth, refuse-to-retire on growth, loud
+    * failure on post-retirement arrivals — see the module doc) is what
+    * makes that violation exact-and-loud instead of silent loss; size
+    * the stream's `withWatermark` delay to your real late-data horizon
+    * so violations stay rare. `None` when the query has no event-time
+    * watermark (no `withWatermark` upstream — nothing is provably
+    * closed), has produced no progress yet, or still sits at the epoch
+    * sentinel (watermark before first data). */
   def watermarkDay(query: org.apache.spark.sql.streaming.StreamingQuery)
       : Option[String] =
     Option(query.lastProgress)
@@ -418,11 +595,14 @@ object LakeFold {
     * on any cadence (each call is independently idempotent and
     * crash-re-runnable, per [[foldClosedDays]] /
     * [[retireFoldedSinkDays]]); with no watermark to act on it is a
-    * no-op. Safe to run WHILE the stream appends: the stream only ever
-    * commits into days >= the watermark day, the fold only touches days
-    * strictly below it, and [[combinedRead]] stays exact under every
-    * interleaving (soak-spec-verified: concurrent append / fold / retire
-    * / read threads).
+    * no-op. Safe to run WHILE the stream appends: a well-sized
+    * watermark keeps commits in days >= the watermark day while the
+    * fold only touches days strictly below it, [[combinedRead]] stays
+    * exact under every interleaving (soak-spec-verified: concurrent
+    * append / fold / retire / read threads), and commits that violate
+    * the watermark sizing are caught by the late-data defense (re-fold
+    * on growth / refuse-to-retire / loud post-retirement failure — see
+    * the module doc) rather than lost.
     *
     * Retirement is TWO-PHASE: the days THIS tick just settled are
     * excluded from this tick's retirement and only become
@@ -438,7 +618,21 @@ object LakeFold {
     * retry-on-conflict contract of any store that physically removes
     * files (compaction/vacuum in log-structured formats): re-invoking
     * [[combinedRead]] re-plans against the new bookkeeping and
-    * succeeds. */
+    * succeeds.
+    *
+    * The same re-plan-and-retry contract covers the rarer IN-PLACE
+    * COMPACTION conflict. Spark caches leaf-file listings per relation
+    * instance, in a private region no table-level refresh can reach, so
+    * [[foldDay]] and `TableOps.compactPartition` clear every listing
+    * reachable from the maintenance side (the insert's recache
+    * re-listing and the stage read's — both of which land in the
+    * relation instance shared with readers planned off the catalog's
+    * current relation cache; spec-asserted by the one-tick-behind
+    * reader test). What remains unreachable by construction is a
+    * listing a reader's own EARLIER EXECUTION cached privately before a
+    * later fold compacted those files: such a reader fails loudly with
+    * FAILED_READ_FILE — never silent wrong data — and recreating the
+    * DataFrame (Spark's own guidance for this error) succeeds. */
   def foldFromStream(spark: SparkSession,
       query: org.apache.spark.sql.streaming.StreamingQuery,
       sinkPath: String, lakeTable: String, keyCols: Seq[String] = Nil,

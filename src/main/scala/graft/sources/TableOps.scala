@@ -242,7 +242,7 @@ object TableOps {
     * (stagingPath, filesBefore). */
   private[graft] def stagePartitionCompaction(spark: SparkSession,
       name: String, partCol: String, partVal: String,
-      targetFileBytes: Long): (org.apache.hadoop.fs.Path, Int) = {
+      targetFileBytes: Long): (org.apache.hadoop.fs.Path, Int, DataFrame) = {
     val partDirName = s"$partCol=$partVal"
     val partPath = new org.apache.hadoop.fs.Path(
       warehousePath(spark, name), partDirName)
@@ -269,11 +269,13 @@ object TableOps {
           s"compactPartition($name, $partDirName): recovery could not " +
             s"promote $staged")
         if (fs.exists(retired)) fs.delete(retired, true): Unit
+        refreshLiveRelationIndex(spark, name)
         spark.catalog.refreshTable(name)
       } else if (fs.exists(retired)) {
         require(fs.rename(retired, partPath),
           s"compactPartition($name, $partDirName): recovery could not " +
             s"restore $retired")
+        refreshLiveRelationIndex(spark, name)
         spark.catalog.refreshTable(name)
       }
     }
@@ -288,14 +290,22 @@ object TableOps {
     // exactly this directory (cast both sides to string: partition values
     // arrive typed from the directory name). The partition column itself
     // is directory-encoded, so the staged files must not contain it.
-    val slice = spark.table(name)
+    // The resolved table is RETURNED so [[compactPartition]] can refresh
+    // exactly this relation's file-status cache after the swap: this
+    // stage read lists the partition's PRE-swap files into that private
+    // cache, and if the relation instance is the catalog-cached one it
+    // is shared with every reader DataFrame planned since the last
+    // invalidation — without the post-swap refresh those readers would
+    // chase the deleted pre-swap files.
+    val live = spark.table(name)
+    val slice = live
       .filter(org.apache.spark.sql.functions.col(partCol).cast("string")
         === partVal)
       .drop(partCol)
     val staging = new org.apache.hadoop.fs.Path(
       warehousePath(spark, name), s".compacting_$partDirName")
     slice.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
-    (staging, before.length)
+    (staging, before.length, live)
   }
 
   /** Per-partition small-file compaction — the form of [[compactTable]]
@@ -316,7 +326,7 @@ object TableOps {
   def compactPartition(spark: SparkSession, name: String,
       partCol: String, partVal: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (staging, nBefore) =
+    val (staging, nBefore, stageSource) =
       stagePartitionCompaction(spark, name, partCol, partVal, targetFileBytes)
     val partDirName = s"$partCol=$partVal"
     val partPath = new org.apache.hadoop.fs.Path(
@@ -330,11 +340,43 @@ object TableOps {
     require(fs.rename(staging, partPath),
       s"compactPartition($name, $partDirName): could not promote staging")
     fs.delete(retired, true): Unit
-    // The files under the partition changed; drop any cached file-index
-    // so the next scan lists the compacted layout.
+    // The files under the partition changed; drop cached listings at
+    // EVERY reachable level. `refreshTable` alone evicts only the
+    // catalog's relation cache (future resolutions list fresh) — but
+    // file LISTINGS are cached per relation instance, in a private
+    // client-id-scoped region no table-level refresh can reach. The
+    // stage read above listed the pre-swap files into ITS relation's
+    // region, and that relation instance — resolved through the catalog
+    // cache — is shared with every reader DataFrame planned since the
+    // last invalidation, so refreshing it here un-poisons those readers.
+    // A reader holding an OLDER, no-longer-cached relation instance
+    // whose region was populated by its own earlier execution cannot be
+    // reached from here at all (Spark's own guidance is to recreate the
+    // DataFrame): such a reader keeps the standard in-place-compaction
+    // contract — a LOUD FAILED_READ_FILE, never silent wrong data, and
+    // a re-planned read succeeds.
+    refreshRelationIndex(stageSource)
+    refreshLiveRelationIndex(spark, name)
     spark.catalog.refreshTable(name)
     (nBefore, dataFiles(spark, partPath).length)
   }
+
+  /** Invalidate the cached file listings of every file relation in
+    * `df`'s analyzed plan (file listings are cached per relation
+    * instance, so `refreshTable`'s relation-cache eviction does not
+    * reach them). */
+  private[graft] def refreshRelationIndex(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.refresh()
+      case _ => ()
+    }
+
+  /** [[refreshRelationIndex]] of the relation object CURRENTLY resolved
+    * for `name` — the one readers planned against the catalog's present
+    * relation cache hold. */
+  private def refreshLiveRelationIndex(spark: SparkSession, name: String): Unit =
+    refreshRelationIndex(spark.table(name))
 
   /** Reference S11 (`hive.py:12-17`): engine config introspection. */
   def versionInfo(spark: SparkSession): Seq[(String, String)] = Seq(

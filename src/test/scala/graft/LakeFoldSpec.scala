@@ -383,6 +383,155 @@ class LakeFoldSpec extends SparkSpec {
     info(s"soak: ${readsOk.get} exact reads, ${conflicts.get} retried conflicts")
   }
 
+  test("late events committed into a SETTLED day are re-folded, never lost") {
+    // Spark enforces watermarks only at stateful operators — the day
+    // sink is stateless, so an event later than the watermark delay is
+    // still COMMITTED into its already-settled day. The defense chain
+    // under test: retirement refuses the grown day (its sink copy is
+    // the only copy of the late rows), the next fold re-folds it
+    // exactly, and the rows surface in the combined read — at no point
+    // are they silently hidden and deleted.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldlate").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_late")
+    val folded = LakeFold.foldClosedDays(spark, sink, "fold_lake_late", "2017-03-07")
+    assert(folded == Seq("2017-03-05", "2017-03-06"))
+
+    // the restarted stream commits a LATE event into settled 03-06
+    addInputFile(s"$base/in", "late.txt",
+      Seq(notif("Attic", 99.0, "2017-03-06T23:00:00+00:00")))
+    val q = StreamIngest.startDaySink(
+      fileNotifications(s"$base/in"), sink, s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    // interim visibility gap (documented): the settled day is served
+    // from the lake, which does not have the late row yet — 6, not 7.
+    // The gap closes at the next fold tick; what is FORBIDDEN is the
+    // row being deleted while only the sink has it:
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_late").count() == 6)
+    // retirement retires the intact 03-05 but REFUSES the grown 03-06
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_late") ==
+      Seq("2017-03-05"), "retirement must stop at the grown day")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(sink, "day=2017-03-06")),
+      "the grown day's sink files are the only copy of the late row — " +
+        "they must survive retirement")
+
+    // the next fold tick detects the growth and re-folds the day
+    val refolded = LakeFold.foldClosedDays(spark, sink, "fold_lake_late", "2017-03-07")
+    assert(refolded == Seq("2017-03-06"), s"re-fold touched $refolded")
+    assert(spark.table("fold_lake_late").count() == 5)
+    val rows = LakeFold.combinedRead(spark, sink, "fold_lake_late")
+      .select(col("room"), col("value"), col("day").cast("string")).collect().toSeq
+    assert(rows.size == 7 && rows.distinct.size == 7, s"${rows.size} rows")
+    // absorbed: retirement now proceeds through the re-settled day
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_late") ==
+      Seq("2017-03-06"))
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_late").count() == 7)
+  }
+
+  test("a day resurrected AFTER retirement halts maintenance loudly") {
+    // The one late-data case that cannot be absorbed: the day's sink
+    // files were already deleted, so its metadata-log entries name dead
+    // files and a log-resolved re-fold is impossible. Both maintenance
+    // entry points must fail with a sizing diagnostic instead of
+    // letting the next retirement delete the only copy of the rows.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldres").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_res")
+    LakeFold.foldClosedDays(spark, sink, "fold_lake_res", "2017-03-07"): Unit
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_res") ==
+      Seq("2017-03-05", "2017-03-06"))
+
+    // a VERY late event recreates retired day=2017-03-06
+    addInputFile(s"$base/in", "verylate.txt",
+      Seq(notif("Attic", 77.0, "2017-03-06T23:30:00+00:00")))
+    val q = StreamIngest.startDaySink(
+      fileNotifications(s"$base/in"), sink, s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val e1 = intercept[IllegalArgumentException] {
+      LakeFold.foldClosedDays(spark, sink, "fold_lake_res", "2017-03-08")
+    }
+    assert(e1.getMessage.contains("2017-03-06") &&
+      e1.getMessage.toLowerCase.contains("retired"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_res")
+    }
+    assert(e2.getMessage.contains("2017-03-06"), e2.getMessage)
+  }
+
+  test("a mid-write newest day cannot fail combinedRead's drift probe") {
+    // At day rollover the newest unsettled dir's only file can be
+    // mid-write with no parquet footer yet — healthy operation. The
+    // read-side drift probe must treat it as no-schema-yet and fall
+    // back to the next-newest day; the FOLD path keeps the loud
+    // failure (there the day is closed, so all-torn is crash residue).
+    val base = java.nio.file.Files.createTempDirectory("graft_foldroll").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_roll")
+    LakeFold.foldClosedDays(spark, sink, "fold_lake_roll", "2017-03-07"): Unit
+
+    // rollover into 03-08: the dir exists with ONE footerless file
+    val dir = java.nio.file.Paths.get(sink, "day=2017-03-08")
+    java.nio.file.Files.createDirectories(dir): Unit
+    java.nio.file.Files.write(dir.resolve("part-inflight.parquet"),
+      "no footer yet".getBytes("UTF-8")): Unit
+
+    // probe falls back to 03-07 (readable, matching) and the read works
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_roll").count() == 6)
+
+    // once the watermark CLOSES that day, the fold fails loudly on it
+    val e = intercept[IllegalStateException] {
+      LakeFold.foldClosedDays(spark, sink, "fold_lake_roll", "2017-03-09")
+    }
+    assert(e.getMessage.contains("2017-03-08") &&
+      e.getMessage.contains("part-inflight.parquet"), e.getMessage)
+  }
+
+  test("a reader slower than the retire lag re-plans and succeeds exactly") {
+    // Two-phase retirement protects any reader faster than one tick; a
+    // SLOWER reader holds a plan whose file list names sink files that
+    // retire under it. The documented contract — the read fails with
+    // missing-file (never silently wrong) and a re-invoked combinedRead
+    // re-plans against the new bookkeeping and succeeds exactly — is
+    // asserted here end to end.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldslow").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_slow")
+
+    // the slow reader PLANS while 03-05/03-06 are still unsettled: the
+    // open side's file list includes their sink files
+    val slow = LakeFold.combinedRead(spark, sink, "fold_lake_slow")
+
+    // tick 1 — fold + two-phase retirement (just-settled days excluded):
+    // the reader is within one tick of its plan, so it must SUCCEED
+    val folded = LakeFold.foldClosedDays(spark, sink, "fold_lake_slow", "2017-03-07")
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_slow",
+      exclude = folded.toSet).isEmpty)
+    assert(slow.count() == 6,
+      "a reader one tick behind must still read exactly (two-phase lag)")
+
+    // tick 2 — the settled prefix actually retires; the stale plan now
+    // names deleted files and must fail LOUDLY, not return partial rows
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_slow") ==
+      Seq("2017-03-05", "2017-03-06"))
+    val e = intercept[Exception] { slow.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+      c.getMessage != null && c.getMessage.toLowerCase.contains("file")),
+      s"expected a missing-file failure, got $e")
+
+    // the retry contract: re-invoking combinedRead re-plans and is exact
+    val again = LakeFold.combinedRead(spark, sink, "fold_lake_slow")
+      .select(col("room"), col("value"), col("day").cast("string")).collect().toSeq
+    assert(again.size == 6 && again.distinct.size == 6)
+  }
+
   test("a torn data file cannot wedge the fold; an all-torn day fails naming it") {
     // A writer that dies MID-WRITE (not just mid-commit) leaves a file
     // with no parquet footer. The drift check must fall back past it to

@@ -247,7 +247,7 @@ class ScaleToolsSpec extends SparkSpec {
     val othersBefore = others.map(v => v -> partFiles(v)).toMap
     val wantRows = src.count()
     // crash window first: stage only, live partition must be untouched
-    val (stagingPath, _) = TableOps.stagePartitionCompaction(
+    val (stagingPath, _, _) = TableOps.stagePartitionCompaction(
       spark, "orders_pc", "st", target, targetFileBytes = 128L * 1024 * 1024)
     assert(partFiles(target) == targetBefore,
       "partition staging touched the live partition directory")
