@@ -293,9 +293,19 @@ object Bench {
     // thread so none SHOULD be active, but a blocking unpersist racing
     // a straggler task was one named suspect for the round-11
     // accumulator-race ERROR — waiting for an empty active-job set
-    // makes the removal provably job-free rather than probably.
-    while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty)
+    // makes the removal provably job-free rather than probably. The
+    // wait is BOUNDED: a wedged or zombie job id (e.g. a
+    // cancelled-but-stuck stage) must degrade to a WARN naming the
+    // ids, not hang the whole bench run — the blocking unpersist was
+    // only a suspect, never a proven cause, so proceeding is safe.
+    val quiesceDeadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+        System.nanoTime() < quiesceDeadline)
       Thread.sleep(50)
+    val stillActive = spark.sparkContext.statusTracker.getActiveJobIds()
+    if (stillActive.nonEmpty)
+      System.err.println("[bench] WARN: proceeding to unpersist with " +
+        s"active job ids ${stillActive.mkString(",")} after 5s quiesce")
     sentinelCached.unpersist(blocking = true): Unit
     val ext = extA ++ extB
     // Optional SF sweep: the WHOLE headline set per listed directory with

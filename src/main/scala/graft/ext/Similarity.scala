@@ -1640,18 +1640,33 @@ object Similarity {
         yield (m, code, cb(m)(code).toSeq)).toDF("m", "code", "cvec"))
   }
 
+  /** Tiny bounded LRU for resident model state: access-ordered, evicts
+    * the ELDEST entry past `max` instead of clearing everything (a full
+    * clear also evicted the hot entry, forcing a pointless reload on
+    * the very next serve). computeIfAbsent runs under the wrapper's
+    * monitor, so concurrent servers load a version exactly once. */
+  private def lruCache[V](max: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
+          size > max
+      })
+
   /** Loaded (centroids, codebooks) model per index VERSION — the serve
     * path's resident model state, exactly what a serving process keeps
-    * in memory between queries. Keyed on the codes table's catalog
-    * createTime, so any rebuild (resetBucketedTable drops + recreates)
-    * naturally invalidates; entries are k·d + M·K·d doubles (bounded
-    * model state, never corpus data) and the map is cleared past a
-    * small bound as a leak guard. Re-collecting the two model tables on
-    * EVERY lookup cost two extra Spark jobs + scans per invocation —
-    * the round-11 `e_ann_recall` clean-run drift (2.49 → 3.27 s) was
-    * mostly this serve-path overhead, paid once per eval invocation. */
-  private val ivfPqModelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+    * in memory between queries. Keyed on the codes table's per-rebuild
+    * UUID property (stamped by `TableOps.resetBucketedTable`; catalog
+    * createTime alone has millisecond resolution, so a drop+recreate
+    * landing in the same tick would silently reuse the stale model),
+    * with createTime as the fallback for tables predating the stamp.
+    * Entries are k·d + M·K·d doubles (bounded model state, never
+    * corpus data), evicted oldest-first past a small bound.
+    * Re-collecting the two model tables on EVERY lookup cost two extra
+    * Spark jobs + scans per invocation — the round-11 `e_ann_recall`
+    * clean-run drift (2.49 → 3.27 s) was mostly this serve-path
+    * overhead, paid once per eval invocation. */
+  private val ivfPqModelCache =
+    lruCache[(Array[Array[Double]], Array[Array[Array[Double]]])](8)
 
   /** Serve IVF-PQ lookups from the SAVED index: read centroids and
     * codebooks back into the bounded driver-side model state (k and
@@ -1664,10 +1679,10 @@ object Similarity {
     * [[annIndexLookup]] and streaming [[annServeStream]]). */
   private def loadIvfPqModel(spark: SparkSession, prefix: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val version = spark.sessionState.catalog
+    val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_codes"))
-      .createTime
-    if (ivfPqModelCache.size > 8) ivfPqModelCache.clear()
+    val version = meta.properties.getOrElse("graft.rebuild.id",
+      meta.createTime.toString)
     ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => {
       val cents = spark.table(s"${prefix}_centroids").collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -1761,11 +1776,19 @@ object Similarity {
         1, k).as("topk"))
   }
 
-  /** Registry form of the persistence round-trip: build + persist the
-    * index, then answer from the SAVED tables only. Oracle: identical
-    * to `e_ann_ivfpq` — the round-trip must change nothing. */
+  /** Registry form of the persisted-index SERVE path: ensure the index
+    * exists for `sfDir` (trains at most once per source dir — the same
+    * guard [[annRecallEval]] uses), then answer from the SAVED tables
+    * only. Oracle: identical to `e_ann_ivfpq` — persistence must
+    * change nothing, which is spec-asserted bit-for-bit against the
+    * in-memory build (ScaleToolsSpec), and the write path still runs
+    * on the first ensure per source dir. This used to REBUILD the
+    * index on every invocation, so the registry's "serve 30 queries
+    * from a prebuilt index" entry was paying a full train+write per
+    * call — fixed build cost, not serve cost (the round-12 profile
+    * item). */
   def annIndexRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
-    annIndexWrite(spark, sfDir)
+    annIndexEnsure(spark, sfDir)
     annIndexLookup(spark, sfDir)
   }
 
@@ -1844,17 +1867,34 @@ object Similarity {
   }
 
   /** Corpus dims ranked by variance — the OPQ rotation's learned half,
-    * memoized per (plan fingerprint): d integers of model state, the
-    * same resident-model posture as [[ivfPqModelCache]], so repeated
-    * evals/probes over the same corpus don't re-run the variance scan
-    * + collect per invocation. Keyed on the source plan's string (the
-    * parquet path is embedded in it), cleared past a small bound. */
-  private val opqRankCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+    * memoized per (vecCol, CANONICALIZED source plan): d integers of
+    * model state, the same resident-model posture as
+    * [[ivfPqModelCache]], so repeated evals/probes over the same corpus
+    * don't re-run the variance scan + collect per invocation. The
+    * canonicalized plan normalizes per-instantiation expression ids
+    * (`embedding#123`) while keeping the parquet path — two separately
+    * constructed DataFrames over the same files produce ONE entry
+    * (spec-asserted); the raw analyzed string never repeated across
+    * invocations, which made the memo a no-op. The canonicalized
+    * STRING alone is not enough either — it elides the scan's file
+    * paths, so two different corpora would collide — hence the key
+    * carries the relations' root paths explicitly plus the semantic
+    * hash (which folds in LocalRelation data for in-memory test
+    * sources). Evicted oldest-first past a small bound. */
+  private[graft] val opqRankCache = lruCache[Array[Int]](8)
 
   private def rankedByVariance(src: DataFrame, vecCol: String): Array[Int] = {
-    val key = s"$vecCol@${src.queryExecution.analyzed.toString}"
-    if (opqRankCache.size > 8) opqRankCache.clear()
+    val plan = src.queryExecution.analyzed
+    val paths = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.getClass.getName
+        }
+    }.mkString(";")
+    val key =
+      s"$vecCol@$paths@${plan.semanticHash()}@${plan.canonicalized.toString}"
     opqRankCache.computeIfAbsent(key, _ => rankedByVarianceUncached(src, vecCol))
   }
 

@@ -69,6 +69,11 @@ object TableOps {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
+    // Per-rebuild identity for downstream model caches: catalog
+    // createTime has millisecond resolution, so a drop+recreate landing
+    // in the same tick would be indistinguishable from the old table.
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('graft.rebuild.id' = '${java.util.UUID.randomUUID()}')")
   }
 
   private def dataFiles(spark: SparkSession, p: org.apache.hadoop.fs.Path)

@@ -98,6 +98,33 @@ class ScaleToolsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_rt_$t"))
   }
 
+  test("OPQ rank memo hits across separately-constructed DataFrames") {
+    // The memo exists to eliminate the repeated variance scan+collect;
+    // keyed on the RAW analyzed plan it never hit (fresh expression ids
+    // per instantiation made every key unique). The canonicalized key
+    // must map two independently constructed reads of the same files to
+    // ONE entry — and a genuinely different source to a second.
+    import graft.ext.Similarity
+    Similarity.opqRankCache.clear()
+    val a = Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding"))
+    val b = Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding"))
+    val pa = Similarity.opqPermutation(a, "embedding")
+    val pb = Similarity.opqPermutation(b, "embedding")
+    assert(pa.toSeq == pb.toSeq)
+    assert(Similarity.opqRankCache.size == 1,
+      s"one corpus must occupy one memo entry, got ${Similarity.opqRankCache.size}")
+    val dirC = java.nio.file.Files.createTempDirectory("graft_opqmemo").toString
+    Tables.embeddings(spark, sf001)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(x * x AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
+    Similarity.opqPermutation(
+      Tables.embeddings(spark, dirC).select(col("vec_id"), col("embedding")),
+      "embedding"): Unit
+    assert(Similarity.opqRankCache.size == 2,
+      "a different corpus must not collide into the same memo entry")
+  }
+
   test("serve-path model caches invalidate on rebuild, never serve stale state") {
     // The round-12 resident-model memos (ivfPqModelCache keyed on the
     // codes table's createTime; ann_exact_gt keyed on the source-dir
