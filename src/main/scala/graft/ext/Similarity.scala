@@ -1677,12 +1677,18 @@ object Similarity {
     * train-once/persist/serve split. */
   /** The memoized model load behind every serve-path consumer (batch
     * [[annIndexLookup]] and streaming [[annServeStream]]). */
-  private def loadIvfPqModel(spark: SparkSession, prefix: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+  /** Current index version: the codes table's per-rebuild UUID property
+    * (createTime fallback for pre-stamp tables). One catalog metadata
+    * fetch, no Spark job. */
+  private def indexVersion(spark: SparkSession, prefix: String): String = {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_codes"))
-    val version = meta.properties.getOrElse("graft.rebuild.id",
-      meta.createTime.toString)
+    meta.properties.getOrElse("graft.rebuild.id", meta.createTime.toString)
+  }
+
+  private def loadIvfPqModel(spark: SparkSession, prefix: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val version = indexVersion(spark, prefix)
     ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => {
       val cents = spark.table(s"${prefix}_centroids").collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -1737,8 +1743,8 @@ object Similarity {
     * index under a running serve stream desyncs model and codes, so a
     * rebuild is followed by a serve-stream RESTART (the restart reloads
     * via the version-keyed memo; checkpointed sinks resume exactly).
-    * This is the same contract every online feature store applies to
-    * model hot-swaps.
+    * When the fleet must absorb rebuilds without restarting, use
+    * [[annServeStreamBlueGreen]] — the per-batch version cut-over.
     *
     * 100 TB posture: per query the work is O(d·k_cells + M·K·d) map
     * arithmetic plus `probes` bucketed-cell reads — the static side is
@@ -1749,10 +1755,27 @@ object Similarity {
       lateness: String = "10 seconds"): DataFrame = {
     val spark = queries.sparkSession
     val (cents, cb) = loadIvfPqModel(spark, prefix)
+    serveScore(queries.withWatermark("event_ts", lateness),
+      k, prefix, probes, cents, cb)
+  }
+
+  /** The serve-path scoring core shared by the pinned-model stream
+    * ([[annServeStream]]) and the per-batch blue-green server
+    * ([[annServeStreamBlueGreen]]): probe-cell selection, residual, and
+    * ADC tables as map-side expressions over the RESIDENT model;
+    * candidates from the bucketed codes table; per-(q_id, event_ts)
+    * top-k cut. No stateful operator of its own — over a watermarked
+    * stream the groupBy plans as the streaming aggregation
+    * annServeStream documents; over a batch (one foreachBatch
+    * micro-batch) it is a plain agg, because a query's candidates all
+    * come from the static side within its own batch. */
+  private def serveScore(queries: DataFrame, k: Int, prefix: String,
+      probes: Int, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = queries.sparkSession
     val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     graft.functions.AdcSum.register(spark)
     val qcell = queries
-      .withWatermark("event_ts", lateness)
       .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
       .withColumn("pc", expr(
         s"""explode(slice(array_sort(zip_with(darr,
@@ -1774,6 +1797,73 @@ object Similarity {
       .groupBy(col("q_id"), col("event_ts"))
       .agg(slice(array_sort(collect_list(struct(col("adc"), col("neighbor_id")))),
         1, k).as("topk"))
+  }
+
+  /** One-shot batch serve against the CURRENT index version — the body
+    * a blue-green micro-batch runs, exposed package-side so the
+    * cut-over spec can compute its per-version expectations through
+    * the same scoring core. */
+  private[graft] def serveBatch(queries: DataFrame, k: Int = 3,
+      prefix: String = "ann_ivfpq", probes: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, cb) = loadIvfPqModel(spark, prefix)
+    serveScore(queries, k, prefix, probes, cents, cb)
+  }
+
+  /** BLUE-GREEN online ANN serving: like [[annServeStream]], but the
+    * index version is RE-RESOLVED at every micro-batch boundary instead
+    * of pinned at stream start, so an index rebuild under a running
+    * serve fleet cuts over WITHOUT a restart — batches before the
+    * rebuild's commit answer from version N, batches after from N+1,
+    * and no in-flight query is dropped (spec-asserted: rebuild
+    * mid-stream, every emitted row matches the version current at its
+    * batch). The mechanism is foreachBatch: per batch the resident
+    * model is re-resolved through the version-keyed memo
+    * ([[loadIvfPqModel]] — an unchanged version costs one catalog
+    * metadata fetch, no Spark job) and the codes relation re-resolves
+    * with it; the two reads are version-CHECKED around plan
+    * construction, re-resolving once if a rebuild landed between them.
+    * A rebuild racing the batch's EXECUTION degrades to a loud
+    * FAILED_READ (the old files are gone), which the checkpointed
+    * stream retries against the new version — never a silent
+    * old-model/new-codes mix. Per-batch output goes to `sink`
+    * (exactly-once under a checkpoint, as with any foreachBatch
+    * writer); there is no cross-batch state, so the watermarked
+    * aggregation of the pinned path is unnecessary here — each query
+    * is answered entirely within its arrival batch. */
+  def annServeStreamBlueGreen(queries: DataFrame, k: Int = 3,
+      prefix: String = "ann_ivfpq", probes: Int = 1,
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // The stream executes batches on a CLONED session whose relation
+    // cache is independent of the session that ran the rebuild's DDL,
+    // so a version roll must be followed by an explicit refreshTable
+    // on the batch's own session — otherwise the codes relation keeps
+    // resolving to the dropped table's files. Tracked per stream so the
+    // steady state (version unchanged) re-lists nothing.
+    var lastVersion: String = null
+    val writer = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        var out: DataFrame = null
+        var v = indexVersion(spark, prefix)
+        var settled = false
+        while (!settled) {
+          if (v != lastVersion) {
+            spark.catalog.refreshTable(s"${prefix}_codes")
+            lastVersion = v
+          }
+          val (cents, cb) = loadIvfPqModel(spark, prefix)
+          out = serveScore(batch, k, prefix, probes, cents, cb)
+          val v2 = indexVersion(spark, prefix)
+          settled = v2 == v
+          v = v2
+        }
+        sink(out, batchId)
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 
   /** Registry form of the persisted-index SERVE path: ensure the index

@@ -942,4 +942,79 @@ class StreamIngestSpec extends SparkSpec {
     Seq("codes", "centroids", "codebooks")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_srv_$t"))
   }
+
+  test("blue-green ANN serve cuts over to a rebuilt index without a restart") {
+    // The hot-swap the pinned-model stream cannot do: rebuild the index
+    // UNDER the running serve stream and keep serving — batches before
+    // the rebuild answer from version N, batches after from N+1, no
+    // query dropped, no restart. Expectations per version come through
+    // the same (already spec-proven) scoring core, computed while that
+    // version is current.
+    import spark.implicits._
+    import graft.ext.Similarity
+    implicit val sq = spark.sqlContext
+    val sfA = "/root/testdata/sf0.001"
+    Similarity.annIndexEnsure(spark, sfA, prefix = "ann_bg")
+
+    // corpus B: same ids, elementwise-squared vectors — different
+    // centroids, codebooks, and neighbor structure
+    val dirB = java.nio.file.Files.createTempDirectory("graft_annbg").toString
+    Tables.embeddings(spark, sfA)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(x * x AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+
+    val qvecs = Tables.embeddings(spark, sfA)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def batchDf(rows: Seq[(Long, Timestamp, Seq[Float])]) =
+      rows.toDF("q_id", "event_ts", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("q_id", "CAST(event_ts AS STRING) AS ts",
+        "CAST(topk AS STRING) AS topk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val (front, back) = qvecs.splitAt(5)
+    val b1 = front.map { case (id, v) => (id, new Timestamp(100000L), v) }.toSeq
+    // the repeat of q_id 0 in batch 2 (later ts) pins the cut-over:
+    // same vector, answered from each version in turn
+    val b2 = (back :+ qvecs.head)
+      .map { case (id, v) => (id, new Timestamp(160000L), v) }.toSeq
+
+    // per-version expectations, computed while that version is current
+    val wantA = rowsOf(Similarity.serveBatch(batchDf(b1), prefix = "ann_bg"))
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]
+    val q = Similarity.annServeStreamBlueGreen(
+      mem.toDF().toDF("q_id", "event_ts", "embedding"), prefix = "ann_bg") {
+      (out, _) => rowsOf(out).foreach(emitted.add(_): Unit)
+    }
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val gotA = emitted.toArray(Array.empty[(Long, String, String)]).toSet
+    assert(gotA == wantA,
+      s"pre-rebuild batch diverged: only-got=${(gotA -- wantA).take(2)} " +
+        s"only-want=${(wantA -- gotA).take(2)}")
+
+    // REBUILD under the running stream (source dir changed -> new
+    // version), then serve batch 2 without restarting q
+    Similarity.annIndexEnsure(spark, dirB, prefix = "ann_bg")
+    val wantB = rowsOf(Similarity.serveBatch(batchDf(b2), prefix = "ann_bg"))
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val gotAll = emitted.toArray(Array.empty[(Long, String, String)]).toSet
+    assert(gotAll == wantA ++ wantB,
+      s"post-rebuild serve diverged: only-got=${(gotAll -- (wantA ++ wantB)).take(2)} " +
+        s"only-want=${((wantA ++ wantB) -- gotAll).take(2)}")
+    // the cut-over genuinely changed the answer: q_id 0's batch-1 topk
+    // (version A) differs from its batch-2 topk (version B)
+    val topk0 = gotAll.filter(_._1 == 0L).map(_._3)
+    assert(topk0.size == 2,
+      s"expected two q_id=0 answers (one per version), got $topk0")
+    Seq("codes", "centroids", "codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_bg_$t"))
+  }
 }
