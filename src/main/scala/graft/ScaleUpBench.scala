@@ -189,14 +189,25 @@ object ScaleUpBench {
     }.toMap
 
     // Layout probe (SPARK_GRAFT_SCALEUP_LAYOUT_PROBE=1): rewrite the
-    // xK events replica at x1's FILE COUNT (so bytes-per-file grows K×
-    // instead of file count) and re-time q1 against it. Separates the
-    // two candidate growth drivers for a scan-bound query: if xK's
+    // xK replica at x1's FILE COUNT (so bytes-per-file grows K× instead
+    // of file count) and re-time the probe queries against it.
+    // Separates the two candidate growth drivers per query: if xK's
     // growth was per-file task overhead (K× more tasks), the fat
-    // layout collapses toward the x1 time; if it was bytes scanned,
-    // the fat layout times the same as the parity layout.
+    // layout collapses toward the x1 time; if it was bytes scanned or
+    // shuffled, the fat layout times the same as the parity layout —
+    // for shuffle-bearing queries (q4's join, the banded dedup) a
+    // collapse additionally rules the SHUFFLE out as the driver, since
+    // the shuffle volume is identical across layouts.
+    // SPARK_GRAFT_SCALEUP_LAYOUT_QUERIES picks the probe set (comma
+    // list, default q1_time_filter); each fattens only the tables it
+    // reads.
     val layoutProbe =
       sys.env.get("SPARK_GRAFT_SCALEUP_LAYOUT_PROBE").contains("1")
+    val layoutQueries: Seq[String] = if (!layoutProbe) Nil else
+      sys.env.get("SPARK_GRAFT_SCALEUP_LAYOUT_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("q1_time_filter"))
+        .filter(queries.contains)
 
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
@@ -227,16 +238,22 @@ object ScaleUpBench {
         "\"" + n + (if (probeFailed) "\":null" else s"""":$same""")
       }.mkString("{", ",", "}")
       val probeJson =
-        if (layoutProbe && needsTable("events") &&
-            queries.contains("q1_time_filter")) {
-          spark.read.parquet(s"$out/x$k/events.parquet")
-            .repartition(nCores)
-            .write.mode("overwrite").parquet(s"$out/x${k}_fat/events.parquet")
-          val t = SparkEntry.queries.get("q1_time_filter").map { fn =>
-            try Bench.timeQuery(fn, spark, s"$out/x${k}_fat", runs).median
-            catch { case _: Throwable => -1.0 }
-          }.getOrElse(-1.0)
-          f""","layout_probe":{"q1_time_filter_sec":$t%.4f,"files":$nCores,"note":"x$k bytes in x1 file count"}"""
+        if (layoutQueries.nonEmpty) {
+          def fatten(t: String): Unit =
+            spark.read.parquet(s"$out/x$k/$t.parquet")
+              .repartition(nCores)
+              .write.mode("overwrite").parquet(s"$out/x${k}_fat/$t.parquet")
+          if (layoutQueries.exists(_.startsWith("q"))) fatten("events")
+          if (layoutQueries.exists(_.startsWith("d_"))) fatten("documents")
+          if (layoutQueries.exists(_.startsWith("e_"))) fatten("embeddings")
+          val ts = layoutQueries.map { n =>
+            val t = SparkEntry.queries.get(n).map { fn =>
+              try Bench.timeQuery(fn, spark, s"$out/x${k}_fat", runs).median
+              catch { case _: Throwable => -1.0 }
+            }.getOrElse(-1.0)
+            f""""${n}_sec":$t%.4f"""
+          }.mkString(",")
+          s""","layout_probe":{$ts,"files":$nCores,"note":"x$k bytes in x1 file count"}"""
         } else ""
       f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson}"""
     }
