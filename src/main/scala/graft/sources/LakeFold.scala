@@ -51,8 +51,10 @@ import org.apache.spark.sql.functions._
   * well-sized-watermark ASSUMPTION and makes violations loud and exact
   * instead of silent loss: every settle records the day's committed
   * sink file count, [[foldClosedDays]] re-examines settled-unretired
-  * days and RE-FOLDS any whose directory grew (the anti-join keeps the
-  * re-fold exact), [[retireFoldedSinkDays]] re-counts immediately
+  * days and RE-FOLDS any whose committed count grew (the anti-join
+  * keeps the re-fold exact; counts come from the sink METADATA LOG —
+  * the same universe the fold reads — not a raw directory listing, see
+  * [[committedDayFileCounts]]), [[retireFoldedSinkDays]] re-counts immediately
   * before each delete and refuses to retire a grown day (the next fold
   * tick absorbs it first), and a day that gains data AFTER its sink
   * directory was retired — the one case that cannot be absorbed,
@@ -131,20 +133,46 @@ object LakeFold {
       s"('graft.folded.days' = '${all.mkString(",")}')")
   }
 
-  /** Committed-or-not data-file count of one sink day directory (0 when
-    * the dir is absent). Counts ALL data files, not just log-committed
-    * ones: the stream only ever ADDS files to a day dir, so any count
-    * increase — committed late batch or crash residue alike — is a
-    * conservative "this day changed" signal; a spurious re-fold costs
-    * one empty anti-join. One listStatus, no file opens. */
-  private[graft] def dayFileCount(spark: SparkSession, sinkPath: String,
-      day: String): Int = {
-    val dir = new org.apache.hadoop.fs.Path(sinkPath, s"day=$day")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) 0
-    else fs.listStatus(dir).count(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+  /** LOG-COMMITTED data-file count per sink day, from one replay of the
+    * sink's `_spark_metadata` log — the growth detector's baseline and
+    * probe. It must be the log and NOT a raw directory listing: the
+    * fold reads exactly the log-committed rows ([[sinkRows]] resolves
+    * through `_spark_metadata`), so a baseline that counted ALL files
+    * would include a file WRITTEN before the count probe but
+    * log-committed after the fold read — counted-but-not-folded; its
+    * later commit adds no new file, the growth detector never fires,
+    * and retirement deletes the only copy of committed rows (the silent
+    * loss the module doc forbids). Counting the same universe the fold
+    * reads closes that hole: any commit after the baseline probe RAISES
+    * the committed count, so growth fires. The probe is taken BEFORE
+    * the fold read (see the pass-1 comment in [[foldClosedDays]]), so a
+    * commit landing between probe and read is both folded now and
+    * re-detected as growth next run — one spurious empty anti-join, the
+    * conservative direction. Driver-side metadata replay, no data-file
+    * opens. (Counts recorded by builds that baselined on raw listings
+    * could overcount vs this probe; such days re-base the first time
+    * they re-fold — the `None`-count tolerance in [[parseDayCount]]
+    * already covers entries with no count at all.) */
+  private[graft] def committedDayFileCounts(spark: SparkSession,
+      sinkPath: String): Map[String, Int] = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val logDir = new org.apache.hadoop.fs.Path(sinkPath, "_spark_metadata")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) Map.empty
+    else {
+      val sinkLog =
+        new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, logDir.toString)
+      sinkLog.allFiles().toSeq
+        .map(f => new org.apache.hadoop.fs.Path(f.path).getParent.getName)
+        .filter(_.startsWith("day="))
+        .groupBy(_.stripPrefix("day="))
+        .map { case (d, fsForDay) => d -> fsForDay.size }
+    }
   }
+
+  private[graft] def committedDayFileCount(spark: SparkSession,
+      sinkPath: String, day: String): Int =
+    committedDayFileCounts(spark, sinkPath).getOrElse(day, 0)
 
   /** Fail-loudly guard against the unrecoverable late-data case: a day
     * at or below the retired floor whose sink directory EXISTS again
@@ -290,12 +318,22 @@ object LakeFold {
   private[graft] def foldDay(spark: SparkSession, sinkPath: String,
       lakeTable: String, day: String,
       keyCols: Seq[String] = Nil): Long = {
-    val lake = spark.table(lakeTable)
-    val cols = lake.columns.toIndexedSeq
-    val keys = if (keyCols.nonEmpty) keyCols else cols
+    val cols = spark.table(lakeTable).columns.toIndexedSeq
     val dayRows = sinkRows(spark, sinkPath, lakeTable)
       .filter(col("day").cast("string") === day)
       .select(cols.map(col): _*) // table column order: insertInto is positional
+    foldRowsIntoLake(spark, lakeTable, day, dayRows, keyCols)
+  }
+
+  /** The fold's anti-join core over an ALREADY-RESOLVED source of one
+    * day's rows — shared by the log-resolved path ([[foldDay]]) and the
+    * log-BYPASSING salvage path ([[salvageResurrectedDay]], where the
+    * day's metadata log names deleted files and must not be consulted). */
+  private def foldRowsIntoLake(spark: SparkSession, lakeTable: String,
+      day: String, dayRows: DataFrame, keyCols: Seq[String]): Long = {
+    val lake = spark.table(lakeTable)
+    val cols = lake.columns.toIndexedSeq
+    val keys = if (keyCols.nonEmpty) keyCols else cols
     val existing = lake.filter(col("day").cast("string") === day)
     val missing = dayRows.as("s")
       .join(existing.select(keys.map(col): _*).as("l"),
@@ -336,8 +374,8 @@ object LakeFold {
     * an unsettled one.
     *
     * Late-data defense (see the module doc's contract): before folding,
-    * every settled-UNRETIRED day whose sink directory holds more data
-    * files than its settle-time record is RE-FOLDED — a watermark-delay
+    * every settled-UNRETIRED day whose LOG-COMMITTED file count exceeds
+    * its settle-time record is RE-FOLDED — a watermark-delay
     * violation landed rows in a day this module already hid from
     * [[combinedRead]], and the re-fold (exact, by the same anti-join)
     * moves them into the lake where they become visible again. The
@@ -386,12 +424,13 @@ object LakeFold {
     }
 
     // pass 1 — re-fold settled-unretired days that GREW since settling
-    // (count probed BEFORE the fold read: a file landing between the
-    // probe and the read is both folded now and re-checked next run —
-    // the conservative order)
+    // (committed count snapshotted BEFORE any fold read: a commit
+    // landing between the snapshot and a read is both folded now and
+    // re-checked next run — the conservative order)
+    val committedNow = committedDayFileCounts(spark, sinkPath)
     val regrown = days.filter { day =>
       counts.contains(day) && {
-        val now = dayFileCount(spark, sinkPath, day)
+        val now = committedNow.getOrElse(day, 0)
         val grew = counts(day).forall(now > _)
         if (grew) {
           log.warn(s"sink day=$day grew after settling " +
@@ -409,7 +448,7 @@ object LakeFold {
     val settledNow: String => Boolean =
       day => counts.contains(day) || floor.exists(day <= _)
     val fresh = days.filter(_ < watermarkDay).filterNot(settledNow)
-      .filter(day => foldAndSettle(day, dayFileCount(spark, sinkPath, day)))
+      .filter(day => foldAndSettle(day, committedNow.getOrElse(day, 0)))
     (regrown ++ fresh).sorted
   }
 
@@ -527,16 +566,18 @@ object LakeFold {
       day => counts.contains(day) || floor.exists(day <= _)
     val base = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // A settled day whose dir GREW past its settle-time count holds
-    // late rows the lake does not have yet — deleting it would be the
-    // silent loss the module doc forbids. Stop the prefix there (and
-    // warn); the next foldClosedDays re-folds the day and re-records
-    // its count, after which retirement resumes. Re-counted HERE,
-    // immediately before the delete, so a late commit landing between
-    // a fold tick and this call is still caught.
+    // A settled day whose COMMITTED file count grew past its
+    // settle-time record holds late rows the lake does not have yet —
+    // deleting it would be the silent loss the module doc forbids. Stop
+    // the prefix there (and warn); the next foldClosedDays re-folds the
+    // day and re-records its count, after which retirement resumes.
+    // Re-probed HERE, per day, immediately before the delete — a fresh
+    // log replay each time, so a commit landing between a fold tick and
+    // this call (or mid-prefix) is still caught. Log-committed counts,
+    // same universe the fold reads — see [[committedDayFileCounts]].
     def safeToRetire(day: String): Boolean = counts.get(day) match {
       case Some(rec) =>
-        val now = dayFileCount(spark, sinkPath, day)
+        val now = committedDayFileCount(spark, sinkPath, day)
         val grown = rec.forall(now > _)
         if (grown) log.warn(s"sink day=$day grew after settling " +
           s"(${rec.fold("?")(_.toString)} -> $now data files); refusing to " +
@@ -564,6 +605,85 @@ object LakeFold {
         s"'graft.folded.days' = '${remaining.mkString(",")}')")
     }
     deleted
+  }
+
+  /** Operator-driven recovery for the ONE late-data case maintenance
+    * cannot absorb and therefore halts on: a day at or below the
+    * retired floor whose sink directory EXISTS again (the stream
+    * committed events after that day's files were deleted —
+    * [[assertNoRetiredResurrection]] fails both entry points). The
+    * resurrected day's `_spark_metadata` entries name deleted files, so
+    * any log-resolved read of it is poisoned forever; this salvage
+    * therefore reads the resurrected DIRECTORY directly (below the sink
+    * root — no log resolution), folds the rows into the lake by the
+    * standard null-safe anti-join (exact under re-runs and against
+    * rows a concurrent path already landed), compacts the partition,
+    * and DELETES the directory — which clears the resurrection halt, so
+    * the next [[foldClosedDays]]/[[retireFoldedSinkDays]] tick resumes.
+    * Bookkeeping needs no update: the day stays at/below the floor, and
+    * with its sink dir gone the settled side of [[combinedRead]] serves
+    * it entirely from the lake, salvaged rows included.
+    *
+    * A direct read sees committed and uncommitted files alike — the
+    * right posture here (uncommitted rows are real sensor data the
+    * anti-join lands exactly once; if a restarted stream later REPLAYS
+    * such a batch into this day, that is a fresh resurrection and a
+    * re-salvage converges by the same anti-join). Files with torn
+    * footers (crash residue) are probed file-by-file and skipped, like
+    * [[dayWriterSchema]]; drift is checked against the first readable
+    * footer before anything folds. Returns rows appended; a re-run —
+    * or a call when nothing is resurrected — is a 0-row no-op. After
+    * salvaging, still re-size the stream's watermark delay: salvage is
+    * the mop, not the fix. */
+  def salvageResurrectedDay(spark: SparkSession, sinkPath: String,
+      lakeTable: String, day: String, keyCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val floor = retiredFloor(spark, lakeTable)
+    require(floor.exists(day <= _),
+      s"day=$day is not retired (floor: ${floor.getOrElse("unset")}) — its " +
+        "sink data is still log-readable, so ordinary maintenance absorbs " +
+        "it; run foldClosedDays instead of salvaging")
+    val dir = new org.apache.hadoop.fs.Path(sinkPath, s"day=$day")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L // nothing resurrected — idempotent no-op
+    val lake = spark.table(lakeTable)
+    val cols = lake.columns.toIndexedSeq
+    val files = fs.listStatus(dir).toIndexedSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    val readable = files.filter { f =>
+      try { spark.read.parquet(f).schema; true }
+      catch { case scala.util.control.NonFatal(e) =>
+        log.warn(s"salvage day=$day: skipping unreadable (torn) file $f: " +
+          e.getMessage)
+        false
+      }
+    }
+    val appended = if (readable.isEmpty) 0L else {
+      dayWriterSchema(spark, sinkPath, day)
+        .foreach(assertSchemaMatches(spark, lakeTable, day, _))
+      // data files carry every lake column EXCEPT the partition column
+      // `day` (it lives in the directory name the log-resolved read
+      // parses); pin that reduced schema and re-attach the constant
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        lake.schema.filterNot(_.name == "day"))
+      val rows = spark.read.schema(dataSchema).parquet(readable: _*)
+        .withColumn("day", lit(day).cast(lake.schema("day").dataType))
+        .select(cols.map(col): _*)
+      foldRowsIntoLake(spark, lakeTable, day, rows, keyCols)
+    }
+    if (appended > 0)
+      TableOps.compactPartition(spark, lakeTable, "day", day, targetFileBytes): Unit
+    require(fs.delete(dir, true),
+      s"salvage day=$day: folded $appended row(s) but could not delete the " +
+        "resurrected directory — maintenance stays halted; remove it manually")
+    log.warn(s"salvaged resurrected sink day=$day: $appended late row(s) " +
+      s"folded into $lakeTable from ${readable.size} file(s) " +
+      s"(${files.size - readable.size} torn file(s) skipped); directory " +
+      "deleted, maintenance unblocked. Size the stream's watermark delay " +
+      "to your real late-data horizon")
+    appended
   }
 
   /** Closed-day floor of a LIVE stream, read from the query's own

@@ -462,6 +462,87 @@ class LakeFoldSpec extends SparkSpec {
       LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_res")
     }
     assert(e2.getMessage.contains("2017-03-06"), e2.getMessage)
+
+    // the mechanized recovery: salvage direct-reads the resurrected
+    // directory (bypassing its poisoned metadata-log entries), folds
+    // the late row into the lake, deletes the directory, and thereby
+    // clears the halt
+    val salvaged = LakeFold.salvageResurrectedDay(
+      spark, sink, "fold_lake_res", "2017-03-06")
+    assert(salvaged == 1, s"expected the 1 late row, salvaged $salvaged")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink, "day=2017-03-06")),
+      "salvage must delete the resurrected directory")
+    // combined read is exact: the original 6 rows + the salvaged late one
+    val rows = LakeFold.combinedRead(spark, sink, "fold_lake_res")
+      .select(col("room"), col("value"), col("day").cast("string"))
+      .collect().toSeq
+    assert(rows.size == 7 && rows.distinct.size == 7,
+      s"expected 7 distinct rows after salvage, got ${rows.size}")
+    assert(rows.exists(r => r.getString(0) == "Attic" && r.getDouble(1) == 77.0),
+      "the salvaged late row must surface in the combined read")
+    // maintenance resumes: both entry points run clean again
+    assert(LakeFold.foldClosedDays(spark, sink, "fold_lake_res", "2017-03-08")
+      == Seq("2017-03-07"))
+    LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_res"): Unit
+    // a re-salvage (nothing resurrected any more) is a 0-row no-op
+    assert(LakeFold.salvageResurrectedDay(
+      spark, sink, "fold_lake_res", "2017-03-06") == 0L)
+    // and salvage refuses a day ordinary maintenance can still absorb
+    val e3 = intercept[IllegalArgumentException] {
+      LakeFold.salvageResurrectedDay(spark, sink, "fold_lake_res", "2017-03-09")
+    }
+    assert(e3.getMessage.contains("foldClosedDays"), e3.getMessage)
+  }
+
+  test("growth detection baselines on LOG-COMMITTED files, not raw listings") {
+    // The counted-but-not-folded race: a data file can exist in a day
+    // directory BEFORE it is committed to the sink's metadata log (the
+    // sink writes files first, commits the batch after). A raw
+    // directory-listing baseline counts such a file even though the
+    // log-resolved fold cannot see it — so when its commit later lands
+    // (adding no new file), the growth detector never fires and
+    // retirement deletes the only copy of committed rows. The committed
+    // counter must therefore ignore orphan (un-logged) files entirely:
+    // they neither inflate the settle-time baseline nor block
+    // retirement, and only their COMMIT moves the count.
+    val base = java.nio.file.Files.createTempDirectory("graft_foldorph").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_orph")
+    val committed = LakeFold.committedDayFileCounts(spark, sink)
+    assert(committed.keySet == Set("2017-03-05", "2017-03-06", "2017-03-07"),
+      s"unexpected committed days: $committed")
+
+    // drop an ORPHAN parquet data file into 03-06 (written, never
+    // committed — the mid-race state). It is a copy of a real sink part
+    // file, so it carries the writer schema like genuine crash residue
+    // (an alien-schema file would — correctly — trip the drift probe).
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanSrc = fs
+      .listStatus(new org.apache.hadoop.fs.Path(sink, "day=2017-03-07"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, orphanSrc,
+      fs, new org.apache.hadoop.fs.Path(sink, "day=2017-03-06/orphan.parquet"),
+      false, spark.sparkContext.hadoopConfiguration): Unit
+    assert(LakeFold.committedDayFileCount(spark, sink, "2017-03-06") ==
+      committed("2017-03-06"),
+      "an un-committed file must not move the committed count")
+
+    // settle both closed days WITH the orphan present: the recorded
+    // baseline is the committed count, so the orphan neither triggers a
+    // spurious re-fold nor blocks retirement
+    assert(LakeFold.foldClosedDays(spark, sink, "fold_lake_orph", "2017-03-07")
+      == Seq("2017-03-05", "2017-03-06"))
+    assert(LakeFold.foldClosedDays(spark, sink, "fold_lake_orph", "2017-03-07")
+      .isEmpty, "an orphan file must not read as growth")
+    assert(LakeFold.retireFoldedSinkDays(spark, sink, "fold_lake_orph") ==
+      Seq("2017-03-05", "2017-03-06"),
+      "an orphan file must not block retirement — it is not committed data")
+    assert(LakeFold.combinedRead(spark, sink, "fold_lake_orph").count() == 6)
   }
 
   test("a mid-write newest day cannot fail combinedRead's drift probe") {
