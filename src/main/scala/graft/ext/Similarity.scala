@@ -19,6 +19,33 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Bounded re-resolve budget for a blue-green batch that raced an
+    * index rebuild mid-execution (see [[annServeStreamBlueGreen]]).
+    * One retry already covers the race (the re-resolve reads the NEW
+    * version, whose files a further rebuild would have to delete to
+    * race again); a second absorbs back-to-back rebuilds under a slow
+    * batch. Past that, something other than the race is wrong and the
+    * query should fail loudly. */
+  private val BlueGreenRaceRetries = 2
+
+  /** Does this failure's cause chain say "the files the plan resolved
+    * no longer exist"? — the signature of a read racing a rebuild's
+    * drop+recreate. Spark surfaces it as FAILED_READ_FILE.FILE_NOT_EXIST
+    * (a SparkException error class) or a raw FileNotFoundException,
+    * depending on where in the scan the miss lands. */
+  private def isMissingFileError(t: Throwable): Boolean = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+    chain.exists {
+      case _: java.io.FileNotFoundException => true
+      case e =>
+        val m = Option(e.getMessage).getOrElse("")
+        m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST") ||
+          m.contains("does not exist")
+    }
+  }
+
   /** cosine(a, b) in double precision via higher-order folds — the
     * pure-built-in formulation, kept as the reference implementation the
     * native expression is tested against. */
@@ -1640,15 +1667,30 @@ object Similarity {
         yield (m, code, cb(m)(code).toSeq)).toDF("m", "code", "cvec"))
   }
 
+  /** Per-key load memo: the map stores these cheap holders, and the
+    * multi-second Spark collect behind a model load runs inside the
+    * holder's OWN lazy-val initializer — synchronized per key, never
+    * under the map's monitor. Concurrent servers loading the SAME
+    * version still load it exactly once (lazy-val init lock), while a
+    * hit on an already-resident version only touches the map monitor
+    * for the O(1) lookup and returns without waiting behind another
+    * version's load (the previous design ran the loader inside
+    * computeIfAbsent under the synchronizedMap monitor, so one cold
+    * load stalled every concurrent serve — including hits). A loader
+    * that THROWS leaves the lazy val uninitialized, so the next access
+    * retries the load instead of caching the failure. */
+  private[graft] final class Memo[V](load: () => V) { lazy val value: V = load() }
+
   /** Tiny bounded LRU for resident model state: access-ordered, evicts
     * the ELDEST entry past `max` instead of clearing everything (a full
     * clear also evicted the hot entry, forcing a pointless reload on
-    * the very next serve). computeIfAbsent runs under the wrapper's
-    * monitor, so concurrent servers load a version exactly once. */
-  private def lruCache[V](max: Int): java.util.Map[String, V] =
+    * the very next serve). Values are [[Memo]] holders, so the map's
+    * monitor is held only for pointer-sized get/insert — see Memo for
+    * the concurrency contract. */
+  private def lruCache[V](max: Int): java.util.Map[String, Memo[V]] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
+      new java.util.LinkedHashMap[String, Memo[V]](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Memo[V]]) =
           size > max
       })
 
@@ -1689,7 +1731,19 @@ object Similarity {
   private def loadIvfPqModel(spark: SparkSession, prefix: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val version = indexVersion(spark, prefix)
-    ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => {
+    ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => new Memo(() => {
+      // A memo MISS means this session has not loaded THIS version —
+      // which after a rebuild implies its relation cache may still pin
+      // the DROPPED model tables' (deleted) file listings. That matters
+      // on foreachBatch's CLONED session, whose relation cache is
+      // independent of the session that ran the rebuild DDL: without
+      // these refreshes the first cold load there dies with a
+      // missing-file error (blue-green's first post-rebuild batch —
+      // the restart the feature exists to avoid). Refreshing here, on
+      // the miss path only, keeps the steady state (resident version)
+      // at zero catalog work.
+      spark.catalog.refreshTable(s"${prefix}_centroids")
+      spark.catalog.refreshTable(s"${prefix}_codebooks")
       val cents = spark.table(s"${prefix}_centroids").collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).map(_._2)
@@ -1701,8 +1755,15 @@ object Similarity {
       val cb = Array.tabulate(PqM, PqK)((m, code) => Array.empty[Double])
       cbRows.foreach { case (m, code, v) => cb(m)(code) = v }
       (cents, cb)
-    })
+    })).value
   }
+
+  /** Test hook: drop every resident model so the next serve performs a
+    * genuinely COLD load (catalog resolution + collect) on whichever
+    * session asks — the blue-green spec uses it to prove the stream's
+    * cloned session can load a rebuilt model without pre-warming by the
+    * main session (the JVM-shared memo otherwise masks cold-load bugs). */
+  private[graft] def clearIvfPqModelCache(): Unit = ivfPqModelCache.clear()
 
   def annIndexLookup(spark: SparkSession, sfDir: String,
       prefix: String = "ann_ivfpq", probes: Int = 1): DataFrame = {
@@ -1823,14 +1884,21 @@ object Similarity {
     * metadata fetch, no Spark job) and the codes relation re-resolves
     * with it; the two reads are version-CHECKED around plan
     * construction, re-resolving once if a rebuild landed between them.
-    * A rebuild racing the batch's EXECUTION degrades to a loud
-    * FAILED_READ (the old files are gone), which the checkpointed
-    * stream retries against the new version — never a silent
-    * old-model/new-codes mix. Per-batch output goes to `sink`
-    * (exactly-once under a checkpoint, as with any foreachBatch
-    * writer); there is no cross-batch state, so the watermarked
-    * aggregation of the pinned path is unnecessary here — each query
-    * is answered entirely within its arrival batch. */
+    * A rebuild racing the batch's EXECUTION surfaces as a missing-file
+    * read error (the old version's files are gone — never a silent
+    * old-model/new-codes mix); the batch body catches exactly that
+    * error class, re-resolves version + model + codes, and re-runs the
+    * sink against the new version, bounded at [[BlueGreenRaceRetries]]
+    * attempts (an exception in foreachBatch otherwise TERMINATES the
+    * StreamingQuery — Spark does not retry a failed batch in place, so
+    * without this the race would force the external checkpointed
+    * restart this entry point exists to avoid). `sink` must therefore
+    * be idempotent per batchId — the same contract checkpoint recovery
+    * already imposes on every foreachBatch writer. Per-batch output
+    * goes to `sink` (exactly-once under a checkpoint, as with any
+    * foreachBatch writer); there is no cross-batch state, so the
+    * watermarked aggregation of the pinned path is unnecessary here —
+    * each query is answered entirely within its arrival batch. */
   def annServeStreamBlueGreen(queries: DataFrame, k: Int = 3,
       prefix: String = "ann_ivfpq", probes: Int = 1,
       checkpoint: Option[String] = None)
@@ -1846,21 +1914,40 @@ object Similarity {
     val writer = queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        var out: DataFrame = null
-        var v = indexVersion(spark, prefix)
-        var settled = false
-        while (!settled) {
-          if (v != lastVersion) {
-            spark.catalog.refreshTable(s"${prefix}_codes")
-            lastVersion = v
+        var attempts = 0
+        var done = false
+        while (!done) {
+          var out: DataFrame = null
+          var v = indexVersion(spark, prefix)
+          var settled = false
+          while (!settled) {
+            if (v != lastVersion) {
+              spark.catalog.refreshTable(s"${prefix}_codes")
+              lastVersion = v
+            }
+            val (cents, cb) = loadIvfPqModel(spark, prefix)
+            out = serveScore(batch, k, prefix, probes, cents, cb)
+            val v2 = indexVersion(spark, prefix)
+            settled = v2 == v
+            v = v2
           }
-          val (cents, cb) = loadIvfPqModel(spark, prefix)
-          out = serveScore(batch, k, prefix, probes, cents, cb)
-          val v2 = indexVersion(spark, prefix)
-          settled = v2 == v
-          v = v2
+          try { sink(out, batchId); done = true }
+          catch {
+            // ONLY the mid-execution rebuild race: the plan resolved
+            // version N, the rebuild deleted N's files before the
+            // sink's action finished reading them. Anything else —
+            // sink bugs, OOM, analysis errors — propagates and fails
+            // the query loudly, as it should.
+            case e: Throwable
+                if attempts < BlueGreenRaceRetries && isMissingFileError(e) =>
+              attempts += 1
+              log.warn(s"blue-green serve batch $batchId raced an index " +
+                s"rebuild mid-execution (attempt $attempts of " +
+                s"$BlueGreenRaceRetries): re-resolving against the new " +
+                s"version and re-running the sink — ${e.getMessage}")
+              lastVersion = null // force codes refresh on re-resolve
+          }
         }
-        sink(out, batchId)
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer.start()
@@ -1985,7 +2072,8 @@ object Similarity {
     }.mkString(";")
     val key =
       s"$vecCol@$paths@${plan.semanticHash()}@${plan.canonicalized.toString}"
-    opqRankCache.computeIfAbsent(key, _ => rankedByVarianceUncached(src, vecCol))
+    opqRankCache.computeIfAbsent(key,
+      _ => new Memo(() => rankedByVarianceUncached(src, vecCol))).value
   }
 
   private def rankedByVarianceUncached(src: DataFrame, vecCol: String): Array[Int] =

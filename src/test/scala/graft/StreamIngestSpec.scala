@@ -991,6 +991,11 @@ class StreamIngestSpec extends SparkSpec {
       mem.toDF().toDF("q_id", "event_ts", "embedding"), prefix = "ann_bg") {
       (out, _) => rowsOf(out).foreach(emitted.add(_): Unit)
     }
+    // cold-load version A on the STREAM's session too: batch 1 must
+    // resolve the model tables on the foreachBatch clone so its relation
+    // cache actually HOLDS version-A entries — the stale state the
+    // post-rebuild cold load (below) has to survive
+    Similarity.clearIvfPqModelCache()
     mem.addData(b1.toIndexedSeq: _*)
     q.processAllAvailable()
     val gotA = emitted.toArray(Array.empty[(Long, String, String)]).toSet
@@ -999,12 +1004,21 @@ class StreamIngestSpec extends SparkSpec {
         s"only-want=${(wantA -- gotA).take(2)}")
 
     // REBUILD under the running stream (source dir changed -> new
-    // version), then serve batch 2 without restarting q
+    // version), then serve batch 2 without restarting q. Clear the
+    // JVM-shared model memo first so the STREAM'S cloned session — whose
+    // relation cache is independent of the session that ran the rebuild
+    // DDL — performs the genuinely COLD load of version B (catalog
+    // resolution of the new centroids/codebooks + collect). Round 13's
+    // version of this test pre-warmed the memo via serveBatch on the
+    // main session before batch 2, which masked exactly the stale-
+    // relation missing-file failure the cold path can hit; wantB is now
+    // computed AFTER the stream has served it, for the same reason.
     Similarity.annIndexEnsure(spark, dirB, prefix = "ann_bg")
-    val wantB = rowsOf(Similarity.serveBatch(batchDf(b2), prefix = "ann_bg"))
+    Similarity.clearIvfPqModelCache()
     mem.addData(b2.toIndexedSeq: _*)
     q.processAllAvailable()
     q.stop()
+    val wantB = rowsOf(Similarity.serveBatch(batchDf(b2), prefix = "ann_bg"))
     val gotAll = emitted.toArray(Array.empty[(Long, String, String)]).toSet
     assert(gotAll == wantA ++ wantB,
       s"post-rebuild serve diverged: only-got=${(gotAll -- (wantA ++ wantB)).take(2)} " +
@@ -1016,5 +1030,68 @@ class StreamIngestSpec extends SparkSpec {
       s"expected two q_id=0 answers (one per version), got $topk0")
     Seq("codes", "centroids", "codebooks")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_bg_$t"))
+  }
+
+  test("blue-green serve survives a rebuild racing the batch MID-EXECUTION") {
+    // The window the between-batch cut-over test cannot reach: the
+    // batch's plan resolves version N, and the rebuild deletes N's
+    // files while the sink is EXECUTING that plan. Without the bounded
+    // in-place retry this kills the StreamingQuery (Spark does not
+    // retry a failed foreachBatch in place) — the restart blue-green
+    // exists to avoid. Forced deterministically here: the sink's first
+    // invocation performs the rebuild itself, then executes its (now
+    // poisoned) plan; the retry must re-resolve and serve the batch
+    // entirely from the NEW version.
+    import graft.ext.Similarity
+    implicit val sq = spark.sqlContext
+    val sfA = "/root/testdata/sf0.001"
+    Similarity.annIndexEnsure(spark, sfA, prefix = "ann_race")
+    // corpus C: shifted vectors — different centroids/codes than A
+    val dirC = java.nio.file.Files.createTempDirectory("graft_annrace").toString
+    Tables.embeddings(spark, sfA)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(x + 1.0 AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
+    import spark.implicits._
+    val qvecs = Tables.embeddings(spark, sfA)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), new Timestamp(100000L), r.getSeq[Float](1)))
+      .toIndexedSeq
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("q_id", "CAST(event_ts AS STRING) AS ts",
+        "CAST(topk AS STRING) AS topk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    // cold state on every session: batch 1 must resolve version A's
+    // model tables on the stream's clone, so the rebuild genuinely
+    // leaves stale relation-cache entries behind for the retry to beat
+    Similarity.clearIvfPqModelCache()
+    val sinkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]
+    val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val q = Similarity.annServeStreamBlueGreen(
+      mem.toDF().toDF("q_id", "event_ts", "embedding"), prefix = "ann_race") {
+      (out, _) =>
+        if (sinkCalls.incrementAndGet() == 1)
+          // the race: version roll lands between this batch's plan
+          // resolution and its execution (files of the resolved
+          // version are deleted under the plan)
+          Similarity.annIndexEnsure(spark, dirC, prefix = "ann_race")
+        rowsOf(out).foreach(emitted.add(_): Unit)
+    }
+    mem.addData(qvecs: _*)
+    q.processAllAvailable() // would throw StreamingQueryException if the retry failed
+    q.stop()
+    assert(sinkCalls.get >= 2,
+      s"the raced batch must have re-run the sink, saw ${sinkCalls.get} call(s)")
+    val wantC = rowsOf(Similarity.serveBatch(
+      qvecs.toDF("q_id", "event_ts", "embedding"), prefix = "ann_race"))
+    val got = emitted.toArray(Array.empty[(Long, String, String)]).toSet
+    assert(got == wantC,
+      s"retried batch must serve entirely from the new version: " +
+        s"only-got=${(got -- wantC).take(2)} only-want=${(wantC -- got).take(2)}")
+    Seq("codes", "centroids", "codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ann_race_$t"))
   }
 }
