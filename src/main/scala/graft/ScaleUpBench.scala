@@ -64,6 +64,19 @@ object ScaleUpBench {
     case _ => false
   }
 
+  /** `e_ann_serve` in SPARK_GRAFT_SCALEUP_QUERIES enables the IVF-PQ
+    * SERVE-path probe (round-14 task): it is not a SparkEntry query —
+    * the split is the point — so it is carved out of the per-query
+    * sweep and measured as (index build once, per-batch serve latency
+    * over a FIXED 30-query batch, final plan shape) per factor. The
+    * batch stays 30 queries at every K (copy 0 keeps vec_id 0..n), so
+    * the serve number isolates corpus growth: candidate volume per
+    * probed cell grows with the corpus while the query side is
+    * constant — exactly the shape a serving fleet sees as the indexed
+    * corpus grows under a fixed request rate. */
+  private val annServeProbe: Boolean = queries.contains("e_ann_serve")
+  private val probeQueries: Seq[String] = queries.filterNot(_ == "e_ann_serve")
+
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
     * codegen-stage decoration stripped, runtime shuffle-read coalescing
@@ -162,7 +175,7 @@ object ScaleUpBench {
       }
     }
 
-    def sweep(dir: String): Seq[(String, Double)] = queries.flatMap { name =>
+    def sweep(dir: String): Seq[(String, Double)] = probeQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         try name -> Bench.timeQuery(fn, spark, dir, runs).median
         catch {
@@ -177,7 +190,7 @@ object ScaleUpBench {
     // as JSON null below), never as an empty shape that would read as
     // plan drift.
     val FAILED = Seq("__FAILED__")
-    def shapes(dir: String): Map[String, Seq[String]] = queries.flatMap { name =>
+    def shapes(dir: String): Map[String, Seq[String]] = probeQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         try name -> finalPlanShape(fn(spark, dir))
         catch {
@@ -207,7 +220,34 @@ object ScaleUpBench {
       sys.env.get("SPARK_GRAFT_SCALEUP_LAYOUT_QUERIES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq("q1_time_filter"))
-        .filter(queries.contains)
+        .filter(probeQueries.contains)
+
+    // ANN serve-path probe (see annServeProbe doc): fixed 30-query
+    // batch; the same vec_ids exist at every factor (copy 0 keeps the
+    // originals). event_ts is a constant — serveBatch groups on
+    // (q_id, event_ts) and any fixed slot works.
+    def annQueries(dir: String): DataFrame =
+      Tables.table(spark, dir, "embeddings")
+        .filter(col("vec_id") < 30)
+        .select(col("vec_id").as("q_id"),
+          lit(java.sql.Timestamp.valueOf("2017-03-05 00:00:00")).as("event_ts"),
+          col("embedding"))
+    /** (index build sec — one timed pass, it is a write; per-batch serve
+      * sec — Bench protocol, warm-up + `runs`, median; final plan shape
+      * of the serve query). Distinct table prefix per factor so each
+      * serves its own version — no memo cross-talk. */
+    def annServe(dir: String, pfx: String): (Double, Double, Seq[String]) = {
+      val t0 = System.nanoTime()
+      graft.ext.Similarity.annIndexWrite(spark, dir, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val serve = Bench.timeQuery((_, _) =>
+        graft.ext.Similarity.serveBatch(annQueries(dir), prefix = pfx),
+        spark, dir, runs).median
+      val shape =
+        finalPlanShape(graft.ext.Similarity.serveBatch(annQueries(dir), prefix = pfx))
+      (build, serve, shape)
+    }
+    lazy val annX1 = annServe(s"$out/x1", "scup_ann_x1")
 
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
@@ -220,7 +260,7 @@ object ScaleUpBench {
       val ratio = x1.zip(xk).map { case ((n, a), (_, b)) =>
         n -> (if (a > 0 && b > 0) b / a else -1.0)
       }
-      val planSame = queries.map { n =>
+      val planSame = probeQueries.map { n =>
         // Exact operator sequence, or the same operator MULTISET — the
         // latter admits AQE flipping a BroadcastHashJoin's build side
         // (both of q4's aggregated inputs are ~24 rows; which one AQE
@@ -255,13 +295,27 @@ object ScaleUpBench {
           }.mkString(",")
           s""","layout_probe":{$ts,"files":$nCores,"note":"x$k bytes in x1 file count"}"""
         } else ""
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson}"""
+      val annJson = if (!annServeProbe) "" else {
+        val (b1, s1, sh1) = annX1
+        val (bk, sk, shk) = annServe(s"$out/x$k", s"scup_ann_x$k")
+        val same = sh1.nonEmpty && (shk == sh1 || shk.sorted == sh1.sorted)
+        if (!same) System.err.println(
+          s"[scaleup] ann-serve plan shape drift at x$k:\n  x1=${sh1.mkString(">")}\n  x$k=${shk.mkString(">")}")
+        f""","ann_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"plan_same":$same}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALEUP_OUT", "BENCH_SCALEUP.json")),
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     lines.foreach(println)
+    // the serve probe's index tables are scratch state, not artifacts
+    if (annServeProbe)
+      ("x1" +: factors.map(k => s"x$k")).foreach { fx =>
+        Seq("codes", "centroids", "codebooks").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_ann_${fx}_$t"): Unit)
+      }
     spark.stop()
   }
 }
