@@ -85,7 +85,7 @@ object Bench {
     "e_cluster_topics", "q_ewma", "q_cusum", "d_heavy_hitters",
     "e_ann_index_lookup", "d_bpe_merges12", "d_bpe_encode", "q_scd2",
     "q_mv_refresh", "m_audio_vad", "d_corpus_stats", "d_span_dedup",
-    "d_corpus_shuffle")
+    "d_corpus_shuffle", "d_dedup_streamed")
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically

@@ -1016,6 +1016,209 @@ object Dedup {
        |WHERE s.src_num >= 10
        |ORDER BY s.doc_id""".stripMargin
 
+  /** [[jaccardVerify]] over PRE-TOKENIZED sides: `toksA`/`toksB` are
+    * (doc_id, toks) frames whose `toks` column is the distinct-token
+    * array (`array_distinct(split(text, ' '))` — the exact form
+    * [[jaccardVerify]] builds internally, and the form the streaming
+    * dedup STORE persists so verification never needs old document
+    * bodies). Same exact-Jaccard math, same IEEE-exact ≥ threshold;
+    * returns just the surviving (doc_a, doc_b) pairs. */
+  private[graft] def jaccardVerifyToks(candidates: DataFrame,
+      toksA: DataFrame, toksB: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    candidates
+      .join(toksA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(toksB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard_raw",
+        col("i").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("i")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** ONE micro-batch step of ONLINE near-dedup — the shared core of the
+    * streaming filter ([[graft.streaming.StreamDedup]]) and its oracled
+    * batch twin [[dedupStreamed]]: a batch of arriving documents is
+    * deduplicated (a) against the accumulated KEPT corpus, represented
+    * only by its MinHash band relation + distinct-token sets (never old
+    * document bodies), then (b) within itself by the same banded
+    * candidate generation + exact-Jaccard verification + connected
+    * components as [[dedupPipeline]], keeping each component's min
+    * doc_id.
+    *
+    * Returns (verdicts, keptBands, keptToks): verdicts carries every
+    * batch doc as (doc_id, source, kept, matched_old) — matched_old is
+    * the smallest verified kept-corpus match for store-dropped docs, the
+    * component representative for within-batch drops, NULL for kept
+    * docs — and keptBands/keptToks are exactly the store rows the kept
+    * docs contribute (the caller appends them; this function never
+    * writes).
+    *
+    * Store-side self-pairs are excluded by doc_id, so re-processing a
+    * batch whose kept docs already landed in the store (the crash-replay
+    * state) converges instead of dropping every doc as a duplicate of
+    * itself. 100 TB shape: the batch side of every join is one
+    * micro-batch; the store-bands join is key-equi on (band_idx, band)
+    * (bucket the persisted store on those keys and the big side arrives
+    * pre-partitioned, as [[bandPairsBucketed]] proves); verification
+    * touches only candidate-matched store docs' token sets. Batch inputs
+    * are eagerly localCheckpoint'ed once — signatures are computed once
+    * per batch, not once per downstream join, and the CC iterations
+    * start from a truncated lineage. */
+  private[graft] def streamDedupStep(batch: DataFrame, storeBands: DataFrame,
+      storeToks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val toksB = batch.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks")).localCheckpoint(true)
+    val bandsB = minhashBands(batch).localCheckpoint(true)
+    val storeCand = storeBands.as("o")
+      .join(bandsB.as("n"),
+        col("o.band_idx") === col("n.band_idx") && col("o.band") === col("n.band") &&
+          col("o.doc_id") =!= col("n.doc_id"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val storeMatch = jaccardVerifyToks(storeCand, storeToks, toksB)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("matched_old"))
+      .localCheckpoint(true)
+    val survivors = batch.select(col("doc_id"))
+      .join(storeMatch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val bandsR = bandsB.join(survivors, "doc_id")
+    val withinCand = bandsR.as("a")
+      .join(bandsR.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withinPairs = jaccardVerifyToks(withinCand, toksB, toksB)
+    val groups = dedupGroupsFromPairs(survivors, withinPairs)
+      .select(col("doc_id"), col("group_id"))
+    // kept: survived the store check AND is its component's representative.
+    // group_id is NULL exactly for store-dropped docs (not in `survivors`),
+    // so the conjunction below is never NULL: the left conjunct is false
+    // precisely when the right one is NULL.
+    val verdicts = batch.select(col("doc_id"), col("source"))
+      .join(storeMatch, Seq("doc_id"), "left")
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        (col("matched_old").isNull && col("group_id") === col("doc_id")).as("kept"),
+        coalesce(col("matched_old"),
+          when(col("group_id") =!= col("doc_id"), col("group_id"))).as("matched_old"))
+      .localCheckpoint(true)
+    val keptIds = verdicts.filter(col("kept")).select(col("doc_id"))
+    (verdicts, bandsB.join(keptIds, "doc_id"), toksB.join(keptIds, "doc_id"))
+  }
+
+  /** The oracled batch twin of the streaming dedup filter: the documents
+    * table arrives in FOUR waves (src0-4, src5-9, src10-14, src15-19 —
+    * the same source-split device as [[dedupIncremental]], one step
+    * further: a whole arrival SEQUENCE, not one old/new split), and each
+    * wave runs [[streamDedupStep]] against the kept corpus accumulated
+    * from the waves before it. Greedy-arrival semantics fall out: a doc
+    * is dropped against the kept corpus or its within-wave component
+    * representative, and a doc whose only near-dup was itself dropped in
+    * an EARLIER wave is KEPT (its match never entered the store) — the
+    * order-sensitivity every online dedup has, pinned here by the oracle
+    * rather than papered over. The DuckDB twin replays all four waves
+    * (generated CTE chain, one recursive closure per wave) over the
+    * identical signature/band/verify math. */
+  def dedupStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("wave",
+        floor(substring(col("source"), 4, 10).cast("int") / 5).cast("int"))
+    val empty = docs.filter(lit(false))
+    var storeBands = minhashBands(empty)
+    var storeToks = empty.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val waves = (0 until 4).map { w =>
+      val b = docs.filter(col("wave") === w)
+        .select(col("doc_id"), col("source"), col("text"))
+      val (v, kb, kt) = streamDedupStep(b, storeBands, storeToks)
+      storeBands = storeBands.union(kb).localCheckpoint(true)
+      storeToks = storeToks.union(kt).localCheckpoint(true)
+      v.withColumn("wave", lit(w))
+    }
+    waves.reduce(_.union(_))
+      .select(col("doc_id"), col("source"), col("wave"),
+        col("kept"), col("matched_old"))
+  }
+
+  /** Generated 4-wave DuckDB unroll of [[dedupStreamed]]: per wave —
+    * kept-union of prior waves, store-candidate bands join + exact
+    * verify (min match), survivors, within-wave banded pairs + verify,
+    * one recursive transitive closure, component minima, verdicts. */
+  val dedupStreamedSql: String = {
+    def waveSql(i: Int): String = {
+      val keptUnion =
+        if (i == 0) "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"
+        else (0 until i).map(j => s"SELECT doc_id FROM k$j").mkString(" UNION ALL ")
+      s"""ks$i AS MATERIALIZED ($keptUnion),
+         |smc$i AS MATERIALIZED (
+         |  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+         |  FROM bands o JOIN ks$i ko ON ko.doc_id = o.doc_id
+         |       JOIN bands n ON o.bi = n.bi AND o.b = n.b
+         |                    AND o.doc_id <> n.doc_id
+         |       JOIN srcs sn ON sn.doc_id = n.doc_id AND sn.wave = $i),
+         |sm$i AS MATERIALIZED (
+         |  SELECT doc_b AS doc_id, min(doc_a) AS matched_old
+         |  FROM (SELECT doc_a, doc_b,
+         |               len(list_intersect(da.dtoks, db.dtoks)) AS it,
+         |               len(da.dtoks) AS na, len(db.dtoks) AS nb
+         |        FROM smc$i JOIN docsd da ON da.doc_id = doc_a
+         |                   JOIN docsd db ON db.doc_id = doc_b)
+         |  WHERE it * 1.0 / (na + nb - it) >= 0.8
+         |  GROUP BY doc_b),
+         |r$i AS MATERIALIZED (SELECT s.doc_id FROM srcs s WHERE s.wave = $i
+         |        AND s.doc_id NOT IN (SELECT doc_id FROM sm$i)),
+         |wc$i AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN r$i ra ON ra.doc_id = a.doc_id
+         |       JOIN bands b ON a.bi = b.bi AND a.b = b.b
+         |                    AND a.doc_id < b.doc_id
+         |       JOIN r$i rb ON rb.doc_id = b.doc_id),
+         |wp$i AS MATERIALIZED (
+         |  SELECT doc_a, doc_b
+         |  FROM (SELECT doc_a, doc_b,
+         |               len(list_intersect(da.dtoks, db.dtoks)) AS it,
+         |               len(da.dtoks) AS na, len(db.dtoks) AS nb
+         |        FROM wc$i JOIN docsd da ON da.doc_id = doc_a
+         |                  JOIN docsd db ON db.doc_id = doc_b)
+         |  WHERE it * 1.0 / (na + nb - it) >= 0.8),
+         |we$i AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM wp$i
+         |         UNION ALL SELECT doc_b, doc_a FROM wp$i),
+         |reach$i(s, d) AS (
+         |  SELECT doc_id, doc_id FROM r$i
+         |  UNION
+         |  SELECT r.s, e.d FROM reach$i r JOIN we$i e ON r.d = e.s),
+         |g$i AS MATERIALIZED (SELECT s AS doc_id, min(d) AS group_id FROM reach$i GROUP BY s),
+         |k$i AS MATERIALIZED (SELECT doc_id FROM g$i WHERE group_id = doc_id),
+         |v$i AS MATERIALIZED (
+         |  SELECT s.doc_id, s.source, $i AS wave,
+         |         CASE WHEN sm.doc_id IS NOT NULL THEN FALSE
+         |              WHEN g.group_id <> s.doc_id THEN FALSE
+         |              ELSE TRUE END AS kept,
+         |         CASE WHEN sm.doc_id IS NOT NULL THEN sm.matched_old
+         |              WHEN g.group_id <> s.doc_id THEN g.group_id END AS matched_old
+         |  FROM srcs s LEFT JOIN sm$i sm ON sm.doc_id = s.doc_id
+         |       LEFT JOIN g$i g ON g.doc_id = s.doc_id
+         |  WHERE s.wave = $i)""".stripMargin
+    }
+    s"""WITH RECURSIVE $sigCtesSql,
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |srcs AS MATERIALIZED (SELECT doc_id, source,
+       |                CAST(floor(CAST(substr(source, 4) AS INT) / 5.0) AS INT) AS wave
+       |         FROM documents),
+       |docsd AS MATERIALIZED (SELECT doc_id, list_distinct(toks) AS dtoks FROM docs0),
+       |${(0 until 4).map(waveSql).mkString(",\n")}
+       |SELECT doc_id, source, wave, kept, matched_old
+       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |      UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Fuzzy (edit-distance) dedup: near-identical documents that differ by
     * small in-place edits — the family MinHash/Jaccard under-serves
     * because token-set measures ignore token ORDER and small substitutions.

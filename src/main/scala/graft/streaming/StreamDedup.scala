@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** ONLINE near-duplicate filtering of a document stream — the streaming
+  * half of the dedup family (SURVEY.md §2 extensions; the batch members
+  * are `ext.Dedup.dedupPipeline` / `dedupIncremental`): documents arrive
+  * as a streaming DataFrame of (doc_id, source, text), each micro-batch
+  * is deduplicated against the accumulated KEPT corpus and within
+  * itself (`ext.Dedup.streamDedupStep` — the exact core the oracled
+  * batch twin `d_dedup_streamed` folds through, so the streaming logic
+  * is DuckDB-checked via the twin), kept docs extend the store, and a
+  * per-doc verdict stream goes to the caller's sink.
+  *
+  * The store is three catalog tables (created on first use):
+  *
+  *   - `<prefix>_bands`     (doc_id, band_idx, band) — MinHash band
+  *     relation of every KEPT doc; 4 fixed-size rows per doc, the only
+  *     thing candidate generation ever joins. At 100 TB this is the
+  *     table to bucket on (band_idx, band) (see `bandPairsBucketed`:
+  *     the big side then arrives pre-partitioned and the per-batch
+  *     candidate join shuffles only the micro-batch).
+  *   - `<prefix>_toks`      (doc_id, toks) — distinct-token sets for
+  *     exact-Jaccard verification; only candidate-matched doc_ids are
+  *     ever read (bucket by doc_id at scale). Old document BODIES are
+  *     never stored or read.
+  *   - `<prefix>_decisions` (doc_id, source, kept, matched_old,
+  *     batch_id) — the decide-exactly-once ledger: docs already present
+  *     are never re-processed, and a replayed batch re-emits their
+  *     recorded verdicts unchanged.
+  *
+  * Exactly-once contract (same posture as the lake fold's anti-join
+  * idiom, `sources/LakeFold.scala`): writes land store-first,
+  * decisions-last, and every append is anti-joined on doc_id, so each
+  * crash window converges under Spark's batch replay —
+  *
+  *   - crash BEFORE any append: plain re-run.
+  *   - crash after bands/toks, before decisions: the replay re-decides
+  *     the batch against a store that already holds the crashed
+  *     attempt's kept docs; self-pairs are excluded by doc_id inside
+  *     streamDedupStep, kept docs re-keep (Jaccard 1 matches are only
+  *     sought among OTHER doc_ids), the anti-joined appends add no
+  *     duplicate rows, and nothing was emitted yet. A doc whose
+  *     in-batch representative now sits in the store may flip from a
+  *     within-batch drop to a store drop with the same matched_old —
+  *     same verdict, different route.
+  *   - crash after decisions, before the sink ran or completed: the
+  *     replay finds every doc decided, recomputes nothing, and re-emits
+  *     the recorded verdicts — the sink must be idempotent per batchId,
+  *     the contract checkpoint recovery already imposes on every
+  *     foreachBatch writer.
+  *
+  * Verdict rows: (doc_id, source, kept, matched_old, batch_id) —
+  * matched_old is the smallest verified kept-corpus match (store drop),
+  * the component representative (within-batch drop), or NULL (kept).
+  */
+object StreamDedup {
+
+  private def bands(prefix: String) = s"${prefix}_bands"
+  private def toks(prefix: String) = s"${prefix}_toks"
+  private def decisions(prefix: String) = s"${prefix}_decisions"
+
+  /** Idempotent store DDL — plain parquet tables here; production would
+    * add CLUSTERED BY (band_idx, band) / (doc_id) respectively, which
+    * `d_dedup_pipeline_bucketed` proves cannot change any answer. */
+  def ensureStore(spark: SparkSession, prefix: String): Unit = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${bands(prefix)} " +
+      "(doc_id BIGINT, band_idx INT, band STRING) USING parquet")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${toks(prefix)} " +
+      "(doc_id BIGINT, toks ARRAY<STRING>) USING parquet")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${decisions(prefix)} " +
+      "(doc_id BIGINT, source STRING, kept BOOLEAN, matched_old BIGINT, " +
+      "batch_id BIGINT) USING parquet")
+  }
+
+  /** One micro-batch: decide fresh docs, append store then decisions
+    * (each anti-joined — see the object doc's crash-window analysis),
+    * and return the batch's full verdict frame (fresh decisions plus
+    * replayed ones, already eagerly materialized — safe to hand to any
+    * sink after the appends). Exposed package-private so specs can
+    * drive replay/crash windows without a running stream. */
+  private[graft] def processBatch(spark: SparkSession, prefix: String,
+      batch: DataFrame, batchId: Long): DataFrame = {
+    ensureStore(spark, prefix)
+    val decided = spark.table(decisions(prefix))
+    // Freeze both sides of the already-decided split BEFORE any append:
+    // the appends below mutate the very tables these frames read, and a
+    // lazy evaluation after the decisions append would double-count the
+    // batch's own fresh docs as replayed.
+    val replayed = decided
+      .join(batch.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("kept"),
+        col("matched_old"), col("batch_id"))
+      .localCheckpoint(true)
+    val fresh = batch
+      .join(decided.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
+    val (verdicts, keptBands, keptToks) = graft.ext.Dedup.streamDedupStep(
+      fresh, spark.table(bands(prefix)), spark.table(toks(prefix)))
+    // Anti-joined appends: each frame is materialized (localCheckpoint)
+    // before its insert so no plan both reads and writes one table.
+    val newBands = keptBands
+      .join(spark.table(bands(prefix)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band_idx"), col("band"))
+      .localCheckpoint(true)
+    newBands.write.insertInto(bands(prefix))
+    val newToks = keptToks
+      .join(spark.table(toks(prefix)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("toks"))
+      .localCheckpoint(true)
+    newToks.write.insertInto(toks(prefix))
+    val freshDecisions = verdicts
+      .withColumn("batch_id", lit(batchId))
+      .select(col("doc_id"), col("source"), col("kept"),
+        col("matched_old"), col("batch_id"))
+      .localCheckpoint(true)
+    freshDecisions
+      .join(spark.table(decisions(prefix)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+      .write.insertInto(decisions(prefix))
+    freshDecisions.union(replayed)
+  }
+
+  /** Start the online dedup filter over a streaming (doc_id, source,
+    * text) DataFrame. `sink` receives each batch's verdict frame and its
+    * batchId and must be idempotent per batchId (standard foreachBatch
+    * recovery contract — see the object doc). */
+  def streamingDedup(docs: DataFrame, prefix: String = "stream_dedup",
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    ensureStore(docs.sparkSession, prefix)
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(processBatch(batch.sparkSession, prefix, batch, batchId), batchId)
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+}

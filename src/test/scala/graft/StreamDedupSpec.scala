@@ -1,0 +1,128 @@
+package graft
+
+import graft.streaming.StreamDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamDedupSpec extends SparkSpec {
+
+  private def dropStore(prefix: String): Unit =
+    Seq("bands", "toks", "decisions").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"): Unit)
+
+  /** (doc_id, source, kept, matched_old, batch_id) rows of a verdict
+    * frame, normalized for set compare (matched_old -1 encodes NULL). */
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("source"), col("kept"),
+      coalesce(col("matched_old"), lit(-1L)).as("mo"), col("batch_id"))
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+      r.getLong(3), r.getLong(4)))
+    .toSet
+
+  test("streaming dedup matches the oracled 4-wave batch twin, batch for batch") {
+    dropStore("sd_eq")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the twin's expected verdicts, wave column standing in for batch_id
+    val expected = ext.Dedup.dedupStreamed(spark, sf001)
+      .select(col("doc_id"), col("source"), col("kept"),
+        coalesce(col("matched_old"), lit(-1L)).as("mo"),
+        col("wave").cast("long").as("batch_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    // stream the same corpus in the twin's four waves; processAllAvailable
+    // between addData calls pins wave i to batchId i
+    val byWave = Tables.documents(spark, sf001)
+      .withColumn("wave",
+        floor(substring(col("source"), 4, 10).cast("int") / 5).cast("int"))
+      .select(col("wave"), col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toIndexedSeq).toMap
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Boolean, Long, Long)]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamDedup.streamingDedup(
+      mem.toDF().toDF("doc_id", "source", "text"), prefix = "sd_eq") {
+      (out, _) => rowsOf(out).foreach(emitted.add(_): Unit)
+    }
+    (0 until 4).foreach { w =>
+      mem.addData(byWave(w): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = emitted.toArray(Array.empty[(Long, String, Boolean, Long, Long)]).toSet
+    assert(got == expected,
+      s"streamed verdicts diverge from the twin: only-got=${(got -- expected).take(3)} " +
+        s"only-want=${(expected -- got).take(3)}")
+    // every batch doc got exactly one verdict
+    assert(got.size == 500, s"expected 500 verdicts, got ${got.size}")
+    dropStore("sd_eq")
+  }
+
+  test("a replayed batch re-emits identical decisions and leaves the store unchanged") {
+    dropStore("sd_rp")
+    val batch = Tables.documents(spark, sf001)
+      .filter(substring(col("source"), 4, 10).cast("int") < 5)
+      .select(col("doc_id"), col("source"), col("text"))
+    val first = rowsOf(StreamDedup.processBatch(spark, "sd_rp", batch, 7L))
+    val counts = Seq("bands", "toks", "decisions")
+      .map(t => t -> spark.table(s"sd_rp_$t").count()).toMap
+    // full replay of the same batch (same batchId): nothing recomputes,
+    // the recorded verdicts re-emit bit-identically, store is unchanged
+    val second = rowsOf(StreamDedup.processBatch(spark, "sd_rp", batch, 7L))
+    assert(second == first,
+      s"replay diverged: only-second=${(second -- first).take(3)} " +
+        s"only-first=${(first -- second).take(3)}")
+    Seq("bands", "toks", "decisions").foreach { t =>
+      assert(spark.table(s"sd_rp_$t").count() == counts(t),
+        s"replay grew sd_rp_$t")
+    }
+    assert(spark.table("sd_rp_decisions")
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0,
+      "replay must not double-record any decision")
+    dropStore("sd_rp")
+  }
+
+  test("crash residue between the store append and the decisions append converges") {
+    dropStore("sd_cr")
+    StreamDedup.ensureStore(spark, "sd_cr")
+    val batch = Tables.documents(spark, sf001)
+      .filter(substring(col("source"), 4, 10).cast("int") < 5)
+      .select(col("doc_id"), col("source"), col("text"))
+    // simulate the crashed first attempt: ALL kept docs' bands+toks landed
+    // in the store, but no decision was recorded and nothing was emitted —
+    // exactly the state a crash between the two appends leaves behind
+    val (verdicts, kb, kt) = ext.Dedup.streamDedupStep(
+      batch, spark.table("sd_cr_bands"), spark.table("sd_cr_toks"))
+    kb.select(col("doc_id"), col("band_idx"), col("band"))
+      .write.insertInto("sd_cr_bands")
+    kt.select(col("doc_id"), col("toks")).write.insertInto("sd_cr_toks")
+    val keptFirst = verdicts.filter(col("kept"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the replay: every doc is undecided, the store already holds the
+    // kept docs' rows. Kept docs must re-keep (no self-match), dropped
+    // docs must carry the same matched_old, and the anti-joined appends
+    // must not duplicate a single store row.
+    val replay = rowsOf(StreamDedup.processBatch(spark, "sd_cr", batch, 0L))
+    val keptReplay = replay.filter(_._3).map(_._1)
+    assert(keptReplay == keptFirst,
+      s"crash replay changed the kept set: only-replay=${(keptReplay -- keptFirst).take(3)} " +
+        s"only-first=${(keptFirst -- keptReplay).take(3)}")
+    val firstV = verdicts
+      .select(col("doc_id"), col("kept"), coalesce(col("matched_old"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(replay.map(t => (t._1, t._3, t._4)) == firstV,
+      "crash replay changed a verdict or matched_old")
+    Seq("bands", "toks").foreach { t =>
+      val dup = spark.table(s"sd_cr_$t")
+        .groupBy(col("doc_id")).count()
+        .filter(col("count") > (if (t == "bands") 4 else 1)).count()
+      assert(dup == 0, s"crash replay duplicated rows in sd_cr_$t")
+    }
+    dropStore("sd_cr")
+  }
+}
