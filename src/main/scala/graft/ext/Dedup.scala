@@ -1066,10 +1066,18 @@ object Dedup {
     * per batch, not once per downstream join, and the CC iterations
     * start from a truncated lineage. */
   private[graft] def streamDedupStep(batch: DataFrame, storeBands: DataFrame,
-      storeToks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val toksB = batch.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks")).localCheckpoint(true)
-    val bandsB = minhashBands(batch).localCheckpoint(true)
+      storeToks: DataFrame,
+      pre: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame, DataFrame) = {
+    // The batch's band/token frames are pinned EAGERLY (one job each):
+    // the CC iterations below re-read them once per round, and
+    // re-hashing every shingle per round costs far more than the two
+    // materialization jobs. A caller that already holds them — the
+    // batch twin computes signatures ONCE for all four waves — passes
+    // them via `pre` and pays neither hash nor job.
+    val (bandsB, toksB) = pre.getOrElse((
+      minhashBands(batch).localCheckpoint(true),
+      batch.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks")).localCheckpoint(true)))
     val storeCand = storeBands.as("o")
       .join(bandsB.as("n"),
         col("o.band_idx") === col("n.band_idx") && col("o.band") === col("n.band") &&
@@ -1079,7 +1087,6 @@ object Dedup {
     val storeMatch = jaccardVerifyToks(storeCand, storeToks, toksB)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("matched_old"))
-      .localCheckpoint(true)
     val survivors = batch.select(col("doc_id"))
       .join(storeMatch.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val bandsR = bandsB.join(survivors, "doc_id")
@@ -1125,6 +1132,18 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("wave",
         floor(substring(col("source"), 4, 10).cast("int") / 5).cast("int"))
+      .localCheckpoint(true)
+    // Signatures and token sets for the WHOLE corpus, hashed exactly
+    // once (two jobs) — each wave then slices them by doc_id instead of
+    // re-deriving from text (lazy per-wave frames measured ~1.5× slower
+    // at sf0.01: the CC rounds re-read them once per round). The live
+    // stream has no such luxury — its batches ARRIVE one at a time —
+    // which is exactly why `pre` is optional. The twin's wall clock is
+    // dominated by 4 × (CC rounds × sequential job scheduling), a floor
+    // that amortizes at real batch sizes and is why Bench excludes it.
+    val allBands = minhashBands(docs).localCheckpoint(true)
+    val allToks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks")).localCheckpoint(true)
     val empty = docs.filter(lit(false))
     var storeBands = minhashBands(empty)
     var storeToks = empty.select(col("doc_id"),
@@ -1132,7 +1151,13 @@ object Dedup {
     val waves = (0 until 4).map { w =>
       val b = docs.filter(col("wave") === w)
         .select(col("doc_id"), col("source"), col("text"))
-      val (v, kb, kt) = streamDedupStep(b, storeBands, storeToks)
+      val ids = b.select(col("doc_id"))
+      val (v, kb, kt) = streamDedupStep(b, storeBands, storeToks,
+        pre = Some((allBands.join(ids, "doc_id"), allToks.join(ids, "doc_id"))))
+      // per-wave checkpoint: the store frames are re-read by every later
+      // wave's candidate join AND each of its CC rounds — pinning the
+      // union keeps those reads one scan instead of a re-evaluated
+      // join chain per read
       storeBands = storeBands.union(kb).localCheckpoint(true)
       storeToks = storeToks.union(kt).localCheckpoint(true)
       v.withColumn("wave", lit(w))
