@@ -75,7 +75,21 @@ object ScaleUpBench {
     * constant — exactly the shape a serving fleet sees as the indexed
     * corpus grows under a fixed request rate. */
   private val annServeProbe: Boolean = queries.contains("e_ann_serve")
-  private val probeQueries: Seq[String] = queries.filterNot(_ == "e_ann_serve")
+
+  /** `d_dedup_serve` enables the STREAMING-DEDUP serve-path probe
+    * (sibling of the ANN one): per factor, one untimed store build
+    * (bands + token sets of the whole xK corpus persisted as tables —
+    * the accumulated kept corpus of `StreamDedup`), then the median
+    * per-batch latency of `streamDedupStep` over a FIXED 250-doc batch:
+    * 125 exact near-dups of copy-0 store docs (new doc_ids) and 125
+    * probe-salted novel docs. Token salting preserves within-set
+    * Jaccard, so the batch's verdict structure is IDENTICAL at every
+    * factor (recorded as kept/dropped counts and asserted same) while
+    * the store side of the band join grows K× — per-batch dedup cost
+    * as the kept corpus grows under a fixed arrival rate. */
+  private val dedupServeProbe: Boolean = queries.contains("d_dedup_serve")
+  private val probeQueries: Seq[String] =
+    queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -249,6 +263,41 @@ object ScaleUpBench {
     }
     lazy val annX1 = annServe(s"$out/x1", "scup_ann_x1")
 
+    /** (store build sec, per-batch serve sec median, kept, dropped) for
+      * the streaming-dedup serve probe (see dedupServeProbe doc). */
+    def dedupServe(dir: String, pfx: String): (Double, Double, Long, Long) = {
+      import graft.ext.Dedup
+      val docs = Tables.table(spark, dir, "documents")
+      val t0 = System.nanoTime()
+      Seq("bands", "toks").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"): Unit)
+      Dedup.minhashBands(docs).write.saveAsTable(s"${pfx}_bands")
+      docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .write.saveAsTable(s"${pfx}_toks")
+      val build = (System.nanoTime() - t0) / 1e9
+      def batch: DataFrame = {
+        val base = docs.filter(col("doc_id") < 250)
+          .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+            col("source"), col("text"))
+        base.filter(col("doc_id") % 2 === 0)
+          .unionByName(base.filter(col("doc_id") % 2 === 1)
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "),
+                t => concat(lit("probe_"), t)), " ")))
+      }
+      val serve = Bench.timeQuery((s, _) => {
+        val (v, _, _) = Dedup.streamDedupStep(batch,
+          s.table(s"${pfx}_bands"), s.table(s"${pfx}_toks"))
+        v
+      }, spark, dir, runs).median
+      val (v, _, _) = Dedup.streamDedupStep(batch,
+        spark.table(s"${pfx}_bands"), spark.table(s"${pfx}_toks"))
+      val kept = v.filter(col("kept")).count()
+      (build, serve, kept, 250L - kept)
+    }
+    lazy val dedupX1 = dedupServe(s"$out/x1", "scup_sd_x1")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -303,7 +352,15 @@ object ScaleUpBench {
           s"[scaleup] ann-serve plan shape drift at x$k:\n  x1=${sh1.mkString(">")}\n  x$k=${shk.mkString(">")}")
         f""","ann_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"plan_same":$same}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson}"""
+      val dedupJson = if (!dedupServeProbe) "" else {
+        val (b1, s1, k1c, d1) = dedupX1
+        val (bk, sk, kkc, dk) = dedupServe(s"$out/x$k", s"scup_sd_x$k")
+        val same = k1c == kkc && d1 == dk
+        if (!same) System.err.println(
+          s"[scaleup] dedup-serve verdict drift at x$k: x1=($k1c kept, $d1 dropped) x$k=($kkc kept, $dk dropped)")
+        f""","dedup_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -311,11 +368,14 @@ object ScaleUpBench {
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     lines.foreach(println)
     // the serve probe's index tables are scratch state, not artifacts
-    if (annServeProbe)
-      ("x1" +: factors.map(k => s"x$k")).foreach { fx =>
+    ("x1" +: factors.map(k => s"x$k")).foreach { fx =>
+      if (annServeProbe)
         Seq("codes", "centroids", "codebooks").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_ann_${fx}_$t"): Unit)
-      }
+      if (dedupServeProbe)
+        Seq("bands", "toks").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_sd_${fx}_$t"): Unit)
+    }
     spark.stop()
   }
 }
