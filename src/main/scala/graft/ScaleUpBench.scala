@@ -88,8 +88,22 @@ object ScaleUpBench {
     * the store side of the band join grows K× — per-batch dedup cost
     * as the kept corpus grows under a fixed arrival rate. */
   private val dedupServeProbe: Boolean = queries.contains("d_dedup_serve")
+
+  /** `d_dedup_serve_pruned` measures the MITIGATION the plain serve
+    * probe's growth analysis names: the same fixed 250-doc batch served
+    * with probe-side store pruning on (`streamDedupStep(prune = true)`,
+    * the `StreamDedup.processBatch` default) against a toks store laid
+    * out doc_id-ordered (range-partitioned + sorted — the natural layout
+    * of an append-only store with monotonic ids, and what a compaction
+    * pass maintains). The pushed candidate-id range then SKIPS every
+    * toks row group outside copy-0's id window instead of decoding all
+    * K× kept docs' token arrays. Bands layout and batch are identical to
+    * the plain probe, so the delta isolates the pruning mechanism. */
+  private val dedupServePrunedProbe: Boolean =
+    queries.contains("d_dedup_serve_pruned")
   private val probeQueries: Seq[String] =
-    queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve")
+    queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
+      q == "d_dedup_serve_pruned")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -265,15 +279,22 @@ object ScaleUpBench {
 
     /** (store build sec, per-batch serve sec median, kept, dropped) for
       * the streaming-dedup serve probe (see dedupServeProbe doc). */
-    def dedupServe(dir: String, pfx: String): (Double, Double, Long, Long) = {
+    def dedupServe(dir: String, pfx: String,
+        pruned: Boolean = false): (Double, Double, Long, Long) = {
       import graft.ext.Dedup
       val docs = Tables.table(spark, dir, "documents")
       val t0 = System.nanoTime()
       Seq("bands", "toks").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"): Unit)
       Dedup.minhashBands(docs).write.saveAsTable(s"${pfx}_bands")
-      docs.select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks"))
+      val toksDf = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      // pruned probe: doc_id-ordered toks layout so the pushed candidate
+      // id range becomes parquet row-group skips (see dedupServePrunedProbe)
+      (if (pruned)
+        toksDf.repartitionByRange(nCores, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+      else toksDf)
         .write.saveAsTable(s"${pfx}_toks")
       val build = (System.nanoTime() - t0) / 1e9
       def batch: DataFrame = {
@@ -288,15 +309,17 @@ object ScaleUpBench {
       }
       val serve = Bench.timeQuery((s, _) => {
         val (v, _, _) = Dedup.streamDedupStep(batch,
-          s.table(s"${pfx}_bands"), s.table(s"${pfx}_toks"))
+          s.table(s"${pfx}_bands"), s.table(s"${pfx}_toks"), prune = pruned)
         v
       }, spark, dir, runs).median
       val (v, _, _) = Dedup.streamDedupStep(batch,
-        spark.table(s"${pfx}_bands"), spark.table(s"${pfx}_toks"))
+        spark.table(s"${pfx}_bands"), spark.table(s"${pfx}_toks"),
+        prune = pruned)
       val kept = v.filter(col("kept")).count()
       (build, serve, kept, 250L - kept)
     }
     lazy val dedupX1 = dedupServe(s"$out/x1", "scup_sd_x1")
+    lazy val dedupPrunedX1 = dedupServe(s"$out/x1", "scup_sdp_x1", pruned = true)
 
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
@@ -360,7 +383,16 @@ object ScaleUpBench {
           s"[scaleup] dedup-serve verdict drift at x$k: x1=($k1c kept, $d1 dropped) x$k=($kkc kept, $dk dropped)")
         f""","dedup_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson}"""
+      val dedupPrunedJson = if (!dedupServePrunedProbe) "" else {
+        val (b1, s1, k1c, d1) = dedupPrunedX1
+        val (bk, sk, kkc, dk) =
+          dedupServe(s"$out/x$k", s"scup_sdp_x$k", pruned = true)
+        val same = k1c == kkc && d1 == dk
+        if (!same) System.err.println(
+          s"[scaleup] pruned dedup-serve verdict drift at x$k: x1=($k1c kept, $d1 dropped) x$k=($kkc kept, $dk dropped)")
+        f""","dedup_serve_pruned":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -375,6 +407,9 @@ object ScaleUpBench {
       if (dedupServeProbe)
         Seq("bands", "toks").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_sd_${fx}_$t"): Unit)
+      if (dedupServePrunedProbe)
+        Seq("bands", "toks").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_sdp_${fx}_$t"): Unit)
     }
     spark.stop()
   }

@@ -1064,10 +1064,29 @@ object Dedup {
     * touches only candidate-matched store docs' token sets. Batch inputs
     * are eagerly localCheckpoint'ed once — signatures are computed once
     * per batch, not once per downstream join, and the CC iterations
-    * start from a truncated lineage. */
+    * start from a truncated lineage.
+    *
+    * `prune = true` turns on PROBE-SIDE STORE PRUNING — the serve-path
+    * optimization for a parquet-backed store that dwarfs the micro-batch
+    * (the `StreamDedup` production shape; the x100 serve sweep showed the
+    * two store scans are the whole growth term). The batch's distinct
+    * band keys, and then the candidate doc_ids, are collected (both
+    * bounded by the micro-batch: ≤ bands-per-doc × batch docs keys and
+    * ≤ verified-candidate fan-in ids, capped at `maxPruneKeys` with a
+    * fall-back to the unpruned scan) and pushed as IN-filters into the
+    * store scans BEFORE the joins. Semantically a no-op — each filter
+    * restricts an equi-join input to the only keys the join could match —
+    * but physically it reaches the parquet reader: Spark pushes a
+    * min..max range for large IN-lists, so a doc_id-ordered toks store
+    * (the natural layout of an append-only store with monotonic ids)
+    * skips every row group outside the candidates' id range instead of
+    * decoding every kept doc's token array, and an empty key set
+    * short-circuits the scan entirely (the no-candidates fast path). */
   private[graft] def streamDedupStep(batch: DataFrame, storeBands: DataFrame,
       storeToks: DataFrame,
-      pre: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame, DataFrame) = {
+      pre: Option[(DataFrame, DataFrame)] = None,
+      prune: Boolean = false,
+      maxPruneKeys: Int = 100000): (DataFrame, DataFrame, DataFrame) = {
     // The batch's band/token frames are pinned EAGERLY (one job each):
     // the CC iterations below re-read them once per round, and
     // re-hashing every shingle per round costs far more than the two
@@ -1078,13 +1097,40 @@ object Dedup {
       minhashBands(batch).localCheckpoint(true),
       batch.select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("toks")).localCheckpoint(true)))
-    val storeCand = storeBands.as("o")
+    // Bounded driver-side collect (capped): IN-list for the store-bands
+    // scan. Band keys are md5 strings, so the pushed min..max range spans
+    // the keyspace — the win here is the empty-set short-circuit and the
+    // pre-join row cut; the range-pruning payoff is the toks scan below.
+    val storeBandsP =
+      if (!prune) storeBands
+      else {
+        val keys = bandsB.select(col("band")).distinct()
+          .limit(maxPruneKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+        if (keys.isEmpty) storeBands.filter(lit(false))
+        else if (keys.length > maxPruneKeys) storeBands
+        else storeBands.filter(col("band").isin(keys: _*))
+      }
+    val storeCand0 = storeBandsP.as("o")
       .join(bandsB.as("n"),
         col("o.band_idx") === col("n.band_idx") && col("o.band") === col("n.band") &&
           col("o.doc_id") =!= col("n.doc_id"))
       .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
       .distinct()
-    val storeMatch = jaccardVerifyToks(storeCand, storeToks, toksB)
+    // Pruning needs the candidate ids on the driver, and the verify join
+    // reuses the frame — pin it once so the band join runs once, not
+    // twice (candidates are micro-batch-bounded: band-collision fan-in
+    // of one batch).
+    val storeCand = if (prune) storeCand0.localCheckpoint(true) else storeCand0
+    val storeToksP =
+      if (!prune) storeToks
+      else {
+        val ids = storeCand.select(col("doc_a")).distinct()
+          .limit(maxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
+        if (ids.isEmpty) storeToks.filter(lit(false))
+        else if (ids.length > maxPruneKeys) storeToks
+        else storeToks.filter(col("doc_id").isin(ids: _*))
+      }
+    val storeMatch = jaccardVerifyToks(storeCand, storeToksP, toksB)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("matched_old"))
     val survivors = batch.select(col("doc_id"))

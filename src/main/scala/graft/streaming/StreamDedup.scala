@@ -98,8 +98,14 @@ object StreamDedup {
       .join(decided.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
       .localCheckpoint(true)
+    // prune = true: the store tables are parquet-backed and grow without
+    // bound while the batch stays micro-batch-sized — exactly the shape
+    // probe-side store pruning exists for (see streamDedupStep's doc; a
+    // doc_id-ordered toks layout turns the pushed id range into row-group
+    // skips, and a batch with no store candidates never scans toks at all).
     val (verdicts, keptBands, keptToks) = graft.ext.Dedup.streamDedupStep(
-      fresh, spark.table(bands(prefix)), spark.table(toks(prefix)))
+      fresh, spark.table(bands(prefix)), spark.table(toks(prefix)),
+      prune = true)
     // Anti-joined appends: each frame is materialized (localCheckpoint)
     // before its insert so no plan both reads and writes one table.
     val newBands = keptBands

@@ -87,6 +87,116 @@ class StreamDedupSpec extends SparkSpec {
     dropStore("sd_rp")
   }
 
+  test("a checkpointed restart resumes mid-corpus with exactly-once decisions") {
+    dropStore("sd_ck")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sd_ck_chk").toString
+    val byWave = Tables.documents(spark, sf001)
+      .withColumn("wave",
+        floor(substring(col("source"), 4, 10).cast("int") / 5).cast("int"))
+      .select(col("wave"), col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toIndexedSeq).toMap
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Boolean, Long, Long)]
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = StreamDedup.streamingDedup(
+      mem.toDF().toDF("doc_id", "source", "text"), prefix = "sd_ck",
+      checkpoint = Some(ckpt)) {
+      (out, _) => rowsOf(out).foreach(emitted.add(_): Unit)
+    }
+    // first incarnation processes waves 0-1, then STOPS — the kept corpus
+    // and the decision ledger survive only in the store tables + checkpoint
+    val q1 = start()
+    (0 until 2).foreach { w => mem.addData(byWave(w): _*); q1.processAllAvailable() }
+    q1.stop()
+    // second incarnation, same checkpoint + same source: wave 2 arrived
+    // while it was down and must be deduped against wave 0-1's kept
+    // corpus; wave 3 follows in its own batch (fed per-wave so the batch
+    // boundaries match the twin's — a combined 2+3 batch could
+    // legitimately pick a different component representative)
+    mem.addData(byWave(2): _*)
+    val q2 = start()
+    q2.processAllAvailable()
+    mem.addData(byWave(3): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = emitted.toArray(Array.empty[(Long, String, Boolean, Long, Long)])
+    // exactly one verdict per doc across both incarnations — the ledger
+    // absorbs any batch replay the restart triggers
+    assert(got.length == got.map(_._1).distinct.length,
+      s"restart double-emitted a verdict: ${got.length} rows, ${got.map(_._1).distinct.length} docs")
+    assert(got.length == 500, s"expected 500 verdicts across the restart, got ${got.length}")
+    // and the verdicts equal the 4-wave twin's (restart is invisible),
+    // modulo batch numbering: post-restart waves may share one batch id
+    val expected = ext.Dedup.dedupStreamed(spark, sf001)
+      .select(col("doc_id"), col("kept"),
+        coalesce(col("matched_old"), lit(-1L)).as("mo"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(got.map(t => (t._1, t._3, t._4)).toSet == expected,
+      "restart changed a verdict vs the batch twin")
+    dropStore("sd_ck")
+  }
+
+  test("probe-side store pruning changes no verdict, no kept row, and handles the no-candidate batch") {
+    dropStore("sd_pr")
+    StreamDedup.ensureStore(spark, "sd_pr")
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+    // seed the store with waves 0-1's kept docs (unpruned path)
+    val seed = docs.filter(col("src_num") < 10)
+      .select(col("doc_id"), col("source"), col("text"))
+    val (_, kb0, kt0) = ext.Dedup.streamDedupStep(
+      seed, spark.table("sd_pr_bands"), spark.table("sd_pr_toks"))
+    kb0.select(col("doc_id"), col("band_idx"), col("band"))
+      .write.insertInto("sd_pr_bands")
+    kt0.select(col("doc_id"), col("toks")).write.insertInto("sd_pr_toks")
+    val batch = docs.filter(col("src_num") >= 10)
+      .select(col("doc_id"), col("source"), col("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kept"),
+        coalesce(col("matched_old"), lit(-1L)).as("mo"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val (vPlain, kbP, ktP) = ext.Dedup.streamDedupStep(
+      batch, spark.table("sd_pr_bands"), spark.table("sd_pr_toks"))
+    val (vPruned, kbQ, ktQ) = ext.Dedup.streamDedupStep(
+      batch, spark.table("sd_pr_bands"), spark.table("sd_pr_toks"),
+      prune = true)
+    assert(norm(vPruned) == norm(vPlain),
+      "pruning changed a verdict or matched_old")
+    assert(vPruned.filter(col("kept")).count() > 0 &&
+      vPruned.filter(!col("kept")).count() > 0,
+      "fixture must exercise both kept and dropped docs")
+    assert(kbQ.select(col("doc_id"), col("band_idx"), col("band")).collect().toSet ==
+      kbP.select(col("doc_id"), col("band_idx"), col("band")).collect().toSet,
+      "pruning changed the kept band rows")
+    assert(ktQ.select(col("doc_id")).collect().toSet ==
+      ktP.select(col("doc_id")).collect().toSet,
+      "pruning changed the kept toks rows")
+    // tiny cap: every key list overflows maxPruneKeys → unpruned fall-back
+    val (vCap, _, _) = ext.Dedup.streamDedupStep(
+      batch, spark.table("sd_pr_bands"), spark.table("sd_pr_toks"),
+      prune = true, maxPruneKeys = 1)
+    assert(norm(vCap) == norm(vPlain), "cap fall-back diverged")
+    // all-novel batch (salted tokens → no band ever collides with the
+    // store): candidate set is empty, the pruned toks scan short-circuits,
+    // and every doc not duplicated within the batch is kept
+    val novel = batch.limit(20)
+      .select((col("doc_id") + lit(500000L)).as("doc_id"), col("source"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit("nv_"), t)), " ").as("text"))
+    val (vNovel, _, _) = ext.Dedup.streamDedupStep(
+      novel, spark.table("sd_pr_bands"), spark.table("sd_pr_toks"),
+      prune = true)
+    assert(vNovel.filter(col("matched_old").isNotNull &&
+      col("matched_old") < 500000L).count() == 0,
+      "a novel doc matched the store through the pruned path")
+    assert(vNovel.count() == 20, "novel batch lost a verdict")
+    dropStore("sd_pr")
+  }
+
   test("crash residue between the store append and the decisions append converges") {
     dropStore("sd_cr")
     StreamDedup.ensureStore(spark, "sd_cr")
