@@ -95,9 +95,19 @@ object TableOps {
     * designed for: a death before the swap leaves the live table
     * byte-identical and only an orphaned staging table behind, and the
     * orphan is reclaimed by the NEXT compaction's own resetTable (drop
-    * if exists + clear location). Returns (stagingName, filesBefore). */
+    * if exists + clear location). Returns (stagingName, filesBefore).
+    *
+    * `orderBy` (optional) makes the rewrite ORDERED: range-partitioned
+    * on the named columns and sorted within each file, so per-file and
+    * per-row-group min/max stats become tight, disjoint ranges and any
+    * pushed range/IN predicate on those columns skips whole files — the
+    * layout that turns probe-side pruning (streamDedupStep's serve-path
+    * filter, q1's ts pushdown) from row-skipping into scan-skipping.
+    * The sort costs one extra shuffle over the plain rewrite; both run
+    * on the staging copy, never the live table. */
   private[graft] def stageCompaction(spark: SparkSession, name: String,
-      targetFileBytes: Long, stagingName: String = null): (String, Int) = {
+      targetFileBytes: Long, stagingName: String = null,
+      orderBy: Seq[String] = Nil): (String, Int) = {
     val loc = warehousePath(spark, name)
     // Partitioned tables keep their data under per-partition
     // SUBDIRECTORIES; compacting through a flat rewrite would silently
@@ -127,7 +137,13 @@ object TableOps {
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = Option(stagingName).getOrElse(s"${name}_compacting")
-    resetTable(spark, staging, spark.table(name).repartition(nOut))
+    val src = spark.table(name)
+    val laid =
+      if (orderBy.isEmpty) src.repartition(nOut)
+      else src
+        .repartitionByRange(nOut, orderBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(orderBy.head, orderBy.tail: _*)
+    resetTable(spark, staging, laid)
     (staging, before.length)
   }
 
@@ -146,8 +162,10 @@ object TableOps {
     * metastore-atomic rename or a table format's commit protocol (see
     * SCALING.md). Returns (filesBefore, filesAfter). */
   def compactTable(spark: SparkSession, name: String,
-                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (staging, nBefore) = stageCompaction(spark, name, targetFileBytes)
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   orderBy: Seq[String] = Nil): (Int, Int) = {
+    val (staging, nBefore) =
+      stageCompaction(spark, name, targetFileBytes, orderBy = orderBy)
     dropWithLocation(spark, name)
     spark.sql(s"ALTER TABLE $staging RENAME TO $name")
     (nBefore, dataFiles(spark, warehousePath(spark, name)).length)
@@ -224,7 +242,8 @@ object TableOps {
     * bucketed inputs for the same reason). Returns (filesBefore,
     * filesAfter). */
   def compactTableAtomic(spark: SparkSession, name: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      orderBy: Seq[String] = Nil): (Int, Int) = {
     val v = backingVersion(spark, name)
     val cur = s"${name}_v$v"
     // reclaim stale versions a crashed prior run left behind and the
@@ -232,7 +251,8 @@ object TableOps {
     // not the live backing table)
     dropStaleVersions(spark, name, keep = Some(cur))
     val next = s"${name}_v${v + 1}"
-    val (staging, nBefore) = stageCompaction(spark, cur, targetFileBytes, next)
+    val (staging, nBefore) =
+      stageCompaction(spark, cur, targetFileBytes, next, orderBy)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $staging")
     // cur is deliberately NOT dropped here — see the reader-grace note in
     // the scaladoc; the next run's cleanup pass reclaims it

@@ -62,6 +62,10 @@ object StreamDedup {
   private def toks(prefix: String) = s"${prefix}_toks"
   private def decisions(prefix: String) = s"${prefix}_decisions"
 
+  /** Cap on any probe-side key collect (matches streamDedupStep's
+    * default): above it, the unpruned scan is the cheaper plan anyway. */
+  private val MaxPruneKeys = 100000
+
   /** Idempotent store DDL — plain parquet tables here; production would
     * add CLUSTERED BY (band_idx, band) / (doc_id) respectively, which
     * `d_dedup_pipeline_bucketed` proves cannot change any answer. */
@@ -84,7 +88,19 @@ object StreamDedup {
   private[graft] def processBatch(spark: SparkSession, prefix: String,
       batch: DataFrame, batchId: Long): DataFrame = {
     ensureStore(spark, prefix)
-    val decided = spark.table(decisions(prefix))
+    // The decide-exactly-once split reads the decisions ledger, which
+    // grows with the TOTAL corpus while the batch stays micro-batch-sized
+    // — prune it by the batch's own doc_ids (bounded collect, capped;
+    // restricting either side of an equi-/anti-join on doc_id to the
+    // batch's ids is a no-op). With a doc_id-ordered ledger layout
+    // ([[compactStore]]) the pushed id range skips files outright.
+    val decidedAll = spark.table(decisions(prefix))
+    val batchIds = batch.select(col("doc_id")).distinct()
+      .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
+    val decided =
+      if (batchIds.isEmpty) decidedAll.filter(lit(false))
+      else if (batchIds.length > MaxPruneKeys) decidedAll
+      else decidedAll.filter(col("doc_id").isin(batchIds: _*))
     // Freeze both sides of the already-decided split BEFORE any append:
     // the appends below mutate the very tables these frames read, and a
     // lazy evaluation after the decisions append would double-count the
@@ -125,12 +141,42 @@ object StreamDedup {
       .select(col("doc_id"), col("source"), col("kept"),
         col("matched_old"), col("batch_id"))
       .localCheckpoint(true)
+    // same pruning as the decide split: freshDecisions only carries batch
+    // docs, so the guard anti-join needs only the ledger's batch-id slice
     freshDecisions
-      .join(spark.table(decisions(prefix)).select(col("doc_id")).distinct(),
+      .join(decided.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
       .write.insertInto(decisions(prefix))
     freshDecisions.union(replayed)
+  }
+
+  /** ORDERED small-file compaction of the three store tables — the
+    * maintenance pass the serve path's probe pruning assumes. Every
+    * micro-batch appends a few small files to each table; after N
+    * batches the stores are N-file piles with interleaved key ranges, so
+    * the pushed id-range predicates ([[processBatch]]'s ledger pruning,
+    * `streamDedupStep(prune = true)`'s toks pruning) can skip nothing.
+    * Compaction rewrites each table into ⌈bytes/target⌉ right-sized
+    * files range-partitioned + sorted on its probe key — toks and the
+    * decisions ledger on doc_id (monotonic-ish ids make each file a
+    * tight id window), bands on (band_idx, band) for locality — via
+    * `TableOps.compactTable`'s stage+swap protocol (crash before the
+    * swap leaves the live table byte-identical; the swap's drop+RENAME
+    * caveat is documented there). Run it with the filter idle — between
+    * micro-batches or with the stream stopped — same contract as every
+    * in-place lake maintenance job here. Returns per-table
+    * (filesBefore, filesAfter). */
+  def compactStore(spark: SparkSession, prefix: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    ensureStore(spark, prefix)
+    Map(
+      bands(prefix) -> graft.sources.TableOps.compactTable(spark,
+        bands(prefix), targetFileBytes, orderBy = Seq("band_idx", "band")),
+      toks(prefix) -> graft.sources.TableOps.compactTable(spark,
+        toks(prefix), targetFileBytes, orderBy = Seq("doc_id")),
+      decisions(prefix) -> graft.sources.TableOps.compactTable(spark,
+        decisions(prefix), targetFileBytes, orderBy = Seq("doc_id")))
   }
 
   /** Start the online dedup filter over a streaming (doc_id, source,

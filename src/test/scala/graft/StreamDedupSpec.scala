@@ -197,6 +197,49 @@ class StreamDedupSpec extends SparkSpec {
     dropStore("sd_pr")
   }
 
+  test("ordered store compaction preserves verdicts and yields disjoint per-file id ranges") {
+    dropStore("sd_cpA"); dropStore("sd_cpB")
+    val byWave = (0 until 4).map { w =>
+      Tables.documents(spark, sf001)
+        .filter(floor(substring(col("source"), 4, 10).cast("int") / 5) === w)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    // prefix A: four batches straight through. prefix B: same batches,
+    // but the whole store is compacted (ordered rewrite) after batch 1.
+    val vA = (0 until 4).flatMap(w =>
+      rowsOf(StreamDedup.processBatch(spark, "sd_cpA", byWave(w), w.toLong)))
+    val vB01 = (0 until 2).flatMap(w =>
+      rowsOf(StreamDedup.processBatch(spark, "sd_cpB", byWave(w), w.toLong)))
+    val counts = Seq("bands", "toks", "decisions")
+      .map(t => t -> spark.table(s"sd_cpB_$t").count()).toMap
+    val res = StreamDedup.compactStore(spark, "sd_cpB")
+    Seq("bands", "toks", "decisions").foreach { t =>
+      assert(spark.table(s"sd_cpB_$t").count() == counts(t),
+        s"compaction changed sd_cpB_$t's row count")
+      val (nBefore, nAfter) = res(s"sd_cpB_$t")
+      assert(nAfter <= nBefore && nAfter == 1,
+        s"sd_cpB_$t: expected 1 compacted file, got $nAfter (from $nBefore)")
+    }
+    // the ordered layout: per-file doc_id ranges of the compacted toks
+    // must be disjoint (single file here — assert the mechanism on a
+    // multi-file ordered rewrite of the same table instead)
+    graft.sources.TableOps.compactTable(spark, "sd_cpB_toks",
+      targetFileBytes = 2048, orderBy = Seq("doc_id"))
+    val ranges = spark.table("sd_cpB_toks")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "fixture must produce a multi-file rewrite")
+    ranges.zip(ranges.drop(1)).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping per-file id ranges: ${ranges.mkString(",")}")
+    }
+    val vB23 = (2 until 4).flatMap(w =>
+      rowsOf(StreamDedup.processBatch(spark, "sd_cpB", byWave(w), w.toLong)))
+    assert((vB01 ++ vB23).toSet == vA.toSet,
+      "compaction mid-corpus changed a verdict")
+    dropStore("sd_cpA"); dropStore("sd_cpB")
+  }
+
   test("crash residue between the store append and the decisions append converges") {
     dropStore("sd_cr")
     StreamDedup.ensureStore(spark, "sd_cr")
