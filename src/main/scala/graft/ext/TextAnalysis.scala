@@ -1972,6 +1972,82 @@ object TextAnalysis {
       |FROM k
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic corpus MIXING — re-balance the corpus to a target
+    * per-source distribution, the step a training pipeline runs after
+    * filtering and before sharding ("2 parts code, 1 part web, ...").
+    * Semantics: each source carries an integer target weight w (here
+    * `(srcN's N mod 4) + 1`, so the fixture exercises a 1:2:3:4 mix);
+    * the mix takes the LARGEST total volume for which every source can
+    * fill its share from what it has — the per-weight-unit volume is
+    * `u = min over sources of n/w`, so the binding source is taken
+    * whole and everything else is downsampled — and each source keeps
+    * exactly `quota = ⌊w·u⌋` docs:
+    * the quota docs with the SMALLEST shuffle keys, ties by doc_id.
+    * Every step is engine-portable: the shuffle key is the same
+    * md5-prefix device as [[corpusShuffle]], and the quota arithmetic
+    * is EXACT integer math — weights {1,2,3,4} all divide 12, so
+    * `v = n·(12/w)` and `quota = (w·min(v)) div 12` never touch a
+    * float and can never round differently across engines. Dataflow at
+    * 100 TB: one tiny per-source count aggregate broadcast back, one
+    * rank-within-source window (the same single-shuffle cost class as
+    * [[corpusShuffle]]'s per-shard deal); a FEW giant sources make
+    * that window skew-bound, in which case the exact per-group rank
+    * becomes a two-phase distributed selection (per-partition counts →
+    * prefix offsets) — the quota/threshold semantics are unchanged. */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
+    corpusMixOn(Tables.documents(spark, sfDir), seed = "mix42")
+
+  private[graft] def corpusMixOn(docs: DataFrame, seed: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(docs.sparkSession)
+    val keyed = docs.select(col("doc_id"), col("source"),
+      expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
+        .as("skey"),
+      (pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + lit(1L))
+        .as("w"))
+    // per-source counts: a 20-row aggregate of a corpus-sized scan —
+    // pinned eagerly so the min-volume scalar and the per-source quotas
+    // both read the materialized rows instead of re-running the scan
+    // (without the pin, the cross-joined min recomputes the whole
+    // aggregate subtree: three corpus scans instead of two)
+    val caps = keyed.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("v", col("n") * (lit(12.0) / col("w")).cast("long"))
+      .localCheckpoint(true)
+    val t12 = caps.agg(min(col("v")).as("t12"))
+    val quotas = caps.crossJoin(broadcast(t12))
+      .select(col("source"), expr("(w * t12) div 12").as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("pos"), col("quota"),
+        (col("pos") <= col("quota")).as("kept"))
+  }
+
+  val corpusMixSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_transform(range(0, 15),
+      |      p -> CAST(strpos('0123456789abcdef',
+      |             substr(md5('mix42:' || CAST(doc_id AS VARCHAR)),
+      |                    CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS skey,
+      |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+      |  FROM documents),
+      |c AS (SELECT source, w, count(*) AS n, count(*) * (12 // w) AS v
+      |      FROM k GROUP BY 1, 2),
+      |t AS (SELECT min(v) AS t12 FROM c),
+      |q AS (SELECT source, (w * t12) // 12 AS quota FROM c, t)
+      |SELECT doc_id, k.source AS source,
+      |       CAST(row_number() OVER (PARTITION BY k.source
+      |                               ORDER BY skey, doc_id) AS BIGINT) AS pos,
+      |       quota,
+      |       CAST(row_number() OVER (PARTITION BY k.source
+      |                               ORDER BY skey, doc_id) AS BIGINT)
+      |         <= quota AS kept
+      |FROM k JOIN q ON q.source = k.source
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality-gate ensemble — what a production pipeline actually ships:
     * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
     * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —

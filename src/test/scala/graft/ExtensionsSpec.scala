@@ -1452,4 +1452,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(reseeded.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq,
       "a different seed must produce a different deal")
   }
+
+  test("corpus mix fills exact integer quotas in the target ratio, binding source whole") {
+    import graft.ext.TextAnalysis
+    // (doc_id, source, pos, quota, kept)
+    val out = TextAnalysis.corpusMix(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val n = Tables.documents(spark, sf001).count()
+    assert(out.length == n && out.map(_._1).distinct.length == n,
+      "mix must emit a verdict for every document exactly once")
+    val bySrc = out.groupBy(_._2)
+    // recompute the quota contract from first principles: u = min(n/w)
+    // per weight unit, quota = floor(w * u), kept = the quota
+    // skey-smallest docs (pos ranks skey order, so kept <=> pos <= quota)
+    val wOf = (s: String) => s.drop(3).toLong % 4 + 1
+    val u12 = bySrc.map { case (s, rows) => rows.length * (12 / wOf(s)) }.min
+    bySrc.foreach { case (s, rows) =>
+      val expectQuota = wOf(s) * u12 / 12
+      assert(rows.forall(_._4 == expectQuota), s"$s quota != $expectQuota")
+      assert(rows.count(_._5) == expectQuota, s"$s kept count != quota")
+      assert(rows.filter(_._5).map(_._3).toSet == (1L to expectQuota).toSet,
+        s"$s kept docs are not the pos-prefix")
+    }
+    // the binding source (largest weight here: uniform counts) is taken
+    // whole; every other source is strictly downsampled
+    bySrc.foreach { case (s, rows) =>
+      if (wOf(s) == 4) assert(rows.forall(_._5), s"binding source $s not whole")
+      else assert(rows.exists(!_._5), s"source $s should be downsampled")
+    }
+    // determinism: identical rerun, and a reseed re-deals WHICH docs
+    // fill the quotas but never the quotas themselves
+    val again = TextAnalysis.corpusMix(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val reseeded = TextAnalysis.corpusMixOn(
+      Tables.documents(spark, sf001), seed = "other").collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(reseeded.count(_._2) == out.count(_._5),
+      "reseeding must preserve every quota")
+    assert(reseeded.filter(_._2).map(_._1).toSet !=
+      out.filter(_._5).map(_._1).toSet,
+      "a different seed must re-deal the kept set")
+  }
 }
