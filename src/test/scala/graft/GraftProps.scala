@@ -346,4 +346,40 @@ object GraftProps extends Properties("graft") {
       Prop(cover && inRange && contiguous && stable) :|
         s"ids=${ids.take(5)}... shards=$shards seed=$seed out=${out.take(5)}..."
     }
+
+  // --- spark: corpus mix quota law on ANY corpus shape -------------
+
+  property("corpus mix: exact quota law, prefix-kept, partition-stable") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 1000000L), Gen.choose(0, 19)))
+        .map(_.distinctBy(_._1)),
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+    ) { (docs0, seed) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val docs = docs0.map { case (id, k) => (id, s"src$k") }
+        .toDF("doc_id", "source")
+      def mix(df: org.apache.spark.sql.DataFrame) =
+        graft.ext.TextAnalysis.corpusMixOn(df, seed).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+      val out = mix(docs)
+      val cover = out.length == docs0.length &&
+        out.map(_._1).toSet == docs0.map(_._1).toSet
+      // recompute the integer quota law independently of the dataflow
+      val bySrc = out.groupBy(_._2)
+      val wOf = (s: String) => s.drop(3).toLong % 4 + 1
+      val u12 = bySrc.map { case (s, rs) => rs.length * (12 / wOf(s)) }.min
+      val quotaLaw = bySrc.forall { case (s, rs) =>
+        val q = wOf(s) * u12 / 12
+        rs.forall(_._4 == q) && rs.count(_._5) == q &&
+          rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong) &&
+          rs.filter(_._5).map(_._3).toSet == (1L to q).toSet
+      }
+      val again = mix(docs.repartition(7))
+      val stable = out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq
+      Prop(cover && quotaLaw && stable) :|
+        s"docs=${docs0.take(5)}... seed=$seed u12=$u12 out=${out.take(3)}..."
+    }
 }
