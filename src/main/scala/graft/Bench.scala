@@ -85,7 +85,7 @@ object Bench {
     "e_cluster_topics", "q_ewma", "q_cusum", "d_heavy_hitters",
     "e_ann_index_lookup", "d_bpe_merges12", "d_bpe_encode", "q_scd2",
     "q_mv_refresh", "m_audio_vad", "d_corpus_stats", "d_span_dedup",
-    "d_corpus_shuffle", "d_corpus_mix")
+    "d_corpus_shuffle", "d_corpus_mix", "d_corpus_mix_tokens")
   // d_dedup_streamed is deliberately NOT benched: it is the 4-wave
   // SEQUENTIAL semantics twin of the streaming filter, so its ~10 s at
   // any small SF is 4 × (CC rounds × driver-loop scheduling floor), not

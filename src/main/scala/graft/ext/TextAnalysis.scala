@@ -2048,6 +2048,100 @@ object TextAnalysis {
       |FROM k JOIN q ON q.source = k.source
       |ORDER BY doc_id""".stripMargin
 
+  /** TOKEN-budget corpus mixing with EPOCHING — [[corpusMix]] counts
+    * documents; real training mixtures are specified in TOKENS, and a
+    * source whose weight demands more tokens than it has is REPEATED
+    * (epoched) rather than silently under-filled. Semantics: the global
+    * budget B is the corpus's own token total; source s with weight w_s
+    * (same `(srcN mod 4)+1` fixture mix as [[corpusMix]]) owns the
+    * token quota `b_s = (w_s·B) div Σw`. With t_s tokens on hand the
+    * source contributes `full_epochs = b_s div t_s` complete copies of
+    * itself plus a PARTIAL epoch of `rem = b_s mod t_s` tokens, filled
+    * greedily in shuffle-key order: a doc joins the partial epoch iff
+    * the tokens STRICTLY BEFORE it (cum_before) leave budget — so the
+    * partial epoch overshoots by at most one document and never
+    * understates while rem > 0. Output is one row per document (not
+    * per copy — an exploded output would be Σepochs× the corpus):
+    * `copies = full_epochs + (in_partial ? 1 : 0)` is the doc's
+    * repetition count in the mixture. Every step is integer-exact and
+    * engine-portable: the same md5-prefix shuffle key, `div`/`mod`
+    * quota arithmetic, and the whitespace token count every other text
+    * op here uses. Dataflow at 100 TB: one tiny per-source aggregate
+    * (pinned, broadcast back), then ONE window shuffle — `row_number`
+    * and the running `sum` share the same (source | skey, doc_id)
+    * partitioning+ordering, so Spark plans them in a single Window
+    * over a single Exchange+Sort; the skew note on [[corpusMix]]
+    * applies unchanged. */
+  def corpusMixTokens(spark: SparkSession, sfDir: String): DataFrame =
+    corpusMixTokensOn(Tables.documents(spark, sfDir), seed = "epoch42")
+
+  private[graft] def corpusMixTokensOn(docs: DataFrame, seed: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(docs.sparkSession)
+    val keyed = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("tok"),
+      expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
+        .as("skey"),
+      (pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + lit(1L))
+        .as("w"))
+    // per-source token totals: tiny (one row per source) but computed
+    // from a corpus-sized scan — pinned so the grand-total scalar and
+    // the per-source quotas read materialized rows (same rationale as
+    // corpusMixOn's caps pin)
+    val caps = keyed.groupBy(col("source"), col("w"))
+      .agg(sum(col("tok")).as("t_s"))
+      .localCheckpoint(true)
+    val tot = caps.agg(sum(col("t_s")).as("b"), sum(col("w")).as("wsum"))
+    val quotas = caps.crossJoin(broadcast(tot))
+      .select(col("source"), col("t_s"), expr("(w * b) div wsum").as("b_s"))
+      .select(col("source"),
+        expr("b_s div t_s").as("full_epochs"),
+        expr("b_s % t_s").as("rem"))
+    val win = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum(col("tok")).over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("source"), col("tok"), col("pos"),
+        col("full_epochs"),
+        (col("cum_before") < col("rem")).as("in_partial"),
+        (col("full_epochs")
+          + when(col("cum_before") < col("rem"), lit(1L)).otherwise(lit(0L)))
+          .as("copies"))
+  }
+
+  val corpusMixTokensSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    list_reduce(list_transform(range(0, 15),
+      |      p -> CAST(strpos('0123456789abcdef',
+      |             substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)),
+      |                    CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS skey,
+      |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+      |  FROM documents),
+      |c AS (SELECT source, w, sum(tok) AS t_s FROM k GROUP BY 1, 2),
+      |t AS (SELECT sum(t_s) AS b, sum(w) AS wsum FROM c),
+      |q AS (SELECT source, (w * b) // wsum // t_s AS full_epochs,
+      |             ((w * b) // wsum) % t_s AS rem
+      |      FROM c, t),
+      |r AS (SELECT doc_id, k.source AS source, tok,
+      |        CAST(row_number() OVER (PARTITION BY k.source
+      |                                ORDER BY skey, doc_id) AS BIGINT) AS pos,
+      |        COALESCE(sum(tok) OVER (PARTITION BY k.source
+      |                                ORDER BY skey, doc_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                         AND 1 PRECEDING), 0) AS cum_before,
+      |        full_epochs, rem
+      |      FROM k JOIN q ON q.source = k.source)
+      |SELECT doc_id, source, tok, pos, full_epochs,
+      |       cum_before < rem AS in_partial,
+      |       full_epochs + CASE WHEN cum_before < rem THEN 1 ELSE 0 END AS copies
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality-gate ensemble — what a production pipeline actually ships:
     * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
     * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —

@@ -1496,4 +1496,63 @@ class ExtensionsSpec extends SparkSpec {
       out.filter(_._5).map(_._1).toSet,
       "a different seed must re-deal the kept set")
   }
+
+  test("token-budget mix epochs short sources and fills partial epochs greedily") {
+    import graft.ext.TextAnalysis
+    // (doc_id, source, tok, pos, full_epochs, in_partial, copies)
+    val out = TextAnalysis.corpusMixTokens(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    val n = Tables.documents(spark, sf001).count()
+    assert(out.length == n && out.map(_._1).distinct.length == n,
+      "token mix must emit one row per document")
+    // recompute the quota contract from first principles
+    val wOf = (s: String) => s.drop(3).toLong % 4 + 1
+    val bySrc = out.groupBy(_._2)
+    val tS = bySrc.map { case (s, rows) => s -> rows.map(_._3).sum }
+    val budget = tS.values.sum
+    val wSum = bySrc.keys.map(wOf).sum
+    var sawEpoched = false
+    var sawPartialOnly = false
+    bySrc.foreach { case (s, rows) =>
+      val bS = wOf(s) * budget / wSum
+      val fe = bS / tS(s)
+      val rem = bS % tS(s)
+      assert(rows.forall(_._5 == fe), s"$s full_epochs != $fe")
+      if (fe >= 1) sawEpoched = true
+      if (fe == 0 && rem > 0) sawPartialOnly = true
+      // partial epoch: the pos-prefix whose preceding token mass < rem,
+      // i.e. delivered partial tokens land in [rem, rem + last doc)
+      val sorted = rows.sortBy(_._4)
+      val partial = sorted.filter(_._6)
+      assert(partial.map(_._4).toSet == (1L to partial.length.toLong).toSet,
+        s"$s partial epoch is not the pos-prefix")
+      val pTok = partial.map(_._3).sum
+      if (rem == 0) assert(partial.isEmpty, s"$s rem=0 but partial nonempty")
+      else {
+        assert(pTok >= rem, s"$s partial epoch understates the remainder")
+        assert(pTok - partial.last._3 < rem,
+          s"$s partial epoch overshoots by more than one doc")
+      }
+      assert(rows.forall(r => r._7 == r._5 + (if (r._6) 1L else 0L)),
+        s"$s copies != full_epochs + in_partial")
+    }
+    assert(sawEpoched, "fixture must exercise a source with a full epoch")
+    assert(sawPartialOnly, "fixture must exercise a partial-only source")
+    // determinism: identical rerun; reseeding re-deals WHICH docs fill
+    // the partial epoch but never the per-source epoch counts/quotas
+    val again = TextAnalysis.corpusMixTokens(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val reseeded = TextAnalysis.corpusMixTokensOn(
+      Tables.documents(spark, sf001), seed = "other").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getBoolean(5)))
+    assert(reseeded.groupBy(_._2).map { case (s, rs) => s -> rs.head._3 } ==
+      bySrc.map { case (s, rs) => s -> rs.head._5 },
+      "reseeding must preserve per-source full_epochs")
+    assert(reseeded.filter(_._4).map(_._1).toSet !=
+      out.filter(_._6).map(_._1).toSet,
+      "a different seed must re-deal the partial epoch")
+  }
 }
