@@ -2124,8 +2124,9 @@ object TextAnalysis {
       |  FROM documents),
       |c AS (SELECT source, w, sum(tok) AS t_s FROM k GROUP BY 1, 2),
       |t AS (SELECT sum(t_s) AS b, sum(w) AS wsum FROM c),
-      |q AS (SELECT source, (w * b) // wsum // t_s AS full_epochs,
-      |             ((w * b) // wsum) % t_s AS rem
+      |q AS (SELECT source,
+      |             CAST((w * b) // wsum // t_s AS BIGINT) AS full_epochs,
+      |             CAST(((w * b) // wsum) % t_s AS BIGINT) AS rem
       |      FROM c, t),
       |r AS (SELECT doc_id, k.source AS source, tok,
       |        CAST(row_number() OVER (PARTITION BY k.source

@@ -1511,7 +1511,7 @@ class ExtensionsSpec extends SparkSpec {
     val bySrc = out.groupBy(_._2)
     val tS = bySrc.map { case (s, rows) => s -> rows.map(_._3).sum }
     val budget = tS.values.sum
-    val wSum = bySrc.keys.map(wOf).sum
+    val wSum = bySrc.keys.toSeq.map(wOf).sum
     var sawEpoched = false
     var sawPartialOnly = false
     bySrc.foreach { case (s, rows) =>
