@@ -286,7 +286,22 @@ object ScaleUpBench {
       val t0 = System.nanoTime()
       Seq("bands", "toks").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"): Unit)
-      Dedup.minhashBands(docs).write.saveAsTable(s"${pfx}_bands")
+      // pruned probe: bands land BUCKETED+SORTED on (band_idx, band) —
+      // the StreamDedup.ensureStore layout after compactStore — so the
+      // store file count is a constant B at every factor instead of
+      // tracking the replica's file count (the x100 residual named in
+      // SCALING.md was dominated by a corpus-tracking file pile, not
+      // bytes), the store side of the candidate join is co-partitioned,
+      // and the batch's band IN-list skips pages/dictionaries inside the
+      // sorted bucket files instead of collapsing to a useless md5
+      // min..max range.
+      val bandsDf = Dedup.minhashBands(docs)
+      if (pruned) {
+        val b = graft.streaming.StreamDedup.BandBuckets
+        bandsDf.repartition(b, col("band_idx"), col("band"))
+          .write.bucketBy(b, "band_idx", "band").sortBy("band_idx", "band")
+          .saveAsTable(s"${pfx}_bands")
+      } else bandsDf.write.saveAsTable(s"${pfx}_bands")
       val toksDf = docs.select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("toks"))
       // pruned probe: doc_id-ordered toks layout so the pushed candidate

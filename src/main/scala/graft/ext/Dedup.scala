@@ -1087,6 +1087,23 @@ object Dedup {
       pre: Option[(DataFrame, DataFrame)] = None,
       prune: Boolean = false,
       maxPruneKeys: Int = 100000): (DataFrame, DataFrame, DataFrame) = {
+    // Native-IN pushdown window (pruned serve only): parquet receives an
+    // IN-list as a real In predicate only up to
+    // spark.sql.parquet.pushdown.inFilterThreshold values (default 10);
+    // bigger lists collapse to a min..max range — which skips nothing
+    // for uniform md5 band keys and only coarsely for candidate doc_ids.
+    // Raised, the key SET reaches row-group dictionaries and page
+    // indexes, so a sorted/bucketed store skips at page granularity.
+    // Every store scan below executes eagerly inside this call (the
+    // candidate frame and verdicts are localCheckpoint'ed; the returned
+    // kept frames read only batch-side pinned inputs), so the setting is
+    // saved/restored around the body. 1000 bounds the per-row-group
+    // membership check; larger key lists keep today's range behavior.
+    val spark = batch.sparkSession
+    val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val savedIn = if (prune) Some(spark.conf.get(inKey)) else None
+    if (prune) spark.conf.set(inKey, math.min(maxPruneKeys, 1000))
+    try {
     // The batch's band/token frames are pinned EAGERLY (one job each):
     // the CC iterations below re-read them once per round, and
     // re-hashing every shingle per round costs far more than the two
@@ -1159,6 +1176,7 @@ object Dedup {
       .localCheckpoint(true)
     val keptIds = verdicts.filter(col("kept")).select(col("doc_id"))
     (verdicts, bandsB.join(keptIds, "doc_id"), toksB.join(keptIds, "doc_id"))
+    } finally savedIn.foreach(spark.conf.set(inKey, _))
   }
 
   /** The oracled batch twin of the streaming dedup filter: the documents

@@ -171,6 +171,55 @@ object TableOps {
     (nBefore, dataFiles(spark, warehousePath(spark, name)).length)
   }
 
+  /** [[compactTable]] for BUCKETED tables — the form [[stageCompaction]]
+    * refuses, because a flat rewrite would silently drop the bucket spec
+    * and re-introduce the Exchange the bucketed layout exists to remove.
+    * The rewrite preserves the catalog's exact (bucket columns, sort
+    * columns, bucket count): the data is first repartitioned INTO the
+    * bucket layout's own partitioning (`repartition(n, cols)` hashes
+    * with the same murmur3-pmod the bucket id uses), so the staged table
+    * lands as ONE right-shaped file per non-empty bucket no matter how
+    * many small per-append files the live table accreted — the file
+    * count a bucketed store serves from is then a constant B, not a
+    * number that tracks corpus growth. Same stage+swap crash posture as
+    * [[compactTable]] (heavy I/O on the staging table; the drop+RENAME
+    * caveat documented there applies). Returns (filesBefore, filesAfter). */
+  def compactBucketedTable(spark: SparkSession, name: String): (Int, Int) = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactBucketedTable($name): table has no bucket spec — " +
+          "use compactTable"))
+    val before = dataFiles(spark, warehousePath(spark, name)).length
+    val cols = spec.bucketColumnNames.map(org.apache.spark.sql.functions.col)
+    val staging = s"${name}_compacting"
+    dropWithLocation(spark, staging)
+    // The rewrite must read the live table WITHOUT bucket grouping: a
+    // bucketed scan advertises HashPartitioning(bucketCols, n), which
+    // lets the planner drop the repartition below as redundant — while
+    // the physical scan of a many-small-files bucket pile still splits
+    // by file, so the write would emit a file per (task, bucket) pair
+    // instead of one per bucket. With plain reads the repartition
+    // survives and every output task carries exactly one bucket id.
+    val bucketReadKey = "spark.sql.sources.bucketing.enabled"
+    val savedBucketRead = spark.conf.get(bucketReadKey)
+    try {
+      spark.conf.set(bucketReadKey, "false")
+      val laid = spark.table(name).repartition(spec.numBuckets, cols: _*)
+      val writer = laid.write.mode("overwrite")
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      (if (spec.sortColumnNames.nonEmpty)
+         writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+       else writer)
+        .saveAsTable(staging)
+    } finally spark.conf.set(bucketReadKey, savedBucketRead)
+    dropWithLocation(spark, name)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    (before, dataFiles(spark, warehousePath(spark, name)).length)
+  }
+
   /** Current backing version N of a VIEW-fronted table (`name` resolves
     * through a view to `name_vN` — see [[resetViewedTable]]). */
   private[graft] def backingVersion(spark: SparkSession, name: String): Int = {

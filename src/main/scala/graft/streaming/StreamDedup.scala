@@ -18,10 +18,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   *   - `<prefix>_bands`     (doc_id, band_idx, band) — MinHash band
   *     relation of every KEPT doc; 4 fixed-size rows per doc, the only
-  *     thing candidate generation ever joins. At 100 TB this is the
-  *     table to bucket on (band_idx, band) (see `bandPairsBucketed`:
-  *     the big side then arrives pre-partitioned and the per-batch
-  *     candidate join shuffles only the micro-batch).
+  *     thing candidate generation ever joins. BUCKETED+SORTED on band
+  *     (`ensureStore` DDL, [[StreamDedup.BandBuckets]]): the store side
+  *     of the per-batch candidate join arrives pre-partitioned — only
+  *     the micro-batch shuffles — and after `compactStore` the store is
+  *     a constant-file-count pile whose scan cost no longer tracks the
+  *     corpus (the round-14 scale residual, SCALING.md).
   *   - `<prefix>_toks`      (doc_id, toks) — distinct-token sets for
   *     exact-Jaccard verification; only candidate-matched doc_ids are
   *     ever read (bucket by doc_id at scale). Old document BODIES are
@@ -66,12 +68,38 @@ object StreamDedup {
     * default): above it, the unpruned scan is the cheaper plan anyway. */
   private val MaxPruneKeys = 100000
 
-  /** Idempotent store DDL — plain parquet tables here; production would
-    * add CLUSTERED BY (band_idx, band) / (doc_id) respectively, which
-    * `d_dedup_pipeline_bucketed` proves cannot change any answer. */
+  /** Bucket count for the bands store, bucketed on the full candidate
+    * join key (band_idx, band). The COMPOSITE key is load-bearing:
+    * Spark's co-partition check requires a side to be hash-partitioned
+    * on ALL the join's keys (requireAllClusterKeysForCoPartition
+    * defaults true — a single-column `band` bucket layout reads
+    * "Bucketed: false (disabled by query planner)" and shuffles the
+    * store anyway). Bucket PRUNING is single-column-only and therefore
+    * forgone; what the batch's band IN-list still gets is page/
+    * dictionary skipping inside each sorted bucket file (streamDedupStep
+    * pushes the key set natively). 16 fits the test corpus; a
+    * corpus-sized deployment scales it with store bytes (buckets ≈
+    * store size / target file size) so each bucket file stays
+    * right-sized while the FILE COUNT stays constant — the per-batch
+    * serve scan then opens a bounded file set no matter how large the
+    * kept corpus grows. */
+  private[graft] val BandBuckets = 16
+
+  /** Idempotent store DDL. The bands store is BUCKETED+SORTED on band
+    * (see [[BandBuckets]]) — the layout that removes the one
+    * corpus-proportional serve-path term (the band-candidate scan):
+    * after [[compactStore]] the store is a constant-file-count,
+    * key-clustered table, so a micro-batch's candidate join reads a
+    * bounded file set and shuffles only the batch side.
+    * `d_dedup_pipeline_bucketed` proves bucketing cannot change any
+    * answer; toks/decisions stay plain (their probe key is doc_id and
+    * the ordered compaction already gives them disjoint id ranges —
+    * production would bucket them by doc_id the same way). */
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${bands(prefix)} " +
-      "(doc_id BIGINT, band_idx INT, band STRING) USING parquet")
+      "(doc_id BIGINT, band_idx INT, band STRING) USING parquet " +
+      "CLUSTERED BY (band_idx, band) SORTED BY (band_idx, band) " +
+      s"INTO $BandBuckets BUCKETS")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${toks(prefix)} " +
       "(doc_id BIGINT, toks ARRAY<STRING>) USING parquet")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${decisions(prefix)} " +
@@ -129,7 +157,13 @@ object StreamDedup {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band_idx"), col("band"))
       .localCheckpoint(true)
-    newBands.write.insertInto(bands(prefix))
+    // align the append with the store's bucket layout BEFORE the write:
+    // each task then carries exactly one bucket id, so an append adds at
+    // most BandBuckets files instead of tasks × buckets (the checkpoint
+    // above already isolated the read side, so the lazy repartition is
+    // safe to evaluate inside the insert)
+    newBands.repartition(BandBuckets, col("band_idx"), col("band"))
+      .write.insertInto(bands(prefix))
     val newToks = keptToks
       .join(spark.table(toks(prefix)).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -170,9 +204,20 @@ object StreamDedup {
   def compactStore(spark: SparkSession, prefix: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     ensureStore(spark, prefix)
+    // bands is bucketed (ensureStore DDL) — its compaction must preserve
+    // the bucket spec, collapsing the per-append file pile back to one
+    // file per non-empty bucket; a store created before the bucketed DDL
+    // keeps the ordered flat rewrite.
+    val bandsBucketed = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(bands(prefix)))
+      .bucketSpec.isDefined
     Map(
-      bands(prefix) -> graft.sources.TableOps.compactTable(spark,
-        bands(prefix), targetFileBytes, orderBy = Seq("band_idx", "band")),
+      bands(prefix) -> (
+        if (bandsBucketed)
+          graft.sources.TableOps.compactBucketedTable(spark, bands(prefix))
+        else graft.sources.TableOps.compactTable(spark,
+          bands(prefix), targetFileBytes, orderBy = Seq("band_idx", "band"))),
       toks(prefix) -> graft.sources.TableOps.compactTable(spark,
         toks(prefix), targetFileBytes, orderBy = Seq("doc_id")),
       decisions(prefix) -> graft.sources.TableOps.compactTable(spark,

@@ -217,8 +217,11 @@ class StreamDedupSpec extends SparkSpec {
       assert(spark.table(s"sd_cpB_$t").count() == counts(t),
         s"compaction changed sd_cpB_$t's row count")
       val (nBefore, nAfter) = res(s"sd_cpB_$t")
-      assert(nAfter <= nBefore && nAfter == 1,
-        s"sd_cpB_$t: expected 1 compacted file, got $nAfter (from $nBefore)")
+      // bands is bucketed: compaction collapses the per-append pile to
+      // at most one file per non-empty bucket, not to a single file
+      val bound = if (t == "bands") StreamDedup.BandBuckets else 1
+      assert(nAfter <= nBefore && nAfter <= bound,
+        s"sd_cpB_$t: expected <= $bound compacted files, got $nAfter (from $nBefore)")
     }
     // the ordered layout: per-file doc_id ranges of the compacted toks
     // must be disjoint (single file here — assert the mechanism on a
@@ -238,6 +241,61 @@ class StreamDedupSpec extends SparkSpec {
     assert((vB01 ++ vB23).toSet == vA.toSet,
       "compaction mid-corpus changed a verdict")
     dropStore("sd_cpA"); dropStore("sd_cpB")
+  }
+
+  test("bucketed bands store: exchange-free store side, bucket-spec-preserving compaction, layout-blind verdicts") {
+    dropStore("sd_bk")
+    val byWave = (0 until 3).map { w =>
+      Tables.documents(spark, sf001)
+        .filter(floor(substring(col("source"), 4, 10).cast("int") / 5) === w)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    (0 until 2).foreach(w =>
+      StreamDedup.processBatch(spark, "sd_bk", byWave(w), w.toLong).count(): Unit)
+    // the catalog carries the bucketed layout ensureStore declared
+    def bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sd_bk_bands"))
+      .bucketSpec
+    assert(bucketSpec.exists(s => s.numBuckets == StreamDedup.BandBuckets &&
+      s.bucketColumnNames == Seq("band_idx", "band") &&
+      s.sortColumnNames == Seq("band_idx", "band")),
+      s"bands store lost its bucket spec: $bucketSpec")
+    // the candidate join's store side needs NO Exchange: forced to SMJ,
+    // the only shuffle in the plan is the batch side's (the probe frame
+    // is pinned first so its own minhash aggregation doesn't count)
+    val probeBands = ext.Dedup.minhashBands(byWave(2)).localCheckpoint(true)
+    val joined = spark.table("sd_bk_bands").as("o")
+      .join(probeBands.as("n").hint("merge"),
+        col("o.band_idx") === col("n.band_idx") &&
+          col("o.band") === col("n.band") &&
+          col("o.doc_id") =!= col("n.doc_id"))
+    val plan = joined.queryExecution.executedPlan.treeString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one Exchange (the batch side), got $exchanges:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"store scan did not use the bucketed layout:\n$plan")
+    // compaction preserves the spec and bounds the file pile to the
+    // bucket count (two appends wrote more files than buckets get)
+    val (nb, na) = StreamDedup.compactStore(spark, "sd_bk")("sd_bk_bands")
+    assert(bucketSpec.isDefined, "compaction dropped the bands bucket spec")
+    assert(na <= StreamDedup.BandBuckets && na <= nb,
+      s"expected <= ${StreamDedup.BandBuckets} files after compaction, got $na (from $nb)")
+    // physical layout must never leak into answers: the same wave served
+    // from the bucketed tables and from layout-less in-memory copies of
+    // the identical rows must produce identical verdicts
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kept"),
+        coalesce(col("matched_old"), lit(-1L)).as("mo"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val (vBucketed, _, _) = ext.Dedup.streamDedupStep(byWave(2),
+      spark.table("sd_bk_bands"), spark.table("sd_bk_toks"), prune = true)
+    val (vPlain, _, _) = ext.Dedup.streamDedupStep(byWave(2),
+      spark.table("sd_bk_bands").localCheckpoint(true),
+      spark.table("sd_bk_toks").localCheckpoint(true), prune = true)
+    assert(norm(vBucketed) == norm(vPlain),
+      "bucketed layout changed a verdict")
+    dropStore("sd_bk")
   }
 
   test("crash residue between the store append and the decisions append converges") {
