@@ -85,7 +85,8 @@ object Bench {
     "e_cluster_topics", "q_ewma", "q_cusum", "d_heavy_hitters",
     "e_ann_index_lookup", "d_bpe_merges12", "d_bpe_encode", "q_scd2",
     "q_mv_refresh", "m_audio_vad", "d_corpus_stats", "d_span_dedup",
-    "d_corpus_shuffle", "d_corpus_mix", "d_corpus_mix_tokens")
+    "d_corpus_shuffle", "d_corpus_mix", "d_corpus_mix_tokens",
+    "d_corpus_mix_incr")
   // d_dedup_streamed is deliberately NOT benched: it is the 4-wave
   // SEQUENTIAL semantics twin of the streaming filter, so its ~10 s at
   // any small SF is 4 × (CC rounds × driver-loop scheduling floor), not
@@ -341,12 +342,103 @@ object Bench {
       }
     val results = pass.results
     val sentinels = pass.sentinels
-    // the sentinel is done — release its pinned storage block so the
-    // sweep/fraction/pipeline timings below run against an unperturbed
-    // heap (the sentinel guards those measurements; it must not skew
-    // them). Quiesce first: every bench job is synchronous in this
-    // thread so none SHOULD be active, but a blocking unpersist racing
-    // a straggler task was one named suspect for the round-11
+    val ext = pass.ext
+    // Sentinel brackets for the sweep sections too (round-14 finding:
+    // the 75 %-fraction point read 3.56 s vs 100 %'s 0.96 s in a record
+    // whose fraction sweep carried no contention guard at all — the
+    // headline pass was the only bracketed measurement). Each section
+    // below is bracketed by its own pair of sentinel readings and,
+    // like the headline pass, a non-flat section is discarded wholesale
+    // and re-measured once; the per-section verdicts go into the detail
+    // artifact so a trend line is only ever read off a guarded section.
+    // The sentinel's cached block (~64 MB) stays pinned until every
+    // section is done — noise at bench heap sizes, and a guarded
+    // measurement beats an unperturbed-but-unguardable one.
+    def flatPair(a: Double, b: Double): Boolean =
+      a > 0 && b > 0 && math.max(a, b) <= 1.5 * math.min(a, b)
+    final case class Section[T](result: T, sentinels: Seq[Double],
+        flat: Boolean, attempts: Int)
+    def bracket[T](label: String)(work: => T): Section[T] = {
+      def once(): (T, Seq[Double]) = {
+        val s0 = sentinelRead(); val r = work; val s1 = sentinelRead()
+        (r, Seq(s0, s1))
+      }
+      val (r1, sent1) = once()
+      if (flatPair(sent1(0), sent1(1))) Section(r1, sent1, flat = true, 1)
+      else {
+        System.err.println(s"[bench] $label sentinel NON-FLAT " +
+          s"(${sent1.map(s => f"$s%.3f").mkString("/")}) — discarding the " +
+          "section and re-measuring once")
+        val (r2, sent2) = once()
+        Section(r2, sent2, flatPair(sent2(0), sent2(1)), 2)
+      }
+    }
+    // Optional SF sweep: the WHOLE headline set per listed directory with
+    // one warm-up + max(3, runs/3) timed passes each (totals only — the
+    // per-query distribution at the primary SF is already in `stats`).
+    // A failed query poisons the whole directory's total to -1 rather
+    // than silently under-reporting it.
+    val sweepSec = bracket("sf-sweep") {
+      sweepDirs.map { dir =>
+        val perQuery = headline.flatMap(SparkEntry.queries.get).map { fn =>
+          try timeQuery(fn, spark, dir, math.max(5, runs / 3)).median
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] sweep $dir failed: ${e.getMessage}")
+              -1.0
+          }
+        }
+        dir -> (if (perQuery.exists(_ < 0)) -1.0 else perQuery.sum)
+      }
+    }
+    val sweep = sweepSec.result
+    // Same-corpus fraction sweep over the reference's own four queries —
+    // the exact LOAD_PERCENTAGE semantics of PDF §4 Tables 1–4 (one
+    // corpus, first pct % of rows, NOT different scale factors).
+    // Materialization is untimed; each fraction times warm-up +
+    // max(5, runs/6) passes of q1–q4 and reports their summed MEDIANS:
+    // at these sub-second per-query times a single concurrent-load spike
+    // (GC, another JVM compiling) can multiply one run 10×, and with few
+    // runs the mean inherits the spike while the median discards it. The
+    // 30-run headline keeps mean±CI for reference protocol parity; the
+    // sweeps are trend lines and must be robust instead.
+    val refQueries = Seq(
+      "q1_time_filter", "q2_hourly_avg", "q3_union_cube", "q4_join_aggs")
+    val fracRuns = math.max(5, runs / 6)
+    val fracSec = bracket("fractions") {
+      fractions.map { pct =>
+        try {
+          val dir = materializeFraction(spark, sfDir, pct)
+          val perQuery = refQueries.flatMap(SparkEntry.queries.get)
+            .map(fn => timeQuery(fn, spark, dir, fracRuns).median)
+          pct -> perQuery.sum
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] fraction $pct% failed: ${e.getMessage}")
+            pct -> -1.0
+        }
+      }
+    }
+    val fracResults = fracSec.result
+    // End-to-end banded dedup at the PRIMARY scale factor: unlike the
+    // verifier-only doc-pair formulations (candidate graph quadratic in
+    // the fixture, see `extended`), the banded pipeline is
+    // candidate-bounded and must demonstrate that at sf0.1.
+    val pipeSec = bracket("pipeline") {
+      SparkEntry.queries.get("d_dedup_pipeline").map { fn =>
+        try timeQuery(fn, spark, sfDir, math.max(5, runs / 6)).median
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+            -1.0
+        }
+      }
+    }
+    val pipelineSec = pipeSec.result
+    // every guarded section is done — release the sentinel's pinned
+    // storage block. Quiesce first: every bench job is synchronous in
+    // this thread so none SHOULD be active, but a blocking unpersist
+    // racing a straggler task was one named suspect for the round-11
     // accumulator-race ERROR — waiting for an empty active-job set
     // makes the removal provably job-free rather than probably. The
     // wait is BOUNDED: a wedged or zombie job id (e.g. a
@@ -362,60 +454,6 @@ object Bench {
       System.err.println("[bench] WARN: proceeding to unpersist with " +
         s"active job ids ${stillActive.mkString(",")} after 5s quiesce")
     sentinelCached.unpersist(blocking = true): Unit
-    val ext = pass.ext
-    // Optional SF sweep: the WHOLE headline set per listed directory with
-    // one warm-up + max(3, runs/3) timed passes each (totals only — the
-    // per-query distribution at the primary SF is already in `stats`).
-    // A failed query poisons the whole directory's total to -1 rather
-    // than silently under-reporting it.
-    val sweep = sweepDirs.map { dir =>
-      val perQuery = headline.flatMap(SparkEntry.queries.get).map { fn =>
-        try timeQuery(fn, spark, dir, math.max(5, runs / 3)).median
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] sweep $dir failed: ${e.getMessage}")
-            -1.0
-        }
-      }
-      dir -> (if (perQuery.exists(_ < 0)) -1.0 else perQuery.sum)
-    }
-    // Same-corpus fraction sweep over the reference's own four queries —
-    // the exact LOAD_PERCENTAGE semantics of PDF §4 Tables 1–4 (one
-    // corpus, its first pct % of rows, NOT different scale factors).
-    // Materialization is untimed; each fraction times warm-up +
-    // max(5, runs/6) passes of q1–q4 and reports their summed MEDIANS:
-    // at these sub-second per-query times a single concurrent-load spike
-    // (GC, another JVM compiling) can multiply one run 10×, and with few
-    // runs the mean inherits the spike while the median discards it. The
-    // 30-run headline keeps mean±CI for reference protocol parity; the
-    // sweeps are trend lines and must be robust instead.
-    val refQueries = Seq(
-      "q1_time_filter", "q2_hourly_avg", "q3_union_cube", "q4_join_aggs")
-    val fracRuns = math.max(5, runs / 6)
-    val fracResults = fractions.map { pct =>
-      try {
-        val dir = materializeFraction(spark, sfDir, pct)
-        val perQuery = refQueries.flatMap(SparkEntry.queries.get)
-          .map(fn => timeQuery(fn, spark, dir, fracRuns).median)
-        pct -> perQuery.sum
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] fraction $pct% failed: ${e.getMessage}")
-          pct -> -1.0
-      }
-    }
-    // End-to-end banded dedup at the PRIMARY scale factor: unlike the
-    // verifier-only doc-pair formulations (candidate graph quadratic in
-    // the fixture, see `extended`), the banded pipeline is
-    // candidate-bounded and must demonstrate that at sf0.1.
-    val pipelineSec = SparkEntry.queries.get("d_dedup_pipeline").map { fn =>
-      try timeQuery(fn, spark, sfDir, math.max(5, runs / 6)).median
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
-          -1.0
-      }
-    }
 
     val total = results.collect { case (_, s) if s.mean >= 0 => s.mean }.sum
 
@@ -442,11 +480,18 @@ object Bench {
     val pipeJson = pipelineSec
       .map(s => f"""{"query":"d_dedup_pipeline","sf":"$sfDir","sec":$s%.4f}""")
       .getOrElse("null")
+    def secJson(s: Section[_]): String =
+      s"""{"sentinel":${s.sentinels.map(x => f"$x%.4f").mkString("[", ",", "]")},""" +
+        s""""flat":${s.flat},"attempts":${s.attempts}}"""
+    val sectionsJson =
+      s"""{"sweep":${secJson(sweepSec)},"fractions":${secJson(fracSec)},""" +
+        s""""pipeline":${secJson(pipeSec)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (f"""{"total":$total%.4f,"unit":"sec","stats":$statsFull,""" +
         f""""extended":$extJson,"extended_sf":"$extSfDir",""" +
         s""""sentinel":${sentinels.map(s => f"$s%.4f").mkString("[", ",", "]")},"sentinel_flat":$sentinelFlat,"bench_attempts":$benchAttempts,""" +
+        s""""sentinel_sections":$sectionsJson,""" +
         f""""pipeline":$pipeJson,"fractions":$fracJson,"sweep":$sweepJson,""" +
         f""""sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
 

@@ -2048,6 +2048,97 @@ object TextAnalysis {
       |FROM k JOIN q ON q.source = k.source
       |ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL corpus mixing — the arrival-sequence twin of
+    * [[corpusMix]], completing the corpus-ops family the way
+    * [[graft.ext.Dedup.dedupStreamed]] completed dedup: the corpus
+    * arrives in FOUR waves that cut ACROSS sources (`wave =
+    * (doc_id div 20) mod 4` — the fixture assigns source by
+    * `doc_id mod 20`, so a residue-of-doc_id wave would still arrive
+    * source-group-by-source-group and a source-keyed split would leave
+    * per-source counts static after arrival; the div-20 stride grows
+    * EVERY source EVERY wave) and after each wave the mix is
+    * RE-QUOTAED over everything on hand,
+    * under the identical exact-integer law (`u12 = min over present
+    * sources of n·(12/w)`, `quota = (w·u12) div 12`, kept = the quota
+    * docs with the smallest shuffle keys). The kept set is genuinely
+    * DYNAMIC under arrivals — a wave that introduces a new source with
+    * few docs SHRINKS u12 and evicts previously-kept docs ("the binding
+    * source moved"), while growth of the binding source admits new ones
+    * — and the per-wave columns pin exactly that: one row per document
+    * with its arrival wave, its final-state (pos, quota), and keptᵏ for
+    * every wave k (NULL before the doc arrived). Oracled like the
+    * streamed-dedup twin: the DuckDB SQL replays all four re-quotas as a
+    * generated CTE chain over the same md5-prefix key and div/mod
+    * arithmetic. Dataflow at 100 TB: each re-quota is [[corpusMix]]'s
+    * one tiny broadcast aggregate + one rank window, and a daily job
+    * would run ONE re-quota over the accumulated corpus (the four here
+    * replay a whole arrival history for the oracle); the final
+    * per-doc_id assembly joins are co-partitioned on doc_id. */
+  def corpusMixIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("wave",
+        pmod(floor(col("doc_id") / 20), lit(4L)).cast("int"))
+    corpusMixIncrOn(docs, seed = "incr42", waves = 4)
+  }
+
+  /** The re-quota sequence over any (doc_id, source, wave) relation —
+    * split out so the ScalaCheck property can drive arbitrary arrival
+    * shapes through the identical dataflow the registry query uses. */
+  private[graft] def corpusMixIncrOn(docs: DataFrame, seed: String,
+      waves: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("wave"))
+    val perWave = (0 until waves).map(k =>
+      corpusMixOn(base.filter(col("wave") <= k), seed))
+    val last = perWave(waves - 1)
+    val start = base.join(
+      last.select(col("doc_id"), col("pos"), col("quota")), Seq("doc_id"))
+    (0 until waves).foldLeft(start) { (acc, k) =>
+      acc.join(perWave(k).select(col("doc_id"), col("kept").as(s"kept$k")),
+        Seq("doc_id"), "left")
+    }
+  }
+
+  /** Generated CTE chain: one (counts → min-volume → quotas → ranks)
+    * block per wave prefix, same portable md5-prefix key and integer
+    * quota arithmetic as [[corpusMixSql]]. */
+  lazy val corpusMixIncrSql: String = {
+    val head =
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(0, 15),
+        |      p -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('incr42:' || CAST(doc_id AS VARCHAR)),
+        |                    CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS skey,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+        |    CAST((doc_id // 20) % 4 AS INT) AS wave
+        |  FROM documents)""".stripMargin
+    val waveBlocks = (0 until 4).map { j =>
+      s""",
+         |c$j AS (SELECT source, w, count(*) AS n, count(*) * (12 // w) AS v
+         |      FROM k WHERE wave <= $j GROUP BY 1, 2),
+         |t$j AS (SELECT min(v) AS t12 FROM c$j),
+         |q$j AS (SELECT source, (w * t12) // 12 AS quota FROM c$j, t$j),
+         |r$j AS (SELECT doc_id,
+         |        CAST(row_number() OVER (PARTITION BY k.source
+         |                                ORDER BY skey, doc_id) AS BIGINT) AS pos,
+         |        quota
+         |      FROM k JOIN q$j ON q$j.source = k.source
+         |      WHERE k.wave <= $j)""".stripMargin
+    }.mkString
+    val keptCols = (0 until 4)
+      .map(j => s"r$j.pos <= r$j.quota AS kept$j").mkString(",\n       ")
+    val leftJoins = (0 until 3)
+      .map(j => s"LEFT JOIN r$j ON r$j.doc_id = k.doc_id").mkString("\n")
+    s"""$head$waveBlocks
+       |SELECT k.doc_id, k.source, k.wave, r3.pos AS pos, r3.quota AS quota,
+       |       $keptCols
+       |FROM k
+       |$leftJoins
+       |JOIN r3 ON r3.doc_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   /** TOKEN-budget corpus mixing with EPOCHING — [[corpusMix]] counts
     * documents; real training mixtures are specified in TOKENS, and a
     * source whose weight demands more tokens than it has is REPEATED

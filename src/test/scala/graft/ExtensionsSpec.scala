@@ -1555,4 +1555,46 @@ class ExtensionsSpec extends SparkSpec {
       out.filter(_._6).map(_._1).toSet,
       "a different seed must re-deal the partial epoch")
   }
+
+  test("incremental mix re-quotas each wave: exact law, dynamic kept set") {
+    import graft.ext.TextAnalysis
+    // (doc_id, source, wave, pos, quota, Some(keptK) per wave / None)
+    val out = TextAnalysis.corpusMixIncr(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4),
+        (0 until 4).map(k =>
+          if (r.isNullAt(5 + k)) None else Some(r.getBoolean(5 + k)))))
+    val n = Tables.documents(spark, sf001).count()
+    assert(out.length == n && out.map(_._1).distinct.length == n,
+      "incremental mix must emit one row per document")
+    // keptK is defined exactly for the waves after the doc arrived
+    assert(out.forall { case (_, _, wv, _, _, ks) =>
+      ks.zipWithIndex.forall { case (k, i) => k.isDefined == (wv <= i) } },
+      "keptK must be NULL before arrival and non-NULL after")
+    // per-wave quota law recomputed from first principles
+    val wOf = (s: String) => s.drop(3).toLong % 4 + 1
+    (0 until 4).foreach { k =>
+      val present = out.filter(_._3 <= k)
+      val bySrc = present.groupBy(_._2)
+      val u12 = bySrc.map { case (s, rs) => rs.length * (12 / wOf(s)) }.min
+      bySrc.foreach { case (s, rs) =>
+        val q = wOf(s) * u12 / 12
+        assert(rs.count(_._6(k).contains(true)) == q,
+          s"wave $k source $s: kept count != quota $q")
+      }
+    }
+    // the final wave IS the batch mix of the whole corpus (same seed)
+    val batchKept = TextAnalysis.corpusMixOn(
+      Tables.documents(spark, sf001), seed = "incr42").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out.forall { case (id, _, _, _, _, ks) =>
+      ks(3).contains(batchKept(id)) },
+      "wave-3 verdicts must equal the batch mix over the full corpus")
+    // the re-quota must MOVE: the fixture exercises both an eviction
+    // (kept then displaced by a later arrival) and an admission
+    def dyn(from: Boolean, to: Boolean) = (0 until 3).exists(k =>
+      out.exists(d => d._6(k).contains(from) && d._6(k + 1).contains(to)))
+    assert(dyn(from = true, to = false), "fixture produced no eviction")
+    assert(dyn(from = false, to = true), "fixture produced no admission")
+  }
 }

@@ -382,4 +382,48 @@ object GraftProps extends Properties("graft") {
       Prop(cover && quotaLaw && stable) :|
         s"docs=${docs0.take(5)}... seed=$seed u12=$u12 out=${out.take(3)}..."
     }
+
+  // --- spark: incremental mix re-quota law on ANY arrival shape -----
+
+  property("incremental mix: per-wave quota law, final wave == batch mix") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 1000000L), Gen.choose(0, 19), Gen.choose(0, 3)))
+        .map(_.distinctBy(_._1)),
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+    ) { (docs0, seed) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val waves = 4
+      val docs = docs0.map { case (id, k, wv) => (id, s"src$k", wv) }
+        .toDF("doc_id", "source", "wave")
+      val out = graft.ext.TextAnalysis.corpusMixIncrOn(docs, seed, waves)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          (0 until waves).map(k =>
+            if (r.isNullAt(5 + k)) None else Some(r.getBoolean(5 + k)))))
+      val cover = out.length == docs0.length &&
+        out.map(_._1).toSet == docs0.map(_._1).toSet
+      val arrival = out.forall { case (_, _, wv, ks) =>
+        ks.zipWithIndex.forall { case (k, i) => k.isDefined == (wv <= i) } }
+      // the exact integer law must hold at EVERY wave prefix
+      val wOf = (s: String) => s.drop(3).toLong % 4 + 1
+      val law = (0 until waves).forall { k =>
+        val present = out.filter(_._3 <= k)
+        present.isEmpty || {
+          val bySrc = present.groupBy(_._2)
+          val u12 = bySrc.map { case (s, rs) => rs.length * (12 / wOf(s)) }.min
+          bySrc.forall { case (s, rs) =>
+            rs.count(_._4(k).contains(true)) == wOf(s) * u12 / 12 }
+        }
+      }
+      // the last re-quota must agree with a from-scratch batch mix
+      val batch = graft.ext.TextAnalysis
+        .corpusMixOn(docs.select($"doc_id", $"source"), seed).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      val finalAgrees = out.forall { case (id, _, _, ks) =>
+        ks(waves - 1).contains(batch(id)) }
+      Prop(cover && arrival && law && finalAgrees) :|
+        s"docs=${docs0.take(5)}... seed=$seed out=${out.take(3)}..."
+    }
 }
