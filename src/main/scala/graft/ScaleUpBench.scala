@@ -312,7 +312,15 @@ object ScaleUpBench {
       else toksDf)
         .write.saveAsTable(s"${pfx}_toks")
       val build = (System.nanoTime() - t0) / 1e9
-      def batch: DataFrame = {
+      // The batch is PINNED once, untimed — the production shape:
+      // StreamDedup.processBatch localCheckpoints the micro-batch before
+      // the step, so a serve run's cost is batch-sized + store-side.
+      // The probe's earlier unpinned `def batch` was a filter over the
+      // WHOLE xK replica, and every one of the step's several batch
+      // references re-scanned the K×-file corpus — a probe artifact
+      // that grew with K and dominated the recorded serve "growth"
+      // (x100 pruned: ~17 s unpinned vs ~3.5 s pinned, same verdicts).
+      val batch: DataFrame = {
         val base = docs.filter(col("doc_id") < 250)
           .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
             col("source"), col("text"))
@@ -321,7 +329,7 @@ object ScaleUpBench {
             .withColumn("text", array_join(
               transform(split(col("text"), " "),
                 t => concat(lit("probe_"), t)), " ")))
-      }
+      }.localCheckpoint(true)
       val serve = Bench.timeQuery((s, _) => {
         val (v, _, _) = Dedup.streamDedupStep(batch,
           s.table(s"${pfx}_bands"), s.table(s"${pfx}_toks"), prune = pruned)

@@ -104,4 +104,76 @@ class ReplayStreamSpec extends SparkSpec {
     }
     landed.unpersist()
   }
+
+  test("full-width replay: all 18 reference CSVs, 6-entity round-robin, batch-boundary-independent") {
+    // ST3 at the reference's full width: every room × sensor stream
+    // multiplexed into one chronological replay (reduced row count per
+    // CSV so the interleave, not the volume, is what's exercised). The
+    // throttle is per-ROOM, so three sensors of one room genuinely
+    // contend for the same state — the interleave semantics the 2-room
+    // test above cannot reach. Assertions are TIE-ROBUST by design:
+    // same-second readings of one room resolve by arrival order
+    // (throttle's sort is stable on event_ts), so the kept COUNT and
+    // kept TIMESTAMP sets are deterministic while the winning row's
+    // sensor identity is not — value-level exactness is the 2-room
+    // test's job.
+    val rooms = Seq("Kitchen", "Bathroom", "Toilet", "Room1", "Room2", "Room3")
+    val sensors = Seq("Temperature", "Humidity", "Brightness")
+    val readings = (for { r <- rooms; s <- sensors } yield readCsv(r, s, 60))
+      .flatten.sortBy(r => (r._3, r._1, r._2))
+    assert(readings.size == 18 * 60, "fixture must load all 18 CSVs")
+
+    def replay(nFiles: Int): Map[String, Seq[Long]] = {
+      val inDir = Files.createTempDirectory(s"graft_replay18_${nFiles}_in")
+      val chunk = (readings.size + nFiles - 1) / nFiles
+      readings.grouped(chunk).zipWithIndex.foreach { case (rs, i) =>
+        val p = inDir.resolve(f"notif_$i%03d.json")
+        Files.write(p, rs.map(r => notif(r._1, r._2, r._3, r._4))
+          .mkString("\n").getBytes("UTF-8"))
+        Files.setLastModifiedTime(p, FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val base = Files.createTempDirectory(s"graft_replay18_${nFiles}_out").toString
+      import spark.implicits._
+      val stream = spark.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(inDir.toString)
+        .toDF("json")
+      val throttled = StreamIngest.throttle(
+        StreamIngest.parseNotifications(stream).as[SensorReading], GapMs)
+      val q = StreamIngest.startSink(throttled.toDF(), s"$base/data", s"$base/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      val landed = spark.read.parquet(s"$base/data")
+      // full width actually landed: every room partition, every sensor
+      assert(landed.select(col("room")).distinct().count() == rooms.size,
+        "a room's stream never landed")
+      assert(landed.select(col("sensor")).distinct().count() == sensors.size,
+        "a sensor's stream never landed")
+      landed.select(col("room"), col("event_ts")).collect()
+        .map(r => r.getString(0) -> r.getTimestamp(1).getTime / 1000)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    }
+
+    // sequential per-room model over the chronological merge (ties at one
+    // second collapse to a single kept ts either way — see scaladoc note)
+    val expected = readings.groupBy(_._1).map { case (room, rs) =>
+      var lastKeptMs = Long.MinValue
+      room -> rs.sortBy(_._3).filter { r =>
+        val tMs = r._3 * 1000
+        val keep = lastKeptMs == Long.MinValue || tMs - lastKeptMs >= GapMs
+        if (keep) lastKeptMs = tMs
+        keep
+      }.map(_._3).sorted.toSeq
+    }
+    val got6 = replay(6)
+    assert(got6.keySet == expected.keySet)
+    expected.foreach { case (room, ts) =>
+      assert(got6(room) == ts, s"$room kept set diverges from the model")
+    }
+    // micro-batch boundaries must not change a single verdict: the same
+    // chronological corpus split into a different file/batch count lands
+    // identically (ST3 order-independence + ST4 pacing invariance)
+    val got3 = replay(3)
+    assert(got3 == got6, "batch boundaries changed the kept set")
+  }
 }
