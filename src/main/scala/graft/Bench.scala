@@ -15,13 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Prints ONE compact JSON line (the driver captures only a bounded output
   * tail, and round 6's full-detail line outgrew it — BENCH_r06 recorded
   * `parsed: null` — so the printed line is budgeted well under 1 KB):
-  *   {"metric":"total","value":…,"unit":"sec",
-  *    "queries":{name:meanSec,…},
+  *   {"metric":"total","value":…,"unit":"sec","headline_stat":"median",
+  *    "queries":{name:medianSec,…},
   *    "stats":{name:{"mean":…,"ci95":…,"runs":N},…},
   *    "detail":"BENCH_DETAIL.json","sf":…}
-  * `queries` stays a flat name→seconds map for the driver; `stats` carries
-  * the reference-parity distribution columns (BASELINE.md's ±CI; stddev is
-  * recoverable as ci95·√runs/1.96). Everything else — full-precision stats
+  * `queries` stays a flat name→seconds map for the driver but quotes the
+  * per-query MEDIAN (round 16): sub-second queries timed 30× on a shared
+  * machine pick up 2–3 contention spikes per pass that the bracketing
+  * sentinels cannot see, and a mean headline then manufactures fake
+  * cross-round swings (r15's "+29 % regression" was entirely this).
+  * `stats` keeps the reference-parity distribution columns (BASELINE.md's
+  * ±CI; stddev is recoverable as ci95·√runs/1.96) so the mean protocol
+  * remains fully recorded. Everything else — full-precision stats
   * incl. stddev/median, the extended scale-op set, the fraction sweep, the
   * optional SF sweep, and the pipeline timing — goes to `BENCH_DETAIL.json`
   * in the working directory (SPARK_GRAFT_DETAIL_OUT overrides), which lives
@@ -119,12 +124,15 @@ object Bench {
       val df = Tables.table(spark, sfDir, t)
       val n = df.count()
       val take = Math.toIntExact(math.max(1L, n * pct / 100))
-      // At 100 % the "fraction" is the whole table — skip the global
-      // sort+limit (pure waste) and just rewrite for layout parity.
-      val frac =
-        if (take >= n) df
-        else df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
-          .limit(take)
+      // EVERY fraction goes through the same orderBy(PK)+limit rewrite,
+      // 100 % included: skipping the sort at 100 % (round 15) was NOT
+      // layout parity — the ≤75 % copies got PK-clustered row groups
+      // while the 100 % copy kept the source's arbitrary order, and the
+      // trend line's last point jumped 4× from the layout change alone
+      // (BENCH_DETAIL r15: 0.93/0.85/0.80/3.21 s). The sort is untimed
+      // materialization cost either way.
+      val frac = df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .limit(take)
       frac.repartition(8)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
@@ -405,17 +413,21 @@ object Bench {
     val refQueries = Seq(
       "q1_time_filter", "q2_hourly_avg", "q3_union_cube", "q4_join_aggs")
     val fracRuns = math.max(5, runs / 6)
+    // Per-query medians are recorded per fraction (round-15 finding: the
+    // summed total hid WHICH query moved when the 100 % point jumped, so
+    // the anomaly wasn't diagnosable from the artifact alone).
     val fracSec = bracket("fractions") {
       fractions.map { pct =>
         try {
           val dir = materializeFraction(spark, sfDir, pct)
-          val perQuery = refQueries.flatMap(SparkEntry.queries.get)
-            .map(fn => timeQuery(fn, spark, dir, fracRuns).median)
-          pct -> perQuery.sum
+          val perQuery = refQueries.flatMap(n =>
+            SparkEntry.queries.get(n).map(fn =>
+              n -> timeQuery(fn, spark, dir, fracRuns).median))
+          pct -> (perQuery.map(_._2).sum, perQuery)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] fraction $pct% failed: ${e.getMessage}")
-            pct -> -1.0
+            pct -> (-1.0, Seq.empty[(String, Double)])
         }
       }
     }
@@ -455,7 +467,16 @@ object Bench {
         s"active job ids ${stillActive.mkString(",")} after 5s quiesce")
     sentinelCached.unpersist(blocking = true): Unit
 
-    val total = results.collect { case (_, s) if s.mean >= 0 => s.mean }.sum
+    // Headline `value`/`queries` quote MEDIANS (round-15 finding: the
+    // 30-run means were inflated 2–3× by mid-section contention bursts
+    // the bracketing sentinels can't catch — q2 mean 1.157 s vs median
+    // 0.465 s, σ=1.65 — and the cross-round trend line manufactured a
+    // fake ±30 % swing out of pure spike statistics). The full
+    // mean/stddev/ci95 distribution stays in `stats` for reference
+    // protocol parity; `headline_stat` marks the semantics change so a
+    // round-over-round reader never compares a median record against a
+    // mean one unknowingly.
+    val total = results.collect { case (_, s) if s.median >= 0 => s.median }.sum
 
     // Mechanical contention verdict of the EMITTED pass, so tooling (and
     // the next judge) can select the citable record without eyeballing
@@ -475,8 +496,11 @@ object Bench {
       .mkString("{", ",", "}")
     val sweepJson = sweep.map { case (d, t) => "\"" + d + f"\":$t%.4f" }
       .mkString("{", ",", "}")
-    val fracJson = fracResults.map { case (p, t) => "\"" + p + f"\":$t%.4f" }
-      .mkString("{", ",", "}")
+    val fracJson = fracResults.map { case (p, (t, perQ)) =>
+      val qj = perQ.map { case (n, v) => "\"" + n + f"\":$v%.4f" }
+        .mkString("{", ",", "}")
+      "\"" + p + f"""":{"total":$t%.4f,"queries":$qj}"""
+    }.mkString("{", ",", "}")
     val pipeJson = pipelineSec
       .map(s => f"""{"query":"d_dedup_pipeline","sf":"$sfDir","sec":$s%.4f}""")
       .getOrElse("null")
@@ -497,13 +521,13 @@ object Bench {
 
     // Compact driver line — LAST line printed, budgeted ~1 KB so the
     // driver's captured tail always contains the whole JSON object.
-    val qs = results.map { case (k, s) => "\"" + k + f"\":${s.mean}%.3f" }
+    val qs = results.map { case (k, s) => "\"" + k + f"\":${s.median}%.3f" }
       .mkString("{", ",", "}")
     val statsLean = results.map { case (k, s) =>
       "\"" + k + f"""":{"mean":${s.mean}%.3f,"ci95":${s.ci95}%.3f,"runs":${s.runs}}"""
     }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"stats":$statsLean,"sentinel_flat":$sentinelFlat,"detail":"$detailPath","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","headline_stat":"median","queries":$qs,"stats":$statsLean,"sentinel_flat":$sentinelFlat,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
