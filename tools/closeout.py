@@ -13,8 +13,13 @@ Usage: python3 tools/closeout.py <round> [names_file]
                `sbt "runMain graft.Names"`); if omitted, sbt is invoked
 
 Exit 0 only if: both sweep files exist, neither contains a FAIL line,
-and each file's query-name set equals the registry exactly.
+each file's query-name set equals the registry exactly, AND
+TESTRUN.txt (written by tools/attest.sh) attests a green full-suite
+run over EXACTLY the current src/ contents — so engine code landing in
+a final snapshot commit without a re-run of the suite (the round-14/15
+foul shape) fails the close loudly instead of passing vacuously.
 """
+import hashlib
 import os
 import re
 import subprocess
@@ -47,12 +52,57 @@ def registry_names(names_file):
         ["sbt", "-batch", "runMain graft.Names"],
         cwd=ROOT, capture_output=True, text=True, check=True).stdout
     # sbt interleaves [info]/[success] lines; registry names are bare
-    # lowercase identifiers on their own line.
+    # identifiers on their own line, anchored to the registry's four
+    # family prefixes (q/d/e/m + underscore-bearing tail) so a stray
+    # bare word in sbt output can never inflate the registry.
     return {l.strip() for l in out.splitlines()
-            if re.fullmatch(r"[a-z][a-z0-9_]+", l.strip())}
+            if re.fullmatch(r"[qdem][a-z0-9]*_[a-z0-9_]+", l.strip())}
+
+
+def src_sha256():
+    """Content hash over src/ — the exact recipe tools/attest.sh uses:
+    sha256 of each file's sha256 line, over the LC_ALL=C-sorted
+    relative path list."""
+    src = os.path.join(ROOT, "src")
+    paths = []
+    for dirpath, _, files in os.walk(src):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            paths.append("./" + os.path.relpath(full, src))
+    lines = []
+    for p in sorted(paths):  # LC_ALL=C byte sort == python str sort here
+        with open(os.path.join(src, p), "rb") as f:
+            h = hashlib.sha256(f.read()).hexdigest()
+        lines.append(f"{h}  {p}\n")
+    return hashlib.sha256("".join(lines).encode()).hexdigest()
+
+
+def testrun_check():
+    """TESTRUN.txt must attest a green suite over the CURRENT src/."""
+    path = os.path.join(ROOT, "TESTRUN.txt")
+    if not os.path.exists(path):
+        return ["missing TESTRUN.txt — run tools/attest.sh after the "
+                "final source change"]
+    with open(path) as f:
+        txt = f.read()
+    errs = []
+    m = re.search(r"^src_sha256 ([0-9a-f]{64})$", txt, re.M)
+    if not m:
+        errs.append("TESTRUN.txt has no src_sha256 line")
+    elif m.group(1) != src_sha256():
+        errs.append("TESTRUN.txt attests a DIFFERENT src/ tree — source "
+                    "changed after the last suite run; re-run tools/attest.sh")
+    rc = re.search(r"^exit_code (\d+)$", txt, re.M)
+    if not rc or rc.group(1) != "0":
+        errs.append(f"TESTRUN.txt suite run was not green "
+                    f"(exit_code {rc.group(1) if rc else '?'})")
+    return errs
 
 
 def main():
+    if len(sys.argv) < 2:
+        print("usage: python3 tools/closeout.py <round> [names_file]")
+        return 2
     rnd = sys.argv[1]
     names_file = sys.argv[2] if len(sys.argv) > 2 else None
     registry = registry_names(names_file)
@@ -81,6 +131,12 @@ def main():
         if not fails and swept == registry:
             print(f"[closeout] ok: CHECK_SF{sf}_r{rnd}.txt covers all "
                   f"{len(registry)} registered queries, 0 failures")
+    for err in testrun_check():
+        print(f"[closeout] FAIL: {err}")
+        bad += 1
+    if not bad:
+        print("[closeout] ok: TESTRUN.txt attests a green suite over the "
+              "current src/ tree")
     return 1 if bad else 0
 
 
