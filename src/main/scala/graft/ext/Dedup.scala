@@ -1099,6 +1099,13 @@ object Dedup {
     // kept frames read only batch-side pinned inputs), so the setting is
     // saved/restored around the body. 1000 bounds the per-row-group
     // membership check; larger key lists keep today's range behavior.
+    // CONCURRENCY CAVEAT: the conf is SESSION-global — this call assumes
+    // it owns the SparkSession for its duration (true here: every serve
+    // path drives one foreachBatch at a time). Two concurrent streams
+    // sharing one session would see each other's threshold and could
+    // restore a stale value on interleaved exits; such a deployment
+    // gives each stream its own `SparkSession.newSession()` (separate
+    // conf, shared catalog/executors) instead of sharing this one.
     val spark = batch.sparkSession
     val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val savedIn = if (prune) Some(spark.conf.get(inKey)) else None

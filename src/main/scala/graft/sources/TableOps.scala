@@ -185,12 +185,22 @@ object TableOps {
     * [[compactTable]] (heavy I/O on the staging table; the drop+RENAME
     * caveat documented there applies). Returns (filesBefore, filesAfter). */
   def compactBucketedTable(spark: SparkSession, name: String): (Int, Int) = {
-    val spec = spark.sessionState.catalog
+    val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
-      .bucketSpec
+    val spec = meta.bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"compactBucketedTable($name): table has no bucket spec — " +
           "use compactTable"))
+    // Same silent-flatten hazard stageCompaction guards: a PARTITIONED
+    // bucketed table keeps its data under per-partition subdirectories,
+    // and the flat rewrite below would silently drop the partition spec
+    // (and the flat dataFiles listing would miscount). Refuse loudly —
+    // no caller has such a table; one that grows one compacts per
+    // partition slice.
+    require(meta.partitionColumnNames.isEmpty,
+      s"compactBucketedTable($name): table is partitioned on " +
+        s"(${meta.partitionColumnNames.mkString(", ")}) — the flat rewrite " +
+        "would drop the partition layout; compact per partition slice")
     val before = dataFiles(spark, warehousePath(spark, name)).length
     val cols = spec.bucketColumnNames.map(org.apache.spark.sql.functions.col)
     val staging = s"${name}_compacting"
