@@ -92,13 +92,16 @@ object Bench {
     "q_mv_refresh", "m_audio_vad", "d_corpus_stats", "d_span_dedup",
     "d_corpus_shuffle", "d_corpus_mix", "d_corpus_mix_tokens",
     "d_corpus_mix_incr")
-  // d_dedup_streamed is deliberately NOT benched: it is the 4-wave
-  // SEQUENTIAL semantics twin of the streaming filter, so its ~10 s at
-  // any small SF is 4 × (CC rounds × driver-loop scheduling floor), not
-  // data cost — benching it would report Spark's job-latency floor as if
-  // it were operator throughput. The live operator's steady-state cost
-  // is ONE streamDedupStep per micro-batch, which is the
-  // d_dedup_pipeline shape already benched above.
+  // d_dedup_streamed and d_corpus_mix_streamed are deliberately NOT
+  // benched: each is the 4-wave SEQUENTIAL semantics twin of its
+  // streaming operator, so its ~10 s at any small SF is 4 × (rounds ×
+  // driver-loop scheduling floor), not data cost — benching it would
+  // report Spark's job-latency floor as if it were operator throughput.
+  // The live operators' steady-state cost is ONE streamDedupStep /
+  // StreamMix.processBatch per micro-batch: the dedup shape is the
+  // d_dedup_pipeline entry above, and both serve paths are measured
+  // directly by ScaleUpBench (dedup_serve / mix_serve in
+  // BENCH_SCALEUP.json).
 
   /** Tables materialized by the fraction sweep, with the stable sort key
     * that defines each table's "first pct % of rows" deterministically

@@ -101,9 +101,25 @@ object ScaleUpBench {
     * the plain probe, so the delta isolates the pruning mechanism. */
   private val dedupServePrunedProbe: Boolean =
     queries.contains("d_dedup_serve_pruned")
+
+  /** `d_mix_serve` enables the STREAMING-MIX serve-path probe (sibling
+    * of the dedup one, closing the round-15 "named but unmeasured"
+    * residual for `StreamMix`): per factor, one untimed store build
+    * (the whole xK corpus fed as batch 0, then `compactStore` so the
+    * docs table has the (source, skey, doc_id)-ordered layout the
+    * boundary probes and flip scans range-prune against), then the
+    * median per-batch latency of `StreamMix.processBatch` over a FIXED
+    * 250-doc batch of NEW doc_ids (copy-0 docs re-id'd per run — each
+    * timed pass is a genuine new micro-batch, never a replay, and the
+    * store grows by only 250 rows per pass). The batch's source mix is
+    * identical at every factor while the accumulated corpus grows K×,
+    * so the number is per-batch re-quota + flip cost as the corpus
+    * grows under a fixed arrival rate — the exact claim in StreamMix's
+    * scaladoc ("O(batch + flips), not O(corpus)"). */
+  private val mixServeProbe: Boolean = queries.contains("d_mix_serve")
   private val probeQueries: Seq[String] =
     queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
-      q == "d_dedup_serve_pruned")
+      q == "d_dedup_serve_pruned" || q == "d_mix_serve")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -344,6 +360,45 @@ object ScaleUpBench {
     lazy val dedupX1 = dedupServe(s"$out/x1", "scup_sd_x1")
     lazy val dedupPrunedX1 = dedupServe(s"$out/x1", "scup_sdp_x1", pruned = true)
 
+    /** (store build sec, per-batch serve sec median, emitted rows of the
+      * final timed batch, fresh rows of it) for the streaming-mix serve
+      * probe (see mixServeProbe doc). Emission = 250 fresh verdicts +
+      * O(quota shift) old-doc flips; the fresh count is asserted 250 at
+      * every factor, the flip count is recorded (it varies with where
+      * the thresholds land, but must stay batch-order, not corpus-order). */
+    def mixServe(dir: String, pfx: String): (Double, Double, Long, Long) = {
+      import graft.streaming.StreamMix
+      Seq("docs", "ledger", "thr").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val t0 = System.nanoTime()
+      StreamMix.processBatch(spark, pfx, docs, 0L, "mixsrv42").count(): Unit
+      StreamMix.compactStore(spark, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      // copy 0 keeps original ids at every K — the same 250 (doc, source)
+      // rows everywhere; per-pass id offsets make each pass a new batch
+      val base = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+      var nextB = 1L
+      var lastTotal = 0L
+      var lastFresh = 0L
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1
+        val batch = base.select(
+          (col("doc_id") + lit(1000000000000L + b * 1000000L)).as("doc_id"),
+          col("source"))
+        val d = StreamMix.processBatch(s, pfx, batch, b, "mixsrv42")
+        lastTotal = d.count()
+        lastFresh = d.filter(col("doc_id") >= 1000000000000L + b * 1000000L)
+          .count()
+        d
+      }, spark, dir, runs).median
+      require(lastFresh == 250L,
+        s"mix-serve probe: expected 250 fresh verdicts, got $lastFresh")
+      (build, serve, lastTotal, lastTotal - lastFresh)
+    }
+    lazy val mixX1 = mixServe(s"$out/x1", "scup_mx_x1")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -415,7 +470,12 @@ object ScaleUpBench {
           s"[scaleup] pruned dedup-serve verdict drift at x$k: x1=($k1c kept, $d1 dropped) x$k=($kkc kept, $dk dropped)")
         f""","dedup_serve_pruned":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson}"""
+      val mixJson = if (!mixServeProbe) "" else {
+        val (b1, s1, t1, f1) = mixX1
+        val (bk, sk, tk, fk) = mixServe(s"$out/x$k", s"scup_mx_x$k")
+        f""","mix_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_flips":$f1,"x${k}_flips":$fk}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -433,6 +493,9 @@ object ScaleUpBench {
       if (dedupServePrunedProbe)
         Seq("bands", "toks").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_sdp_${fx}_$t"): Unit)
+      if (mixServeProbe)
+        Seq("docs", "ledger", "thr").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_mx_${fx}_$t"): Unit)
     }
     spark.stop()
   }

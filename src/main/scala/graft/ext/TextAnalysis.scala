@@ -2101,7 +2101,15 @@ object TextAnalysis {
   /** Generated CTE chain: one (counts → min-volume → quotas → ranks)
     * block per wave prefix, same portable md5-prefix key and integer
     * quota arithmetic as [[corpusMixSql]]. */
-  lazy val corpusMixIncrSql: String = {
+  lazy val corpusMixIncrSql: String =
+    corpusMixIncrSqlGen(", r3.pos AS pos, r3.quota AS quota")
+
+  /** The same 4-wave law WITHOUT the rank columns — the oracle for the
+    * streaming replay twin ([[graft.streaming.StreamMix.corpusMixStreamed]]),
+    * whose threshold-based dataflow never materializes a per-doc rank. */
+  lazy val corpusMixStreamedSql: String = corpusMixIncrSqlGen("")
+
+  private def corpusMixIncrSqlGen(rankCols: String): String = {
     val head =
       """WITH k AS (
         |  SELECT doc_id, source,
@@ -2131,7 +2139,7 @@ object TextAnalysis {
     val leftJoins = (0 until 3)
       .map(j => s"LEFT JOIN r$j ON r$j.doc_id = k.doc_id").mkString("\n")
     s"""$head$waveBlocks
-       |SELECT k.doc_id, k.source, k.wave, r3.pos AS pos, r3.quota AS quota,
+       |SELECT k.doc_id, k.source, k.wave$rankCols,
        |       $keptCols
        |FROM k
        |$leftJoins

@@ -25,7 +25,7 @@ object TableOps {
     * LOCATION_ALREADY_EXISTS. (A shared Hive metastore remembers the
     * table instead, making the plain drop sufficient — this helper keeps
     * the reset idempotent under both catalogs.) */
-  private def dropWithLocation(spark: SparkSession, name: String): Unit = {
+  private[graft] def dropWithLocation(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val path = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class StreamMixSpec extends SparkSpec {
 
   private def dropStore(prefix: String): Unit =
-    Seq("docs", "ledger").foreach(t =>
+    Seq("docs", "ledger", "thr").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"): Unit)
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame) = df
@@ -71,7 +71,7 @@ class StreamMixSpec extends SparkSpec {
     dropStore("sm_eq")
   }
 
-  test("a replayed batch re-emits identical changes and leaves both tables unchanged") {
+  test("a replayed batch re-emits identical changes and leaves all tables unchanged") {
     dropStore("sm_rp")
     val w0 = wavedDocs.filter(col("wave") === 0)
       .select(col("doc_id"), col("source"))
@@ -79,19 +79,19 @@ class StreamMixSpec extends SparkSpec {
       .select(col("doc_id"), col("source"))
     val e0 = rowsOf(StreamMix.processBatch(spark, "sm_rp", w0, 0L, "incr42"))
     val e1 = rowsOf(StreamMix.processBatch(spark, "sm_rp", w1, 1L, "incr42"))
-    val counts = Seq("docs", "ledger")
+    val counts = Seq("docs", "ledger", "thr")
       .map(t => t -> spark.table(s"sm_rp_$t").count()).toMap
     // replay both batches: identical emissions, no table growth
     assert(rowsOf(StreamMix.processBatch(spark, "sm_rp", w0, 0L, "incr42")) == e0)
     assert(rowsOf(StreamMix.processBatch(spark, "sm_rp", w1, 1L, "incr42")) == e1)
-    Seq("docs", "ledger").foreach(t =>
+    Seq("docs", "ledger", "thr").foreach(t =>
       assert(spark.table(s"sm_rp_$t").count() == counts(t),
         s"replay grew sm_rp_$t"))
     dropStore("sm_rp")
   }
 
-  test("crash residue between the docs append and the ledger append converges") {
-    dropStore("sm_crA"); dropStore("sm_crB")
+  test("crash residue in both windows (thr-only; thr+docs) converges to the clean delta") {
+    Seq("sm_crA", "sm_crB", "sm_crC").foreach(dropStore)
     val w0 = wavedDocs.filter(col("wave") === 0)
       .select(col("doc_id"), col("source"))
     val w1 = wavedDocs.filter(col("wave") === 1)
@@ -99,19 +99,138 @@ class StreamMixSpec extends SparkSpec {
     // clean run on A
     StreamMix.processBatch(spark, "sm_crA", w0, 0L, "incr42").count(): Unit
     val cleanDelta = rowsOf(StreamMix.processBatch(spark, "sm_crA", w1, 1L, "incr42"))
-    // B: batch 0, then simulate a crash mid-batch-1 — docs landed,
-    // ledger did not, nothing emitted
-    StreamMix.ensureStore(spark, "sm_crB")
+    // B: crash window 1 — batch-1 thresholds landed, docs/ledger did not.
+    // The crashed attempt's thr rows are deterministic, so A's are a
+    // faithful copy of what the crash left behind.
     StreamMix.processBatch(spark, "sm_crB", w0, 0L, "incr42").count(): Unit
-    w1.write.insertInto("sm_crB_docs")
-    // the replay must produce the exact delta the clean run produced
-    val replayDelta = rowsOf(StreamMix.processBatch(spark, "sm_crB", w1, 1L, "incr42"))
-    assert(replayDelta == cleanDelta,
-      s"crash replay diverged: only-replay=${(replayDelta -- cleanDelta).take(3)} " +
-        s"only-clean=${(cleanDelta -- replayDelta).take(3)}")
-    // and the docs table holds no duplicates
-    assert(spark.table("sm_crB_docs").groupBy(col("doc_id")).count()
-      .filter(col("count") > 1).count() == 0, "crash replay duplicated docs")
-    dropStore("sm_crA"); dropStore("sm_crB")
+    spark.table("sm_crA_thr").filter(col("batch_id") === 1L)
+      .write.insertInto("sm_crB_thr")
+    val deltaB = rowsOf(StreamMix.processBatch(spark, "sm_crB", w1, 1L, "incr42"))
+    assert(deltaB == cleanDelta,
+      s"thr-only crash replay diverged: only-replay=${(deltaB -- cleanDelta).take(3)} " +
+        s"only-clean=${(cleanDelta -- deltaB).take(3)}")
+    // C: crash window 2 — thresholds AND docs landed, ledger did not
+    StreamMix.processBatch(spark, "sm_crC", w0, 0L, "incr42").count(): Unit
+    spark.table("sm_crA_thr").filter(col("batch_id") === 1L)
+      .write.insertInto("sm_crC_thr")
+    spark.table("sm_crA_docs")
+      .join(w1.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("skey"))
+      .write.insertInto("sm_crC_docs")
+    val deltaC = rowsOf(StreamMix.processBatch(spark, "sm_crC", w1, 1L, "incr42"))
+    assert(deltaC == cleanDelta,
+      s"thr+docs crash replay diverged: only-replay=${(deltaC -- cleanDelta).take(3)} " +
+        s"only-clean=${(cleanDelta -- deltaC).take(3)}")
+    // convergence: every table holds the same content as the clean run,
+    // and the docs table has no duplicates
+    Seq("sm_crB", "sm_crC").foreach { p =>
+      Seq("docs", "ledger").foreach { t =>
+        val a = spark.table(s"sm_crA_$t")
+        val x = spark.table(s"${p}_$t")
+        assert(a.exceptAll(x).isEmpty && x.exceptAll(a).isEmpty,
+          s"${p}_$t diverged from the clean run")
+      }
+      assert(spark.table(s"${p}_docs").groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).count() == 0, s"$p crash replay duplicated docs")
+    }
+    Seq("sm_crA", "sm_crB", "sm_crC").foreach(dropStore)
+  }
+
+  test("a foreign batch colliding with a used batch_id refuses instead of swallowing") {
+    dropStore("sm_fk")
+    val w0 = wavedDocs.filter(col("wave") === 0)
+      .select(col("doc_id"), col("source"))
+    val w1 = wavedDocs.filter(col("wave") === 1)
+      .select(col("doc_id"), col("source"))
+    StreamMix.processBatch(spark, "sm_fk", w0, 0L, "incr42").count(): Unit
+    // the ADVICE hazard shape: a fresh checkpoint restarts at batch 0
+    // against a store whose ledger already used it — the old code
+    // silently re-emitted history and dropped the new docs forever
+    val mixed = w0.limit(5).unionByName(w1)
+    val ex1 = intercept[IllegalArgumentException] {
+      StreamMix.processBatch(spark, "sm_fk", mixed, 0L, "incr42")
+    }
+    assert(ex1.getMessage.contains("different checkpoint"))
+    // a purely-new batch at id 0 trips the thresholds-consistency guard
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamMix.processBatch(spark, "sm_fk", w1, 0L, "incr42")
+    }
+    assert(ex2.getMessage.toLowerCase.contains("inconsistent") ||
+      ex2.getMessage.contains("different checkpoint"))
+    dropStore("sm_fk")
+  }
+
+  test("a late tiny source collapses quotas and evicts across sources, law-equal") {
+    dropStore("sm_ev")
+    // wave 0: every source except src3, whole corpus; wave 1: five src3
+    // docs — v_src3 = 5·(12/4) = 15 becomes the binding minimum, u12
+    // collapses, and previously-kept docs across ALL sources evict.
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"))
+    val big = docs.filter(col("source") =!= "src3")
+    val tiny = docs.filter(col("source") === "src3")
+      .orderBy(col("doc_id")).limit(5)
+    val waved = big.withColumn("wave", lit(0))
+      .unionByName(tiny.withColumn("wave", lit(1)))
+    val expected = ext.TextAnalysis.corpusMixIncrOn(waved, "evict42", 2)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 2).map(k =>
+        if (r.isNullAt(5 + k)) None else Some(r.getBoolean(5 + k))))
+      .toMap
+    val e0 = rowsOf(StreamMix.processBatch(spark, "sm_ev", big, 0L, "evict42"))
+    e0.foreach { case (id, _, kept, _) =>
+      assert(Some(kept) == expected(id)(0), s"wave0 doc $id") }
+    val e1 = rowsOf(StreamMix.processBatch(spark, "sm_ev", tiny, 1L, "evict42"))
+    // fold: latest verdict per doc across both batches == law at wave 1
+    val state = (e0 ++ e1).groupBy(_._1).view.mapValues(
+      _.maxBy(_._4)._3).toMap
+    expected.foreach { case (id, perWave) =>
+      assert(state.get(id) == perWave(1), s"wave1 doc $id") }
+    // the collapse must actually have evicted old docs (flip rows exist)
+    val evictions = e1.filter { case (id, _, kept, _) =>
+      !kept && expected(id)(0) == Some(true) }
+    assert(evictions.nonEmpty, "fixture produced no evictions — test inert")
+    dropStore("sm_ev")
+  }
+
+  test("registry twin corpusMixStreamed equals corpusMixIncr's kept flags and resets idempotently") {
+    def keptMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kept0"), col("kept1"), col("kept2"), col("kept3"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getBoolean(i))))
+      .toMap
+    val streamed = keptMap(StreamMix.corpusMixStreamed(spark, sf001))
+    val incr = ext.TextAnalysis.corpusMixIncr(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(k =>
+        if (r.isNullAt(5 + k)) None else Some(r.getBoolean(5 + k))))
+      .toMap
+    assert(streamed.keySet == incr.keySet)
+    streamed.foreach { case (id, flags) =>
+      assert(flags == incr(id), s"doc $id: streamed=$flags incr=${incr(id)}") }
+    // second invocation resets the scratch store and reproduces itself
+    assert(keptMap(StreamMix.corpusMixStreamed(spark, sf001)) == streamed)
+  }
+
+  test("compactStore preserves state and subsequent batches serve identically") {
+    dropStore("sm_cp"); dropStore("sm_cq")
+    val waves = (0 until 4).map(w => wavedDocs.filter(col("wave") === w)
+      .select(col("doc_id"), col("source")))
+    // two stores fed identically; one compacted mid-stream
+    val e0 = (0 to 1).map(w => rowsOf(
+      StreamMix.processBatch(spark, "sm_cp", waves(w), w.toLong, "incr42")))
+    (0 to 1).foreach(w =>
+      StreamMix.processBatch(spark, "sm_cq", waves(w), w.toLong, "incr42").count(): Unit)
+    val filesBefore = StreamMix.compactStore(spark, "sm_cp", 8L * 1024 * 1024)
+    filesBefore.foreach { case (t, (before, after)) =>
+      assert(after <= before, s"$t grew under compaction") }
+    (2 to 3).foreach { w =>
+      val a = rowsOf(StreamMix.processBatch(spark, "sm_cp", waves(w), w.toLong, "incr42"))
+      val b = rowsOf(StreamMix.processBatch(spark, "sm_cq", waves(w), w.toLong, "incr42"))
+      assert(a == b, s"post-compaction batch $w diverged")
+    }
+    dropStore("sm_cp"); dropStore("sm_cq")
+    e0.size: Unit
   }
 }
