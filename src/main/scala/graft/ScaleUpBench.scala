@@ -293,6 +293,9 @@ object ScaleUpBench {
     }
     lazy val annX1 = annServe(s"$out/x1", "scup_ann_x1")
 
+    // x1's bands-store bytes, recorded by the first pruned build — the
+    // per-bucket byte target the xK pruned builds rescale against
+    var prunedX1BandBytes: Long = 0L
     /** (store build sec, per-batch serve sec median, kept, dropped) for
       * the streaming-dedup serve probe (see dedupServeProbe doc). */
     def dedupServe(dir: String, pfx: String,
@@ -317,6 +320,28 @@ object ScaleUpBench {
         bandsDf.repartition(b, col("band_idx"), col("band"))
           .write.bucketBy(b, "band_idx", "band").sortBy("band_idx", "band")
           .saveAsTable(s"${pfx}_bands")
+        // deployment growth policy (StreamDedup.bucketsFor via
+        // compactStore), scale-modeled for the toy corpus: pin the
+        // target per-bucket bytes to x1's so the xK count grows in the
+        // ratio a fixed-128MB-target store sees at real size, BUT
+        // capped at 4x the machine's cores — bucket count past the
+        // parallelism the hardware can exploit is the small-files
+        // anti-pattern, measured here directly: the uncapped model
+        // (2048 buckets of ~30KB at x100) served at 7.3x, WORSE than
+        // the fixed-16 layout's 2.0x, pure scheduling + file-open
+        // overhead. A real deployment grows cores with corpus; this
+        // box cannot, so the honest local model scales per-task bytes
+        // down only as far as idle parallelism exists to absorb it.
+        val bytes = graft.sources.TableOps.tableDataBytes(spark, s"${pfx}_bands")
+        if (prunedX1BandBytes == 0L) prunedX1BandBytes = bytes
+        else {
+          val desired = math.min(nCores * 4,
+            graft.streaming.StreamDedup.bucketsFor(
+              bytes, math.max(1L, prunedX1BandBytes / b)))
+          if (desired != b)
+            graft.sources.TableOps.compactBucketedTable(
+              spark, s"${pfx}_bands", Some(desired)): Unit
+        }
       } else bandsDf.write.saveAsTable(s"${pfx}_bands")
       val toksDf = docs.select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -395,6 +420,21 @@ object ScaleUpBench {
       }, spark, dir, runs).median
       require(lastFresh == 250L,
         s"mix-serve probe: expected 250 fresh verdicts, got $lastFresh")
+      // law-equality gate (the dedup probe's verdicts_same analog —
+      // verdicts here legitimately differ ACROSS factors because the
+      // quota law sees a different corpus, so each factor is instead
+      // checked against the LAW): the threshold-derived current state
+      // over the whole accumulated store must equal corpusMixOn's full
+      // re-rank of the same docs, doc for doc.
+      val state = StreamMix.currentKept(spark, pfx)
+      val law = graft.ext.TextAnalysis.corpusMixOn(
+          spark.table(s"${pfx}_docs").select(col("doc_id"), col("source")),
+          "mixsrv42")
+        .select(col("doc_id"), col("kept").as("law_kept"))
+      val lawBad = state.join(law, Seq("doc_id"))
+        .filter(col("kept") =!= col("law_kept")).count()
+      require(lawBad == 0L,
+        s"mix-serve probe: $lawBad docs diverge from the corpusMix law")
       (build, serve, lastTotal, lastTotal - lastFresh)
     }
     lazy val mixX1 = mixServe(s"$out/x1", "scup_mx_x1")

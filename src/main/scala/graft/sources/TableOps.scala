@@ -84,6 +84,11 @@ object TableOps {
         !s.getPath.getName.startsWith("."))
   }
 
+  /** Total data bytes under a managed table's location (live files
+    * only) — the input to bucket-count growth policies. */
+  private[graft] def tableDataBytes(spark: SparkSession, name: String): Long =
+    dataFiles(spark, warehousePath(spark, name)).map(_.getLen).sum
+
   private[sources] def warehousePath(spark: SparkSession, name: String) =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
@@ -183,8 +188,16 @@ object TableOps {
     * count a bucketed store serves from is then a constant B, not a
     * number that tracks corpus growth. Same stage+swap crash posture as
     * [[compactTable]] (heavy I/O on the staging table; the drop+RENAME
-    * caveat documented there applies). Returns (filesBefore, filesAfter). */
-  def compactBucketedTable(spark: SparkSession, name: String): (Int, Int) = {
+    * caveat documented there applies). Returns (filesBefore, filesAfter).
+    *
+    * `newBuckets` RESCALES the bucket count during the rewrite (bucket
+    * and sort columns are always preserved): a bucket count is fixed at
+    * CREATE time, so a store that outgrew its layout — per-bucket bytes
+    * far past the target file size — can only re-size here, where the
+    * whole table is being rewritten anyway. Callers own the growth
+    * policy (see `StreamDedup.bucketsFor`). */
+  def compactBucketedTable(spark: SparkSession, name: String,
+      newBuckets: Option[Int] = None): (Int, Int) = {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
     val spec = meta.bucketSpec
@@ -214,11 +227,13 @@ object TableOps {
     // survives and every output task carries exactly one bucket id.
     val bucketReadKey = "spark.sql.sources.bucketing.enabled"
     val savedBucketRead = spark.conf.get(bucketReadKey)
+    val nb = newBuckets.getOrElse(spec.numBuckets)
+    require(nb > 0, s"compactBucketedTable($name): bucket count $nb")
     try {
       spark.conf.set(bucketReadKey, "false")
-      val laid = spark.table(name).repartition(spec.numBuckets, cols: _*)
+      val laid = spark.table(name).repartition(nb, cols: _*)
       val writer = laid.write.mode("overwrite")
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        .bucketBy(nb, spec.bucketColumnNames.head,
           spec.bucketColumnNames.tail: _*)
       (if (spec.sortColumnNames.nonEmpty)
          writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)

@@ -82,8 +82,51 @@ object StreamDedup {
     * store size / target file size) so each bucket file stays
     * right-sized while the FILE COUNT stays constant — the per-batch
     * serve scan then opens a bounded file set no matter how large the
-    * kept corpus grows. */
+    * kept corpus grows. 16 is only the CREATE-time floor:
+    * [[compactStore]] re-sizes the count with [[bucketsFor]] as the
+    * store grows (a bucket count is immutable outside a full rewrite,
+    * and compaction is the one place the table is rewritten anyway). */
   private[graft] val BandBuckets = 16
+
+  /** Bucket-count growth policy: enough buckets that one bucket ≈ one
+    * target-sized file, rounded UP to a power of two so growth steps
+    * are infrequent (each rebucketing is a full rewrite) and monotone,
+    * clamped to [[BandBuckets]]..65536 (≈ 8 TB of band rows at 128 MB
+    * files — past that, partition the store by band_idx and scale per
+    * partition). Power-of-two also keeps successive layouts nested
+    * under murmur3-pmod only in expectation, not exactly — which is
+    * fine: correctness never depends on WHICH bucket a key lands in,
+    * only on both join sides agreeing, and Spark re-checks the spec at
+    * plan time.
+    *
+    * Do NOT shrink `targetFileBytes` to manufacture parallelism: bucket
+    * count past what the cluster's cores can absorb is the small-files
+    * anti-pattern, and it was measured here, not assumed — the x100
+    * probe with 2048 ~30 KB buckets on 32 cores served at 7.3×,
+    * WORSE than the fixed-16 layout's 2.0×, pure task-scheduling and
+    * file-open overhead; the same store at 128 buckets (4× cores)
+    * served at 1.43× (BENCH_SCALEUP.json, SCALING.md round 16). At
+    * deployment scale the 128 MB default keeps per-task work real and
+    * cores grow with the corpus, so the file-size bound is the right
+    * driver; on a fixed-size cluster, cap the count near a small
+    * multiple of total cores. */
+  private[graft] def bucketsFor(storeBytes: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val needed = math.max(1L, (storeBytes + targetFileBytes - 1) / targetFileBytes)
+    val pow2 = java.lang.Long.highestOneBit(needed) match {
+      case h if h == needed => needed
+      case h => h * 2
+    }
+    math.min(65536L, math.max(BandBuckets.toLong, pow2)).toInt
+  }
+
+  /** The bands table's CURRENT bucket count (it drifts upward across
+    * [[compactStore]] rebucketings; appends must follow the live
+    * layout, not the CREATE-time constant). */
+  private def currentBandBuckets(spark: SparkSession, prefix: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bands(prefix)))
+      .bucketSpec.map(_.numBuckets).getOrElse(BandBuckets)
 
   /** Idempotent store DDL. The bands store is BUCKETED+SORTED on band
     * (see [[BandBuckets]]) — the layout that removes the one
@@ -157,12 +200,14 @@ object StreamDedup {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band_idx"), col("band"))
       .localCheckpoint(true)
-    // align the append with the store's bucket layout BEFORE the write:
+    // align the append with the store's LIVE bucket layout BEFORE the
+    // write (the count drifts upward across compactStore rebucketings):
     // each task then carries exactly one bucket id, so an append adds at
-    // most BandBuckets files instead of tasks × buckets (the checkpoint
-    // above already isolated the read side, so the lazy repartition is
-    // safe to evaluate inside the insert)
-    newBands.repartition(BandBuckets, col("band_idx"), col("band"))
+    // most one file per bucket instead of tasks × buckets (the
+    // checkpoint above already isolated the read side, so the lazy
+    // repartition is safe to evaluate inside the insert)
+    newBands.repartition(currentBandBuckets(spark, prefix),
+        col("band_idx"), col("band"))
       .write.insertInto(bands(prefix))
     val newToks = keptToks
       .join(spark.table(toks(prefix)).select(col("doc_id")).distinct(),
@@ -206,17 +251,25 @@ object StreamDedup {
     ensureStore(spark, prefix)
     // bands is bucketed (ensureStore DDL) — its compaction must preserve
     // the bucket spec, collapsing the per-append file pile back to one
-    // file per non-empty bucket; a store created before the bucketed DDL
-    // keeps the ordered flat rewrite.
+    // file per non-empty bucket, and is ALSO where the bucket count
+    // scales with store bytes ([[bucketsFor]]): the CREATE-time count
+    // fits an empty store, and without the rescale a grown store's
+    // per-bucket files blow past the target size (the fixed-16 layout
+    // was the remaining 2x in the 100x pruned-serve datum). A store
+    // created before the bucketed DDL keeps the ordered flat rewrite.
     val bandsBucketed = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(bands(prefix)))
       .bucketSpec.isDefined
     Map(
       bands(prefix) -> (
-        if (bandsBucketed)
-          graft.sources.TableOps.compactBucketedTable(spark, bands(prefix))
-        else graft.sources.TableOps.compactTable(spark,
+        if (bandsBucketed) {
+          val desired = bucketsFor(
+            graft.sources.TableOps.tableDataBytes(spark, bands(prefix)),
+            targetFileBytes)
+          graft.sources.TableOps.compactBucketedTable(spark, bands(prefix),
+            newBuckets = Some(desired))
+        } else graft.sources.TableOps.compactTable(spark,
           bands(prefix), targetFileBytes, orderBy = Seq("band_idx", "band"))),
       toks(prefix) -> graft.sources.TableOps.compactTable(spark,
         toks(prefix), targetFileBytes, orderBy = Seq("doc_id")),

@@ -165,13 +165,27 @@ object StreamMix {
     * contract as [[StreamDedup.compactStore]]): docs range-partitioned +
     * sorted on (source, skey, doc_id) so boundary probes and flip scans
     * skip every file outside their per-source key window; the ledger on
-    * doc_id so the batch IN-list skips row groups; thr on batch_id
-    * (file compaction only — history trimming is a deployment retention
-    * choice, the recovery path only ever reads the trailing batch).
-    * Returns per-table (filesBefore, filesAfter). */
+    * doc_id so the batch IN-list skips row groups; thr TRIMMED to the
+    * trailing `retainThrBatches` snapshots then compacted on batch_id —
+    * the thresholds table otherwise grows ~|sources| rows per batch
+    * forever, while recovery only ever reads the trailing snapshot
+    * (older history is an audit convenience, not state). Returns
+    * per-table (filesBefore, filesAfter). */
   def compactStore(spark: SparkSession, prefix: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      retainThrBatches: Int = 8): Map[String, (Int, Int)] = {
+    require(retainThrBatches >= 1,
+      "retainThrBatches: recovery reads the trailing snapshot — keep >= 1")
     ensureStore(spark, prefix)
+    val thr = spark.table(thrT(prefix))
+    thr.agg(max(col("batch_id"))).head() match {
+      case r if r.isNullAt(0) => () // empty store — nothing to trim
+      case r =>
+        val cutoff = r.getLong(0) - (retainThrBatches - 1)
+        // pin the survivors BEFORE the reset drops the table they read
+        val trimmed = thr.filter(col("batch_id") >= cutoff).localCheckpoint(true)
+        graft.sources.TableOps.resetTable(spark, thrT(prefix), trimmed)
+    }
     Map(
       docsT(prefix) -> graft.sources.TableOps.compactTable(spark,
         docsT(prefix), targetFileBytes,
@@ -479,6 +493,31 @@ object StreamMix {
       .write.insertInto(docsT(prefix))
     delta.write.insertInto(ledgerT(prefix))
     delta
+  }
+
+  /** Current kept verdict for every stored doc, derived in O(one store
+    * scan + a ~|sources|-row broadcast) from the LATEST thresholds
+    * snapshot — no window, no ledger read. The serve path never needs
+    * this (verdict changes are emitted incrementally); it exists for
+    * audits and the ScaleUpBench mix-serve probe's law-equality check,
+    * where it is compared against `corpusMixOn`'s full re-rank over the
+    * same accumulated corpus. */
+  def currentKept(spark: SparkSession, prefix: String): DataFrame = {
+    ensureStore(spark, prefix)
+    val thr = spark.table(thrT(prefix))
+    val lastRow = thr.agg(max(col("batch_id"))).head()
+    val docs = spark.table(docsT(prefix))
+    if (lastRow.isNullAt(0))
+      return docs.select(col("doc_id"), col("source"), lit(false).as("kept"))
+        .filter(lit(false))
+    val cur = thr.filter(col("batch_id") === lastRow.getLong(0))
+      .select(col("source"), col("t_skey"), col("t_doc"))
+    docs.join(broadcast(cur), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        (col("t_skey").isNotNull &&
+          ((col("skey") < col("t_skey")) ||
+            (col("skey") === col("t_skey") && col("doc_id") <= col("t_doc"))))
+          .as("kept"))
   }
 
   /** The oracled batch twin of the online mixer (registry entry

@@ -298,6 +298,62 @@ class StreamDedupSpec extends SparkSpec {
     dropStore("sd_bk")
   }
 
+  test("compaction rescales the bands bucket count with store bytes; appends and serving follow the new layout") {
+    // the growth policy itself: one bucket per target file, next power
+    // of two, floored at the CREATE-time count, capped at 65536
+    val MB128 = 128L * 1024 * 1024
+    assert(StreamDedup.bucketsFor(0L) == StreamDedup.BandBuckets)
+    assert(StreamDedup.bucketsFor(16L * MB128) == 16)
+    assert(StreamDedup.bucketsFor(16L * MB128 + 1) == 32)
+    assert(StreamDedup.bucketsFor(100L * MB128) == 128)
+    assert(StreamDedup.bucketsFor(Long.MaxValue / 4) == 65536)
+    dropStore("sd_gr"); dropStore("sd_gs")
+    val byWave = (0 until 3).map { w =>
+      Tables.documents(spark, sf001)
+        .filter(floor(substring(col("source"), 4, 10).cast("int") / 5) === w)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    (0 until 2).foreach { w =>
+      StreamDedup.processBatch(spark, "sd_gr", byWave(w), w.toLong).count(): Unit
+      StreamDedup.processBatch(spark, "sd_gs", byWave(w), w.toLong).count(): Unit
+    }
+    // a tiny target file size makes the sf0.001 store "outgrow" 16
+    // buckets, forcing the rescale path a real deployment hits at TB size
+    val (_, filesAfter) =
+      StreamDedup.compactStore(spark, "sd_gr", targetFileBytes = 1024L)("sd_gr_bands")
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sd_gr_bands"))
+      .bucketSpec
+    val nb = spec.map(_.numBuckets).getOrElse(0)
+    assert(nb > StreamDedup.BandBuckets && (nb & (nb - 1)) == 0,
+      s"expected a rescaled power-of-two bucket count, got $nb")
+    assert(spec.exists(s => s.bucketColumnNames == Seq("band_idx", "band") &&
+      s.sortColumnNames == Seq("band_idx", "band")),
+      s"rescale changed the bucket/sort columns: $spec")
+    assert(filesAfter <= nb, s"$filesAfter files for $nb buckets")
+    // the rescaled store still plans a bucketed (exchange-free) scan
+    val probeBands = ext.Dedup.minhashBands(byWave(2)).localCheckpoint(true)
+    val plan = spark.table("sd_gr_bands").as("o")
+      .join(probeBands.as("n").hint("merge"),
+        col("o.band_idx") === col("n.band_idx") &&
+          col("o.band") === col("n.band") &&
+          col("o.doc_id") =!= col("n.doc_id"))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("Bucketed: true"),
+      s"rescaled store scan did not use the bucketed layout:\n$plan")
+    // wave 2 served from the rescaled store matches the untouched twin,
+    // and the append landed at most one file per (task, bucket) — the
+    // repartition follows the LIVE count, so at most nb new files
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kept"),
+        coalesce(col("matched_old"), lit(-1L)).as("mo"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val vGrown = StreamDedup.processBatch(spark, "sd_gr", byWave(2), 2L)
+    val vPlain = StreamDedup.processBatch(spark, "sd_gs", byWave(2), 2L)
+    assert(norm(vGrown) == norm(vPlain), "rescaled layout changed a verdict")
+    dropStore("sd_gr"); dropStore("sd_gs")
+  }
+
   test("crash residue between the store append and the decisions append converges") {
     dropStore("sd_cr")
     StreamDedup.ensureStore(spark, "sd_cr")

@@ -211,6 +211,12 @@ class StreamMixSpec extends SparkSpec {
       assert(flags == incr(id), s"doc $id: streamed=$flags incr=${incr(id)}") }
     // second invocation resets the scratch store and reproduces itself
     assert(keptMap(StreamMix.corpusMixStreamed(spark, sf001)) == streamed)
+    // the threshold-derived audit state equals the final-wave fold
+    val audit = StreamMix.currentKept(spark, "cmx_replay")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(audit.size == streamed.size)
+    audit.foreach { case (id, k) =>
+      assert(Some(k) == streamed(id)(3), s"currentKept doc $id") }
   }
 
   test("compactStore preserves state and subsequent batches serve identically") {
@@ -230,6 +236,24 @@ class StreamMixSpec extends SparkSpec {
       val b = rowsOf(StreamMix.processBatch(spark, "sm_cq", waves(w), w.toLong, "incr42"))
       assert(a == b, s"post-compaction batch $w diverged")
     }
+    // thr retention: trim history to the trailing snapshot only; the
+    // next batch recovers from it and the audit state still obeys the
+    // full-rank law over the whole accumulated corpus
+    StreamMix.compactStore(spark, "sm_cp", retainThrBatches = 1)
+    val thrBatches = spark.table("sm_cp_thr")
+      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(thrBatches == Seq(3L), s"retention kept $thrBatches")
+    val extra = wavedDocs.filter(col("wave") === 0)
+      .select((col("doc_id") + lit(500000L)).as("doc_id"), col("source"))
+    StreamMix.processBatch(spark, "sm_cp", extra, 4L, "incr42").count(): Unit
+    val audit = StreamMix.currentKept(spark, "sm_cp")
+      .select(col("doc_id"), col("kept"))
+    val law = ext.TextAnalysis.corpusMixOn(
+        spark.table("sm_cp_docs").select(col("doc_id"), col("source")), "incr42")
+      .select(col("doc_id"), col("kept").as("law_kept"))
+    assert(audit.join(law, Seq("doc_id"))
+      .filter(col("kept") =!= col("law_kept")).count() == 0L,
+      "post-retention batch diverged from the corpusMix law")
     dropStore("sm_cp"); dropStore("sm_cq")
     e0.size: Unit
   }
