@@ -214,7 +214,10 @@ object StreamDedup {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("toks"))
       .localCheckpoint(true)
-    newToks.write.insertInto(toks(prefix))
+    // batch-sized sorted append: the fresh file's row-group stats keep
+    // the pushed candidate-id predicates pruning between compactions
+    newToks.coalesce(1).sortWithinPartitions("doc_id")
+      .write.insertInto(toks(prefix))
     val freshDecisions = verdicts
       .withColumn("batch_id", lit(batchId))
       .select(col("doc_id"), col("source"), col("kept"),
@@ -226,6 +229,7 @@ object StreamDedup {
       .join(decided.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+      .coalesce(1).sortWithinPartitions("doc_id")
       .write.insertInto(decisions(prefix))
     freshDecisions.union(replayed)
   }

@@ -489,9 +489,16 @@ object StreamMix {
       if (!recovering) freshK // normal path: no existence probe at all
       else freshK.join(spark.table(docsT(prefix)).select(col("doc_id")),
         Seq("doc_id"), "left_anti").localCheckpoint(true)
+    // appends land SORTED on their table's probe key (batch-sized sorts,
+    // one small file each): a fresh file's parquet row-group stats then
+    // keep pruning the boundary probes / ledger IN-lists between
+    // compactions, instead of every post-compaction append being a
+    // stats-opaque full read until the next maintenance pass
     docsToAppend.select(col("doc_id"), col("source"), col("skey"))
+      .coalesce(1).sortWithinPartitions("source", "skey", "doc_id")
       .write.insertInto(docsT(prefix))
-    delta.write.insertInto(ledgerT(prefix))
+    delta.coalesce(1).sortWithinPartitions("doc_id")
+      .write.insertInto(ledgerT(prefix))
     delta
   }
 
