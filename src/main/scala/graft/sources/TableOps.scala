@@ -109,10 +109,17 @@ object TableOps {
     * layout that turns probe-side pruning (streamDedupStep's serve-path
     * filter, q1's ts pushdown) from row-skipping into scan-skipping.
     * The sort costs one extra shuffle over the plain rewrite; both run
-    * on the staging copy, never the live table. */
+    * on the staging copy, never the live table.
+    *
+    * `where` (optional SQL condition) makes the rewrite a RETENTION
+    * pass: only matching rows survive into the staged copy. The trim
+    * inherits the stage+swap crash posture for free — survivors land on
+    * disk in the staging table BEFORE anything touches the live one, so
+    * no crash window exists where the dropped rows' table is the only
+    * copy (the hazard of a collect-then-reset trim). */
   private[graft] def stageCompaction(spark: SparkSession, name: String,
       targetFileBytes: Long, stagingName: String = null,
-      orderBy: Seq[String] = Nil): (String, Int) = {
+      orderBy: Seq[String] = Nil, where: Option[String] = None): (String, Int) = {
     val loc = warehousePath(spark, name)
     // Partitioned tables keep their data under per-partition
     // SUBDIRECTORIES; compacting through a flat rewrite would silently
@@ -142,7 +149,8 @@ object TableOps {
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = Option(stagingName).getOrElse(s"${name}_compacting")
-    val src = spark.table(name)
+    val src = where.foldLeft(spark.table(name))(
+      (d, cond) => d.filter(org.apache.spark.sql.functions.expr(cond)))
     val laid =
       if (orderBy.isEmpty) src.repartition(nOut)
       else src
@@ -168,9 +176,11 @@ object TableOps {
     * SCALING.md). Returns (filesBefore, filesAfter). */
   def compactTable(spark: SparkSession, name: String,
                    targetFileBytes: Long = 128L * 1024 * 1024,
-                   orderBy: Seq[String] = Nil): (Int, Int) = {
+                   orderBy: Seq[String] = Nil,
+                   where: Option[String] = None): (Int, Int) = {
     val (staging, nBefore) =
-      stageCompaction(spark, name, targetFileBytes, orderBy = orderBy)
+      stageCompaction(spark, name, targetFileBytes, orderBy = orderBy,
+        where = where)
     dropWithLocation(spark, name)
     spark.sql(s"ALTER TABLE $staging RENAME TO $name")
     (nBefore, dataFiles(spark, warehousePath(spark, name)).length)

@@ -195,9 +195,21 @@ object StreamDedup {
       prune = true)
     // Anti-joined appends: each frame is materialized (localCheckpoint)
     // before its insert so no plan both reads and writes one table.
+    // The guard's left side carries only BATCH doc_ids, so restricting
+    // the store-side read to those ids is a no-op on the anti-join — and
+    // turns a per-batch full-store scan+distinct (a term that grows with
+    // the kept corpus) into the same capped IN-list prune the decisions
+    // ledger uses above; over the cap the full scan is the cheaper plan
+    // anyway. With the doc_id-ordered/bucketed store layouts the pushed
+    // id set skips row groups (and whole buckets for toks/decisions).
+    def storeIdSlice(table: String): DataFrame = {
+      val ids = spark.table(table).select(col("doc_id"))
+      (if (batchIds.isEmpty) ids.filter(lit(false))
+       else if (batchIds.length > MaxPruneKeys) ids
+       else ids.filter(col("doc_id").isin(batchIds: _*))).distinct()
+    }
     val newBands = keptBands
-      .join(spark.table(bands(prefix)).select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+      .join(storeIdSlice(bands(prefix)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band_idx"), col("band"))
       .localCheckpoint(true)
     // align the append with the store's LIVE bucket layout BEFORE the
@@ -210,8 +222,7 @@ object StreamDedup {
         col("band_idx"), col("band"))
       .write.insertInto(bands(prefix))
     val newToks = keptToks
-      .join(spark.table(toks(prefix)).select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+      .join(storeIdSlice(toks(prefix)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("toks"))
       .localCheckpoint(true)
     // batch-sized sorted append: the fresh file's row-group stats keep

@@ -144,10 +144,21 @@ object StreamMix {
   private def keyGT(skey: Column, docId: Column, tS: Long, tD: Long): Column =
     (skey > lit(tS)) || (skey === lit(tS) && docId > lit(tD))
 
-  /** Source weight, the same `(srcN mod 4) + 1` law as corpusMixOn
-    * (fixture source names are `srcN`). */
-  private def weightOf(source: String): Long =
-    math.floorMod(source.substring(3).toLong, 4L) + 1L
+  /** Default source-weight law: the fixture's `(srcN mod 4) + 1`, the
+    * same parse `corpusMixOn` applies batch-side. A source's weight only
+    * enters through this function on its FIRST appearance (afterwards it
+    * rides in the thresholds snapshot), so a non-`srcN` name under the
+    * default law fails loudly with the contract named — callers with
+    * real-world source names pass their own `weights` to
+    * [[streamingMix]]/[[processBatch]] instead. */
+  val FixtureWeights: String => Long = { source =>
+    require(source.startsWith("src") && source.length > 3 &&
+      source.drop(3).forall(_.isDigit),
+      s"StreamMix: no weight for source '$source' — the default weight " +
+        "law expects fixture names 'src<N>' (weight = (N mod 4) + 1); " +
+        "pass weights= for other source naming schemes")
+    math.floorMod(source.drop(3).toLong, 4L) + 1L
+  }
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${docsT(prefix)} " +
@@ -177,15 +188,16 @@ object StreamMix {
     require(retainThrBatches >= 1,
       "retainThrBatches: recovery reads the trailing snapshot — keep >= 1")
     ensureStore(spark, prefix)
-    val thr = spark.table(thrT(prefix))
-    thr.agg(max(col("batch_id"))).head() match {
-      case r if r.isNullAt(0) => () // empty store — nothing to trim
-      case r =>
-        val cutoff = r.getLong(0) - (retainThrBatches - 1)
-        // pin the survivors BEFORE the reset drops the table they read
-        val trimmed = thr.filter(col("batch_id") >= cutoff).localCheckpoint(true)
-        graft.sources.TableOps.resetTable(spark, thrT(prefix), trimmed)
-    }
+    // The trim rides compactTable's retention filter, so the survivors
+    // are STAGED on disk before the live thr table is touched — the
+    // recovery-critical state never has a crash window where dropped
+    // rows' table is its only copy (unlike a collect-then-reset trim;
+    // same stage+swap posture docs and ledger already get).
+    val thrCut: Option[String] =
+      spark.table(thrT(prefix)).agg(max(col("batch_id"))).head() match {
+        case r if r.isNullAt(0) => None // empty store — nothing to trim
+        case r => Some(s"batch_id >= ${r.getLong(0) - (retainThrBatches - 1)}")
+      }
     Map(
       docsT(prefix) -> graft.sources.TableOps.compactTable(spark,
         docsT(prefix), targetFileBytes,
@@ -193,7 +205,8 @@ object StreamMix {
       ledgerT(prefix) -> graft.sources.TableOps.compactTable(spark,
         ledgerT(prefix), targetFileBytes, orderBy = Seq("doc_id")),
       thrT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        thrT(prefix), targetFileBytes, orderBy = Seq("batch_id")))
+        thrT(prefix), targetFileBytes, orderBy = Seq("batch_id"),
+        where = thrCut))
   }
 
   /** One micro-batch: extend the corpus, shift the per-source
@@ -202,7 +215,8 @@ object StreamMix {
     * Returns the batch's emission frame (recomputed or replayed — see
     * the object doc's crash-window analysis), eagerly materialized. */
   private[graft] def processBatch(spark: SparkSession, prefix: String,
-      batch: DataFrame, batchId: Long, seed: String = "mix42"): DataFrame = {
+      batch: DataFrame, batchId: Long, seed: String = "mix42",
+      weights: String => Long = FixtureWeights): DataFrame = {
     ensureStore(spark, prefix)
     graft.functions.Md5Prefix60.register(spark)
     val ledger = spark.table(ledgerT(prefix))
@@ -223,11 +237,14 @@ object StreamMix {
       .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
     val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val savedIn = spark.conf.get(inKey)
+    // Over the cap the unpruned scan is the plan anyway — keep it LAZY
+    // (a localCheckpoint would pin the entire corpus-sized ledger to
+    // executor storage); only the batch-bounded pruned slice is pinned.
     val decidedSlice =
       try {
         spark.conf.set(inKey, 1000)
-        (if (batchIds.length > MaxPruneKeys) ledger
-         else ledger.filter(col("doc_id").isin(batchIds: _*)))
+        if (batchIds.length > MaxPruneKeys) ledger
+        else ledger.filter(col("doc_id").isin(batchIds: _*))
           .localCheckpoint(true)
       } finally spark.conf.set(inKey, savedIn)
 
@@ -322,7 +339,7 @@ object StreamMix {
         freshStats.get(s).map(_._1).getOrElse(0L))
     }.toMap
     val wOf: Map[String, Long] = sources.map { s =>
-      s -> prevThr.get(s).map(_.w).getOrElse(weightOf(s))
+      s -> prevThr.get(s).map(_.w).getOrElse(weights(s))
     }.toMap
     val u12 = sources.map(s => nNew(s) * (12L / wOf(s))).min
     val quotaNew: Map[String, Long] =
@@ -572,13 +589,14 @@ object StreamMix {
     * `sink` receives each batch's verdict-change frame and its batchId
     * and must be idempotent per batchId. */
   def streamingMix(docs: DataFrame, prefix: String = "stream_mix",
-      seed: String = "mix42", checkpoint: Option[String] = None)
+      seed: String = "mix42", checkpoint: Option[String] = None,
+      weights: String => Long = FixtureWeights)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     ensureStore(docs.sparkSession, prefix)
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(processBatch(batch.sparkSession, prefix, batch, batchId, seed),
-          batchId)
+        sink(processBatch(batch.sparkSession, prefix, batch, batchId, seed,
+          weights), batchId)
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer.start()

@@ -197,6 +197,84 @@ class StreamDedupSpec extends SparkSpec {
     dropStore("sd_pr")
   }
 
+  test("serve path plans no unfiltered store scan — every bands/toks/decisions read is pruned") {
+    // full location clear: a crashed prior JVM can leave warehouse dirs
+    // the in-memory catalog no longer knows about
+    Seq("sd_ps_bands", "sd_ps_toks", "sd_ps_decisions")
+      .foreach(graft.sources.TableOps.dropWithLocation(spark, _))
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+      .select(col("src_num"), col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
+    // wave 0 populates the store; the listener audits wave 1's serve
+    StreamDedup.processBatch(spark, "sd_ps",
+      docs.filter(col("src_num") < 10).drop("src_num"), 0L).count(): Unit
+    // capture EVERY plan the serve batch executes (localCheckpoint pins,
+    // anti-join guards, inserts) and flag store-table scans that carry
+    // no pushed filter — the corpus-proportional shape the capped
+    // IN-list prunes exist to remove (the ledger was pruned first; the
+    // append guards regressed to full scan+distinct until round 17)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]
+    // plan.foreach does NOT descend into AQE's nested trees — an
+    // AdaptiveSparkPlanExec holds its live plan behind executedPlan and
+    // each QueryStageExec wraps its subtree as a leaf — so walk them
+    // explicitly or every scan under an exchange goes uncounted
+    val dbg = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    def record(plan: org.apache.spark.sql.execution.SparkPlan): Unit =
+      (plan +: plan.subqueriesAll).foreach(_.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          // walk the INITIAL plan as well: AQE's empty-relation
+          // propagation can eliminate an already-materialized (or
+          // never-needed) scan from the final plan, hiding the shape
+          // this audit exists to check
+          record(a.initialPlan); record(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          record(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.tableIdentifier.map(_.table).filter(_.startsWith("sd_ps_"))
+            .foreach { t =>
+              seen.add((t,
+                f.dataFilters.nonEmpty || f.partitionFilters.nonEmpty)): Unit
+            }
+        case _ => ()
+      })
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        dbg.add(s"$funcName :: ${qe.executedPlan.nodeName}"): Unit
+        record(qe.executedPlan)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      StreamDedup.processBatch(spark, "sd_ps",
+        docs.filter(col("src_num") >= 10).drop("src_num"), 1L).count(): Unit
+      // listener delivery is async — wait until the capture stabilizes
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val n = seen.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val scans = seen.toArray(Array.empty[(String, Boolean)]).toSeq
+    // the audit must have SEEN all three stores, or it proves nothing
+    Seq("sd_ps_bands", "sd_ps_toks", "sd_ps_decisions").foreach(t =>
+      assert(scans.exists(_._1 == t),
+        s"no $t scan captured — audit inert; captured=$scans; " +
+          s"events=${dbg.toArray.mkString(" | ")}"))
+    val unfiltered = scans.collect { case (t, false) => t }.distinct
+    assert(unfiltered.isEmpty,
+      s"serve path executed UNFILTERED store scans of: ${unfiltered.mkString(", ")}")
+    dropStore("sd_ps")
+  }
+
   test("ordered store compaction preserves verdicts and yields disjoint per-file id ranges") {
     dropStore("sd_cpA"); dropStore("sd_cpB")
     val byWave = (0 until 4).map { w =>

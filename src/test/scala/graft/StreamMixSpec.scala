@@ -219,6 +219,36 @@ class StreamMixSpec extends SparkSpec {
       assert(Some(k) == streamed(id)(3), s"currentKept doc $id") }
   }
 
+  test("caller-supplied weights mix arbitrary source names law-equal to the fixture twin") {
+    dropStore("sm_wa"); dropStore("sm_wb")
+    val waves = (0 until 2).map(w => wavedDocs.filter(col("wave") === w)
+      .select(col("doc_id"), col("source")))
+    // real-world naming the fixture law can't parse
+    val renamed = waves.map(_.withColumn("source",
+      concat(lit("corpus-"), col("source"))))
+    // the default law refuses loudly, naming the srcN contract — never a
+    // bare NumberFormatException
+    val ex = intercept[IllegalArgumentException] {
+      StreamMix.processBatch(spark, "sm_wa", renamed(0), 0L, "incr42")
+    }
+    assert(ex.getMessage.contains("src<N>"))
+    dropStore("sm_wa") // refusal precedes any append; reset the empty store
+    // a caller weight function reproduces the fixture twin exactly
+    // (skeys depend only on doc_id, so the emissions must agree modulo
+    // the name mapping)
+    val wts: String => Long =
+      s => StreamMix.FixtureWeights(s.stripPrefix("corpus-"))
+    (0 to 1).foreach { w =>
+      val a = rowsOf(StreamMix.processBatch(
+          spark, "sm_wa", renamed(w), w.toLong, "incr42", wts))
+        .map { case (id, s, k, b) => (id, s.stripPrefix("corpus-"), k, b) }
+      val b = rowsOf(StreamMix.processBatch(
+        spark, "sm_wb", waves(w), w.toLong, "incr42"))
+      assert(a == b, s"wave $w diverged under renamed sources")
+    }
+    dropStore("sm_wa"); dropStore("sm_wb")
+  }
+
   test("compactStore preserves state and subsequent batches serve identically") {
     dropStore("sm_cp"); dropStore("sm_cq")
     val waves = (0 until 4).map(w => wavedDocs.filter(col("wave") === w)

@@ -18,7 +18,9 @@ cd "$(dirname "$0")/.."
 sbt -batch test >/tmp/graft_testrun.log 2>&1
 rc=$?
 summary=$(grep -E "Tests: succeeded|All tests passed|Failed: " /tmp/graft_testrun.log | tail -4)
-hash=$(cd src && find . -type f | LC_ALL=C sort | xargs sha256sum | sha256sum | cut -d' ' -f1)
+# -print0/-0 so paths with spaces/specials can't split or truncate the
+# list (closeout.py's python twin walks the same tree — one recipe)
+hash=$(cd src && find . -type f -print0 | LC_ALL=C sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1)
 {
   echo "src_sha256 $hash"
   echo "exit_code $rc"
