@@ -26,12 +26,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     corpus (the round-14 scale residual, SCALING.md).
   *   - `<prefix>_toks`      (doc_id, toks) — distinct-token sets for
   *     exact-Jaccard verification; only candidate-matched doc_ids are
-  *     ever read (bucket by doc_id at scale). Old document BODIES are
-  *     never stored or read.
+  *     ever read. BUCKETED+SORTED on doc_id, so the pushed candidate
+  *     id set prunes whole buckets and row groups, and the verify
+  *     join's store side arrives pre-partitioned. Old document BODIES
+  *     are never stored or read.
   *   - `<prefix>_decisions` (doc_id, source, kept, matched_old,
   *     batch_id) — the decide-exactly-once ledger: docs already present
   *     are never re-processed, and a replayed batch re-emits their
-  *     recorded verdicts unchanged.
+  *     recorded verdicts unchanged. BUCKETED+SORTED on doc_id like
+  *     toks (the decide-split probe is a doc_id IN-list).
   *
   * Exactly-once contract (same posture as the lake fold's anti-join
   * idiom, `sources/LakeFold.scala`): writes land store-first,
@@ -120,34 +123,65 @@ object StreamDedup {
     math.min(65536L, math.max(BandBuckets.toLong, pow2)).toInt
   }
 
-  /** The bands table's CURRENT bucket count (it drifts upward across
+  /** A store table's CURRENT bucket count (it drifts upward across
     * [[compactStore]] rebucketings; appends must follow the live
     * layout, not the CREATE-time constant). */
-  private def currentBandBuckets(spark: SparkSession, prefix: String): Int =
+  private def currentBuckets(spark: SparkSession, table: String): Int =
     spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bands(prefix)))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(BandBuckets)
 
-  /** Idempotent store DDL. The bands store is BUCKETED+SORTED on band
-    * (see [[BandBuckets]]) — the layout that removes the one
-    * corpus-proportional serve-path term (the band-candidate scan):
-    * after [[compactStore]] the store is a constant-file-count,
+  /** Idempotent store DDL. All three store tables are BUCKETED+SORTED
+    * on their probe key — bands on the composite candidate-join key
+    * (see [[BandBuckets]]), toks and the decisions ledger on doc_id —
+    * the layout that removes every corpus-proportional serve-path term:
+    * after [[compactStore]] each store is a constant-file-count,
     * key-clustered table, so a micro-batch's candidate join reads a
-    * bounded file set and shuffles only the batch side.
+    * bounded file set and shuffles only the batch side, doc_id-keyed
+    * joins (the verify join, the append guards) find the store side
+    * pre-partitioned, and the pushed doc_id IN-lists prune whole
+    * BUCKETS (single-column bucket pruning) on top of the row-group
+    * skips the within-bucket sort provides.
     * `d_dedup_pipeline_bucketed` proves bucketing cannot change any
-    * answer; toks/decisions stay plain (their probe key is doc_id and
-    * the ordered compaction already gives them disjoint id ranges —
-    * production would bucket them by doc_id the same way). */
+    * answer; a store created before this DDL (flat toks/decisions from
+    * rounds <= 16) keeps working — appends and compaction follow the
+    * catalog's actual spec. */
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${bands(prefix)} " +
       "(doc_id BIGINT, band_idx INT, band STRING) USING parquet " +
       "CLUSTERED BY (band_idx, band) SORTED BY (band_idx, band) " +
       s"INTO $BandBuckets BUCKETS")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${toks(prefix)} " +
-      "(doc_id BIGINT, toks ARRAY<STRING>) USING parquet")
+      "(doc_id BIGINT, toks ARRAY<STRING>) USING parquet " +
+      "CLUSTERED BY (doc_id) SORTED BY (doc_id) " +
+      s"INTO $BandBuckets BUCKETS")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${decisions(prefix)} " +
       "(doc_id BIGINT, source STRING, kept BOOLEAN, matched_old BIGINT, " +
-      "batch_id BIGINT) USING parquet")
+      "batch_id BIGINT) USING parquet " +
+      "CLUSTERED BY (doc_id) SORTED BY (doc_id) " +
+      s"INTO $BandBuckets BUCKETS")
+  }
+
+  /** Bucket-layout-aligned append: repartition on the table's LIVE
+    * bucket columns/count so each task carries exactly one bucket id
+    * (an append adds at most one file per bucket instead of
+    * tasks × buckets); a flat legacy table keeps the batch-sized
+    * sorted single-file append whose row-group stats prune between
+    * compactions. The bucketed writer enforces the catalog sort spec
+    * per bucket file, so both layouts stay stats-tight on the probe
+    * key. */
+  private def appendToStore(spark: SparkSession, table: String,
+      df: DataFrame, sortCols: Seq[String]): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    val laid = spec match {
+      case Some(s) =>
+        df.repartition(s.numBuckets, s.bucketColumnNames.map(col): _*)
+      case None =>
+        df.coalesce(1).sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    }
+    laid.write.insertInto(table)
   }
 
   /** One micro-batch: decide fresh docs, append store then decisions
@@ -212,23 +246,16 @@ object StreamDedup {
       .join(storeIdSlice(bands(prefix)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band_idx"), col("band"))
       .localCheckpoint(true)
-    // align the append with the store's LIVE bucket layout BEFORE the
-    // write (the count drifts upward across compactStore rebucketings):
-    // each task then carries exactly one bucket id, so an append adds at
-    // most one file per bucket instead of tasks × buckets (the
-    // checkpoint above already isolated the read side, so the lazy
-    // repartition is safe to evaluate inside the insert)
-    newBands.repartition(currentBandBuckets(spark, prefix),
-        col("band_idx"), col("band"))
-      .write.insertInto(bands(prefix))
+    // each append follows its table's LIVE bucket layout (the counts
+    // drift upward across compactStore rebucketings; the checkpoints
+    // above already isolated the read sides, so the lazy repartition is
+    // safe to evaluate inside the insert)
+    appendToStore(spark, bands(prefix), newBands, Seq("band_idx", "band"))
     val newToks = keptToks
       .join(storeIdSlice(toks(prefix)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("toks"))
       .localCheckpoint(true)
-    // batch-sized sorted append: the fresh file's row-group stats keep
-    // the pushed candidate-id predicates pruning between compactions
-    newToks.coalesce(1).sortWithinPartitions("doc_id")
-      .write.insertInto(toks(prefix))
+    appendToStore(spark, toks(prefix), newToks, Seq("doc_id"))
     val freshDecisions = verdicts
       .withColumn("batch_id", lit(batchId))
       .select(col("doc_id"), col("source"), col("kept"),
@@ -236,12 +263,12 @@ object StreamDedup {
       .localCheckpoint(true)
     // same pruning as the decide split: freshDecisions only carries batch
     // docs, so the guard anti-join needs only the ledger's batch-id slice
-    freshDecisions
-      .join(decided.select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-      .coalesce(1).sortWithinPartitions("doc_id")
-      .write.insertInto(decisions(prefix))
+    appendToStore(spark, decisions(prefix),
+      freshDecisions
+        .join(decided.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(true),
+      Seq("doc_id"))
     freshDecisions.union(replayed)
   }
 
@@ -251,45 +278,44 @@ object StreamDedup {
     * batches the stores are N-file piles with interleaved key ranges, so
     * the pushed id-range predicates ([[processBatch]]'s ledger pruning,
     * `streamDedupStep(prune = true)`'s toks pruning) can skip nothing.
-    * Compaction rewrites each table into ⌈bytes/target⌉ right-sized
-    * files range-partitioned + sorted on its probe key — toks and the
-    * decisions ledger on doc_id (monotonic-ish ids make each file a
-    * tight id window), bands on (band_idx, band) for locality — via
-    * `TableOps.compactTable`'s stage+swap protocol (crash before the
-    * swap leaves the live table byte-identical; the swap's drop+RENAME
-    * caveat is documented there). Run it with the filter idle — between
+    * Compaction rewrites each table back to one right-sized file per
+    * non-empty bucket, rescaling the bucket count with store bytes
+    * ([[bucketsFor]]) — bands keyed on (band_idx, band), toks and the
+    * decisions ledger on doc_id — via
+    * `TableOps.compactBucketedTable`'s stage+swap protocol (crash
+    * before the swap leaves the live table byte-identical; the swap's
+    * drop+RENAME caveat is documented there). A legacy flat store gets
+    * the ordered `compactTable` rewrite instead. Run it with the filter idle — between
     * micro-batches or with the stream stopped — same contract as every
     * in-place lake maintenance job here. Returns per-table
     * (filesBefore, filesAfter). */
   def compactStore(spark: SparkSession, prefix: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     ensureStore(spark, prefix)
-    // bands is bucketed (ensureStore DDL) — its compaction must preserve
-    // the bucket spec, collapsing the per-append file pile back to one
-    // file per non-empty bucket, and is ALSO where the bucket count
-    // scales with store bytes ([[bucketsFor]]): the CREATE-time count
-    // fits an empty store, and without the rescale a grown store's
-    // per-bucket files blow past the target size (the fixed-16 layout
-    // was the remaining 2x in the 100x pruned-serve datum). A store
-    // created before the bucketed DDL keeps the ordered flat rewrite.
-    val bandsBucketed = spark.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(bands(prefix)))
-      .bucketSpec.isDefined
+    // Every bucketed store's compaction must preserve the bucket spec,
+    // collapsing the per-append file pile back to one file per
+    // non-empty bucket, and is ALSO where the bucket count scales with
+    // store bytes ([[bucketsFor]]): the CREATE-time count fits an empty
+    // store, and without the rescale a grown store's per-bucket files
+    // blow past the target size (the fixed-16 layout was the remaining
+    // 2x in the 100x pruned-serve datum). A store created before the
+    // bucketed DDL keeps the ordered flat rewrite.
+    def compactOne(table: String, orderBy: Seq[String]): (Int, Int) = {
+      val bucketed = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.isDefined
+      if (bucketed) {
+        val desired = bucketsFor(
+          graft.sources.TableOps.tableDataBytes(spark, table), targetFileBytes)
+        graft.sources.TableOps.compactBucketedTable(spark, table,
+          newBuckets = Some(desired))
+      } else graft.sources.TableOps.compactTable(spark, table,
+        targetFileBytes, orderBy = orderBy)
+    }
     Map(
-      bands(prefix) -> (
-        if (bandsBucketed) {
-          val desired = bucketsFor(
-            graft.sources.TableOps.tableDataBytes(spark, bands(prefix)),
-            targetFileBytes)
-          graft.sources.TableOps.compactBucketedTable(spark, bands(prefix),
-            newBuckets = Some(desired))
-        } else graft.sources.TableOps.compactTable(spark,
-          bands(prefix), targetFileBytes, orderBy = Seq("band_idx", "band"))),
-      toks(prefix) -> graft.sources.TableOps.compactTable(spark,
-        toks(prefix), targetFileBytes, orderBy = Seq("doc_id")),
-      decisions(prefix) -> graft.sources.TableOps.compactTable(spark,
-        decisions(prefix), targetFileBytes, orderBy = Seq("doc_id")))
+      bands(prefix) -> compactOne(bands(prefix), Seq("band_idx", "band")),
+      toks(prefix) -> compactOne(toks(prefix), Seq("doc_id")),
+      decisions(prefix) -> compactOne(decisions(prefix), Seq("doc_id")))
   }
 
   /** Start the online dedup filter over a streaming (doc_id, source,

@@ -295,18 +295,22 @@ class StreamDedupSpec extends SparkSpec {
       assert(spark.table(s"sd_cpB_$t").count() == counts(t),
         s"compaction changed sd_cpB_$t's row count")
       val (nBefore, nAfter) = res(s"sd_cpB_$t")
-      // bands is bucketed: compaction collapses the per-append pile to
-      // at most one file per non-empty bucket, not to a single file
-      val bound = if (t == "bands") StreamDedup.BandBuckets else 1
+      // all three stores are bucketed: compaction collapses the
+      // per-append pile to at most one file per non-empty bucket
+      val bound = StreamDedup.BandBuckets
       assert(nAfter <= nBefore && nAfter <= bound,
         s"sd_cpB_$t: expected <= $bound compacted files, got $nAfter (from $nBefore)")
     }
-    // the ordered layout: per-file doc_id ranges of the compacted toks
-    // must be disjoint (single file here — assert the mechanism on a
-    // multi-file ordered rewrite of the same table instead)
-    graft.sources.TableOps.compactTable(spark, "sd_cpB_toks",
+    // the ordered-rewrite mechanism (the legacy-flat-store compaction
+    // path): per-file doc_id ranges of an ordered multi-file rewrite
+    // must be disjoint — asserted on a FLAT copy of the toks rows (the
+    // live store is bucketed, which compactTable rightly refuses)
+    graft.sources.TableOps.dropWithLocation(spark, "sd_cpB_toks_flat")
+    graft.sources.TableOps.resetTable(spark, "sd_cpB_toks_flat",
+      spark.table("sd_cpB_toks"))
+    graft.sources.TableOps.compactTable(spark, "sd_cpB_toks_flat",
       targetFileBytes = 2048, orderBy = Seq("doc_id"))
-    val ranges = spark.table("sd_cpB_toks")
+    val ranges = spark.table("sd_cpB_toks_flat")
       .groupBy(input_file_name().as("f"))
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -318,7 +322,51 @@ class StreamDedupSpec extends SparkSpec {
       rowsOf(StreamDedup.processBatch(spark, "sd_cpB", byWave(w), w.toLong)))
     assert((vB01 ++ vB23).toSet == vA.toSet,
       "compaction mid-corpus changed a verdict")
+    graft.sources.TableOps.dropWithLocation(spark, "sd_cpB_toks_flat")
     dropStore("sd_cpA"); dropStore("sd_cpB")
+  }
+
+  test("doc_id-bucketed toks/decisions: spec in catalog, verdicts equal a legacy flat-store twin") {
+    Seq("sd_bt", "sd_bu").foreach(p => Seq("bands", "toks", "decisions")
+      .foreach(t => graft.sources.TableOps.dropWithLocation(spark, s"${p}_$t")))
+    // the LEGACY twin: flat toks/decisions created BEFORE ensureStore —
+    // its IF NOT EXISTS DDL must leave them flat, and every append /
+    // compaction must follow the catalog's actual (bucket-less) spec
+    spark.sql("CREATE TABLE sd_bu_toks (doc_id BIGINT, toks ARRAY<STRING>) " +
+      "USING parquet")
+    spark.sql("CREATE TABLE sd_bu_decisions (doc_id BIGINT, source STRING, " +
+      "kept BOOLEAN, matched_old BIGINT, batch_id BIGINT) USING parquet")
+    val byWave = (0 until 4).map { w =>
+      Tables.documents(spark, sf001)
+        .filter(floor(substring(col("source"), 4, 10).cast("int") / 5) === w)
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    def spec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec
+    (0 until 2).foreach { w =>
+      val a = rowsOf(StreamDedup.processBatch(spark, "sd_bt", byWave(w), w.toLong))
+      val b = rowsOf(StreamDedup.processBatch(spark, "sd_bu", byWave(w), w.toLong))
+      assert(a == b, s"wave $w: bucketed store diverged from the flat twin")
+    }
+    Seq("sd_bt_toks", "sd_bt_decisions").foreach(t =>
+      assert(spec(t).exists(s => s.bucketColumnNames == Seq("doc_id") &&
+        s.sortColumnNames == Seq("doc_id")),
+        s"$t missing its doc_id bucket spec: ${spec(t)}"))
+    Seq("sd_bu_toks", "sd_bu_decisions").foreach(t =>
+      assert(spec(t).isEmpty, s"legacy flat $t acquired a bucket spec"))
+    // compaction follows each catalog spec (bucketed rewrite vs ordered
+    // flat rewrite) and changes no subsequent verdict
+    StreamDedup.compactStore(spark, "sd_bt")
+    StreamDedup.compactStore(spark, "sd_bu")
+    assert(spec("sd_bt_toks").isDefined && spec("sd_bu_toks").isEmpty,
+      "compaction flipped a store's layout family")
+    (2 until 4).foreach { w =>
+      val a = rowsOf(StreamDedup.processBatch(spark, "sd_bt", byWave(w), w.toLong))
+      val b = rowsOf(StreamDedup.processBatch(spark, "sd_bu", byWave(w), w.toLong))
+      assert(a == b, s"post-compaction wave $w: bucketed vs flat diverged")
+    }
+    Seq("sd_bt", "sd_bu").foreach(dropStore)
   }
 
   test("bucketed bands store: exchange-free store side, bucket-spec-preserving compaction, layout-blind verdicts") {
