@@ -92,7 +92,8 @@ object Bench {
     "q_mv_refresh", "m_audio_vad", "d_corpus_stats", "d_span_dedup",
     "d_corpus_shuffle", "d_corpus_mix", "d_corpus_mix_tokens",
     "d_corpus_mix_incr")
-  // d_dedup_streamed and d_corpus_mix_streamed are deliberately NOT
+  // d_dedup_streamed, d_corpus_mix_streamed and
+  // d_corpus_mix_tokens_streamed are deliberately NOT
   // benched: each is the 4-wave SEQUENTIAL semantics twin of its
   // streaming operator, so its ~10 s at any small SF is 4 × (rounds ×
   // driver-loop scheduling floor), not data cost — benching it would

@@ -2242,6 +2242,59 @@ object TextAnalysis {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** Generated CTE chain oracling the TOKEN-weighted streaming mixer's
+    * 4-wave replay twin ([[graft.streaming.StreamMixTokens.corpusMixTokensStreamed]]):
+    * one (token-sums → budget → epoch-quotas → running-cum copies) block
+    * per wave prefix, the identical integer arithmetic as
+    * [[corpusMixTokensSql]] and the same `(doc_id div 20) mod 4` arrival
+    * law as [[corpusMixIncrSql]]. The streaming operator computes NONE
+    * of this the same way — its state is a per-source (threshold key,
+    * cumulative-token) pair moved by density-guided probes — so the
+    * oracle pins the threshold dataflow to the rank-free law. */
+  lazy val corpusMixTokensStreamedSql: String = {
+    val head =
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    list_reduce(list_transform(range(0, 15),
+        |      p -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)),
+        |                    CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS skey,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+        |    CAST((doc_id // 20) % 4 AS INT) AS wave
+        |  FROM documents)""".stripMargin
+    val waveBlocks = (0 until 4).map { j =>
+      s""",
+         |c$j AS (SELECT source, w, sum(tok) AS t_s
+         |      FROM k WHERE wave <= $j GROUP BY 1, 2),
+         |t$j AS (SELECT sum(t_s) AS b, sum(w) AS wsum FROM c$j),
+         |q$j AS (SELECT source,
+         |             CAST((w * b) // wsum // t_s AS BIGINT) AS fe,
+         |             CAST(((w * b) // wsum) % t_s AS BIGINT) AS rem
+         |      FROM c$j, t$j),
+         |r$j AS (SELECT doc_id,
+         |        fe + CASE WHEN COALESCE(sum(tok) OVER (
+         |                PARTITION BY k.source ORDER BY skey, doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING
+         |                         AND 1 PRECEDING), 0) < rem
+         |             THEN 1 ELSE 0 END AS copies
+         |      FROM k JOIN q$j ON q$j.source = k.source
+         |      WHERE k.wave <= $j)""".stripMargin
+    }.mkString
+    val copiesCols = (0 until 4)
+      .map(j => s"r$j.copies AS copies$j").mkString(",\n       ")
+    val leftJoins = (0 until 3)
+      .map(j => s"LEFT JOIN r$j ON r$j.doc_id = k.doc_id").mkString("\n")
+    s"""$head$waveBlocks
+       |SELECT k.doc_id, k.source, k.wave,
+       |       $copiesCols
+       |FROM k
+       |$leftJoins
+       |JOIN r3 ON r3.doc_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   /** Quality-gate ensemble — what a production pipeline actually ships:
     * the four INDEPENDENT screen families ([[qualityFilter]] heuristic
     * bounds, [[repetitionFilter]] degeneracy, [[lmQuality]] perplexity —
