@@ -117,9 +117,37 @@ object ScaleUpBench {
     * grows under a fixed arrival rate — the exact claim in StreamMix's
     * scaladoc ("O(batch + flips), not O(corpus)"). */
   private val mixServeProbe: Boolean = queries.contains("d_mix_serve")
+
+  /** `d_dedup_serve_full` drives the WHOLE `StreamDedup.processBatch`
+    * per timed pass — decide-once ledger split, candidate+verify step,
+    * anti-joined store appends and the decisions append — against the
+    * real bucketed store tables, where `d_dedup_serve_pruned` isolates
+    * the candidate+verify step alone. The delta between the two is the
+    * bookkeeping the round-16 verdict flagged (the append-guard
+    * anti-joins were full store scan+distinct per batch until round
+    * 17's capped IN-list prune, and toks/decisions were flat until the
+    * doc_id bucketing): per pass, a fresh 250-doc batch (125 near-dups
+    * of copy-0 store docs, 125 pass-salted novel docs — novel SALT is
+    * per-pass so earlier passes' kept docs never match later ones, and
+    * the verdict structure stays 125/125 at every pass and factor).
+    * The correctness gate is decide-exactly-once replay equality of
+    * the last timed batch. */
+  private val dedupServeFullProbe: Boolean =
+    queries.contains("d_dedup_serve_full")
+
+  /** `d_mix_tokens_serve` enables the TOKEN-weighted mix serve probe —
+    * `StreamMixTokens.processBatch` measured exactly the way
+    * `d_mix_serve` measures `StreamMix`: untimed store build (whole xK
+    * corpus as batch 0 + compactStore), then median per-batch latency
+    * over a FIXED 250-doc batch of new ids per pass; the law gate
+    * compares the threshold-derived `currentCopies` against
+    * `corpusMixTokensOn`'s full re-rank of the same accumulated docs. */
+  private val mixTokensServeProbe: Boolean =
+    queries.contains("d_mix_tokens_serve")
   private val probeQueries: Seq[String] =
     queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
-      q == "d_dedup_serve_pruned" || q == "d_mix_serve")
+      q == "d_dedup_serve_pruned" || q == "d_mix_serve" ||
+      q == "d_dedup_serve_full" || q == "d_mix_tokens_serve")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -391,7 +419,8 @@ object ScaleUpBench {
       * O(quota shift) old-doc flips; the fresh count is asserted 250 at
       * every factor, the flip count is recorded (it varies with where
       * the thresholds land, but must stay batch-order, not corpus-order). */
-    def mixServe(dir: String, pfx: String): (Double, Double, Long, Long) = {
+    def mixServe(dir: String, pfx: String)
+        : (Double, Double, Long, Long, Double, Long) = {
       import graft.streaming.StreamMix
       Seq("docs", "ledger", "thr").foreach(t =>
         graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
@@ -435,9 +464,137 @@ object ScaleUpBench {
         .filter(col("kept") =!= col("law_kept")).count()
       require(lawBad == 0L,
         s"mix-serve probe: $lawBad docs diverge from the corpusMix law")
-      (build, serve, lastTotal, lastTotal - lastFresh)
+      // MASS-EVICTION datum (round-17, closing the fixed-250-doc blind
+      // spot): a NEW tiny source shrinks u12 and flips verdicts across
+      // EVERY source — the one case where flips >> batch, so the
+      // emission itself is the dominant cost and the O(flips) bound is
+      // what's on trial. One measured batch (steady-state medians above
+      // are untouched), then the law gate again over the collapsed
+      // state.
+      val tiny = base.limit(5).select(
+        (col("doc_id") + lit(2000000000000L)).as("doc_id"),
+        lit("src999991").as("source")).localCheckpoint(true)
+      val mt0 = System.nanoTime()
+      val md = StreamMix.processBatch(spark, pfx, tiny, nextB, "mixsrv42")
+      val massFlips = md.count() - 5L
+      val massSec = (System.nanoTime() - mt0) / 1e9
+      require(massFlips > 250L,
+        s"mass-eviction probe produced only $massFlips flips — fixture inert")
+      val lawBad2 = StreamMix.currentKept(spark, pfx)
+        .join(graft.ext.TextAnalysis.corpusMixOn(
+            spark.table(s"${pfx}_docs").select(col("doc_id"), col("source")),
+            "mixsrv42")
+          .select(col("doc_id"), col("kept").as("law_kept")), Seq("doc_id"))
+        .filter(col("kept") =!= col("law_kept")).count()
+      require(lawBad2 == 0L,
+        s"mix-serve probe: $lawBad2 docs diverge from the law after the " +
+          "mass eviction")
+      (build, serve, lastTotal, lastTotal - lastFresh, massSec, massFlips)
     }
     lazy val mixX1 = mixServe(s"$out/x1", "scup_mx_x1")
+
+    /** (store build sec, per-batch serve sec median, kept of last
+      * batch, dropped of last batch, replay_same) for the FULL
+      * `StreamDedup.processBatch` probe — see [[dedupServeFullProbe]]. */
+    def dedupServeFull(dir: String, pfx: String)
+        : (Double, Double, Long, Long, Boolean) = {
+      import graft.streaming.StreamDedup
+      Seq("bands", "toks", "decisions").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val t0 = System.nanoTime()
+      StreamDedup.processBatch(spark, pfx, docs, 0L).count(): Unit
+      StreamDedup.compactStore(spark, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val base = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+      def mkBatch(b: Long): DataFrame = {
+        // even half: verbatim copy-0 near-dups (id parity survives the
+        // even offsets) -> store drops; odd half: PASS-salted novel
+        // tokens (earlier passes' kept docs can never match) -> kept.
+        // 125/125 at every pass and factor.
+        val ids = base.select(
+          (col("doc_id") + lit(1000000000000L + b * 1000000L)).as("doc_id"),
+          col("source"), col("text"))
+        ids.filter(col("doc_id") % 2 === 0)
+          .unionByName(ids.filter(col("doc_id") % 2 === 1)
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "),
+                t => concat(lit(s"probe${b}_"), t)), " ")))
+      }
+      var nextB = 1L
+      var lastB = 0L
+      var lastKept = 0L
+      var lastTotal = 0L
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1; lastB = b
+        val batch = mkBatch(b).localCheckpoint(true)
+        val v = StreamDedup.processBatch(s, pfx, batch, b)
+        lastTotal = v.count()
+        lastKept = v.filter(col("kept")).count()
+        v
+      }, spark, dir, runs).median
+      // decide-exactly-once gate: replaying the last timed batch must
+      // re-emit the recorded verdicts unchanged
+      def rows(df: DataFrame) = df
+        .select(col("doc_id"), col("kept"),
+          coalesce(col("matched_old"), lit(-1L)).as("mo"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .toSet
+      val recorded = rows(StreamDedup.processBatch(spark, pfx,
+        mkBatch(lastB).localCheckpoint(true), lastB))
+      val replayed = rows(StreamDedup.processBatch(spark, pfx,
+        mkBatch(lastB).localCheckpoint(true), lastB))
+      (build, serve, lastKept, lastTotal - lastKept, recorded == replayed)
+    }
+    lazy val dedupFullX1 = dedupServeFull(s"$out/x1", "scup_sdf_x1")
+
+    /** (store build sec, per-batch serve sec median, emitted rows of the
+      * final timed batch, old-doc flips of it) for the token-weighted
+      * mix probe — see [[mixTokensServeProbe]]. */
+    def mixTokensServe(dir: String, pfx: String)
+        : (Double, Double, Long, Long) = {
+      import graft.streaming.StreamMixTokens
+      Seq("docs", "ledger", "thr").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val t0 = System.nanoTime()
+      StreamMixTokens.processBatch(spark, pfx, docs, 0L, "mixsrv42").count(): Unit
+      StreamMixTokens.compactStore(spark, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val base = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+      def probeBatch(b: Long): DataFrame = base.select(
+        (col("doc_id") + lit(1000000000000L + b * 1000000L)).as("doc_id"),
+        col("source"), col("text"))
+      var nextB = 1L
+      var lastTotal = 0L
+      var lastFresh = 0L
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1
+        val d = StreamMixTokens.processBatch(s, pfx, probeBatch(b), b, "mixsrv42")
+        lastTotal = d.count()
+        lastFresh = d.filter(col("doc_id") >= 1000000000000L + b * 1000000L)
+          .count()
+        d
+      }, spark, dir, runs).median
+      require(lastFresh == 250L,
+        s"mix-tokens-serve probe: expected 250 fresh verdicts, got $lastFresh")
+      // law gate: the threshold-derived copies over the whole
+      // accumulated corpus must equal corpusMixTokensOn's full re-rank
+      // of the same docs (reconstructed: replica + every probe batch)
+      val lawInput = (1L until nextB).map(probeBatch)
+        .foldLeft(docs)(_ unionByName _)
+      val law = graft.ext.TextAnalysis.corpusMixTokensOn(lawInput, "mixsrv42")
+        .select(col("doc_id"), col("copies").as("law_copies"))
+      val state = StreamMixTokens.currentCopies(spark, pfx)
+      val lawBad = state.join(law, Seq("doc_id"))
+        .filter(col("copies") =!= col("law_copies")).count()
+      require(lawBad == 0L,
+        s"mix-tokens-serve probe: $lawBad docs diverge from the token law")
+      (build, serve, lastTotal, lastTotal - lastFresh)
+    }
+    lazy val mixTokX1 = mixTokensServe(s"$out/x1", "scup_mxt_x1")
 
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
@@ -511,11 +668,25 @@ object ScaleUpBench {
         f""","dedup_serve_pruned":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same}"""
       }
       val mixJson = if (!mixServeProbe) "" else {
-        val (b1, s1, t1, f1) = mixX1
-        val (bk, sk, tk, fk) = mixServe(s"$out/x$k", s"scup_mx_x$k")
-        f""","mix_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_flips":$f1,"x${k}_flips":$fk}"""
+        val (b1, s1, t1, f1, ms1, mf1) = mixX1
+        val (bk, sk, tk, fk, msk, mfk) = mixServe(s"$out/x$k", s"scup_mx_x$k")
+        f""","mix_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_flips":$f1,"x${k}_flips":$fk,"x1_mass_flip_sec":$ms1%.4f,"x${k}_mass_flip_sec":$msk%.4f,"x1_mass_flips":$mf1,"x${k}_mass_flips":$mfk}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson}"""
+      val dedupFullJson = if (!dedupServeFullProbe) "" else {
+        val (b1, s1, k1c, d1, r1) = dedupFullX1
+        val (bk, sk, kkc, dk, rk) =
+          dedupServeFull(s"$out/x$k", s"scup_sdf_x$k")
+        val same = k1c == kkc && d1 == dk
+        if (!same) System.err.println(
+          s"[scaleup] full dedup-serve verdict drift at x$k: x1=($k1c kept, $d1 dropped) x$k=($kkc kept, $dk dropped)")
+        f""","dedup_serve_full":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same,"replay_same":${r1 && rk}}"""
+      }
+      val mixTokJson = if (!mixTokensServeProbe) "" else {
+        val (b1, s1, t1, f1) = mixTokX1
+        val (bk, sk, tk, fk) = mixTokensServe(s"$out/x$k", s"scup_mxt_x$k")
+        f""","mix_tokens_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_flips":$f1,"x${k}_flips":$fk}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -536,6 +707,12 @@ object ScaleUpBench {
       if (mixServeProbe)
         Seq("docs", "ledger", "thr").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_mx_${fx}_$t"): Unit)
+      if (dedupServeFullProbe)
+        Seq("bands", "toks", "decisions").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_sdf_${fx}_$t"): Unit)
+      if (mixTokensServeProbe)
+        Seq("docs", "ledger", "thr").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_mxt_${fx}_$t"): Unit)
     }
     spark.stop()
   }
