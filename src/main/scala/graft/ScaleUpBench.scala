@@ -464,6 +464,13 @@ object ScaleUpBench {
         .filter(col("kept") =!= col("law_kept")).count()
       require(lawBad == 0L,
         s"mix-serve probe: $lawBad docs diverge from the corpusMix law")
+      // coverage: the docs store must hold exactly the replica plus
+      // every probe batch (currentKept and corpusMixOn both read the
+      // STORE, so the law gate alone cannot see lost rows)
+      val expectedDocs = docs.count() + 250L * (nextB - 1)
+      val storedDocs = spark.table(s"${pfx}_docs").count()
+      require(storedDocs == expectedDocs,
+        s"mix-serve probe: store holds $storedDocs docs, expected $expectedDocs")
       // MASS-EVICTION datum (round-17, closing the fixed-250-doc blind
       // spot): a NEW tiny source shrinks u12 and flips verdicts across
       // EVERY source — the one case where flips >> batch, so the
@@ -522,30 +529,32 @@ object ScaleUpBench {
               transform(split(col("text"), " "),
                 t => concat(lit(s"probe${b}_"), t)), " ")))
       }
-      var nextB = 1L
-      var lastB = 0L
-      var lastKept = 0L
-      var lastTotal = 0L
-      val serve = Bench.timeQuery((s, _) => {
-        val b = nextB; nextB += 1; lastB = b
-        val batch = mkBatch(b).localCheckpoint(true)
-        val v = StreamDedup.processBatch(s, pfx, batch, b)
-        lastTotal = v.count()
-        lastKept = v.filter(col("kept")).count()
-        v
-      }, spark, dir, runs).median
-      // decide-exactly-once gate: replaying the last timed batch must
-      // re-emit the recorded verdicts unchanged
       def rows(df: DataFrame) = df
         .select(col("doc_id"), col("kept"),
           coalesce(col("matched_old"), lit(-1L)).as("mo"))
         .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
         .toSet
-      val recorded = rows(StreamDedup.processBatch(spark, pfx,
-        mkBatch(lastB).localCheckpoint(true), lastB))
+      var nextB = 1L
+      var lastB = 0L
+      var lastRows: Set[(Long, Boolean, Long)] = Set.empty
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1; lastB = b
+        val batch = mkBatch(b).localCheckpoint(true)
+        val v = StreamDedup.processBatch(s, pfx, batch, b)
+        lastRows = rows(v) // the ORIGINAL emission, captured at decide time
+        v
+      }, spark, dir, runs).median
+      val lastKept = lastRows.count(_._2).toLong
+      val lastTotal = lastRows.size.toLong
+      require(lastTotal == 250L,
+        s"dedup-serve-full probe: expected 250 verdicts, got $lastTotal")
+      // decide-exactly-once gate: replaying the last timed batch must
+      // re-emit the verdicts RECORDED when it was first decided (a
+      // replay-vs-replay compare would pass vacuously on a corrupted
+      // ledger — both reads would see the same bad rows)
       val replayed = rows(StreamDedup.processBatch(spark, pfx,
         mkBatch(lastB).localCheckpoint(true), lastB))
-      (build, serve, lastKept, lastTotal - lastKept, recorded == replayed)
+      (build, serve, lastKept, lastTotal - lastKept, lastRows == replayed)
     }
     lazy val dedupFullX1 = dedupServeFull(s"$out/x1", "scup_sdf_x1")
 
@@ -588,6 +597,14 @@ object ScaleUpBench {
       val law = graft.ext.TextAnalysis.corpusMixTokensOn(lawInput, "mixsrv42")
         .select(col("doc_id"), col("copies").as("law_copies"))
       val state = StreamMixTokens.currentCopies(spark, pfx)
+      // coverage first: the law input is reconstructed INDEPENDENTLY of
+      // the store, so count equality proves no doc was lost or invented
+      // (an inner-join-only gate would pass on a store that dropped rows)
+      val stateCnt = state.count()
+      val lawCnt = law.count()
+      require(stateCnt == lawCnt,
+        s"mix-tokens-serve probe: store holds $stateCnt docs, the law " +
+          s"input $lawCnt — docs lost or duplicated")
       val lawBad = state.join(law, Seq("doc_id"))
         .filter(col("copies") =!= col("law_copies")).count()
       require(lawBad == 0L,

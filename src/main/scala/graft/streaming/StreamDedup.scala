@@ -62,14 +62,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the component representative (within-batch drop), or NULL (kept).
   */
 object StreamDedup {
+  import StreamStoreOps.MaxPruneKeys
 
   private def bands(prefix: String) = s"${prefix}_bands"
   private def toks(prefix: String) = s"${prefix}_toks"
   private def decisions(prefix: String) = s"${prefix}_decisions"
-
-  /** Cap on any probe-side key collect (matches streamDedupStep's
-    * default): above it, the unpruned scan is the cheaper plan anyway. */
-  private val MaxPruneKeys = 100000
 
   /** Bucket count for the bands store, bucketed on the full candidate
     * join key (band_idx, band). The COMPOSITE key is load-bearing:
@@ -123,14 +120,6 @@ object StreamDedup {
     math.min(65536L, math.max(BandBuckets.toLong, pow2)).toInt
   }
 
-  /** A store table's CURRENT bucket count (it drifts upward across
-    * [[compactStore]] rebucketings; appends must follow the live
-    * layout, not the CREATE-time constant). */
-  private def currentBuckets(spark: SparkSession, table: String): Int =
-    spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets).getOrElse(BandBuckets)
-
   /** Idempotent store DDL. All three store tables are BUCKETED+SORTED
     * on their probe key — bands on the composite candidate-join key
     * (see [[BandBuckets]]), toks and the decisions ledger on doc_id —
@@ -163,13 +152,20 @@ object StreamDedup {
   }
 
   /** Bucket-layout-aligned append: repartition on the table's LIVE
-    * bucket columns/count so each task carries exactly one bucket id
-    * (an append adds at most one file per bucket instead of
-    * tasks × buckets); a flat legacy table keeps the batch-sized
-    * sorted single-file append whose row-group stats prune between
-    * compactions. The bucketed writer enforces the catalog sort spec
-    * per bucket file, so both layouts stay stats-tight on the probe
-    * key. */
+    * bucket columns/count (it drifts upward across [[compactStore]]
+    * rebucketings) so each task carries exactly one bucket id — an
+    * append adds at most one file per NON-EMPTY bucket instead of
+    * tasks × buckets; a flat legacy table keeps the batch-sized
+    * sorted single-file append. The bucketed writer enforces the
+    * catalog sort spec per bucket file, so both layouts stay
+    * stats-tight on the probe key. Deliberate trade-off vs the flat
+    * layout's one file per append: a micro-batch spread across B
+    * buckets writes up to min(|batch|, B) small files per table, so
+    * the inter-compaction file pile grows B× faster — the price of
+    * the Exchange-free store joins and bucket-pruned probes the
+    * layout buys; [[compactStore]]'s cadence owns the pile, and at
+    * deployment scale batches outweigh bucket counts, amortizing the
+    * per-file cost back out. */
   private def appendToStore(spark: SparkSession, table: String,
       df: DataFrame, sortCols: Seq[String]): Unit = {
     val spec = spark.sessionState.catalog
@@ -193,6 +189,14 @@ object StreamDedup {
   private[graft] def processBatch(spark: SparkSession, prefix: String,
       batch: DataFrame, batchId: Long): DataFrame = {
     ensureStore(spark, prefix)
+    // The whole batch evaluates inside the widened native-IN pushdown
+    // window (StreamStoreOps doc): the decide-split and append-guard
+    // IN-lists routinely exceed parquet's 10-key default, above which
+    // the pushed predicate degrades to a min..max range that skips
+    // nothing for scattered ids — every eager evaluation (checkpoints,
+    // inserts) happens in here; streamDedupStep's own nested window is
+    // harmless.
+    StreamStoreOps.withPushdownInWindow(spark) {
     // The decide-exactly-once split reads the decisions ledger, which
     // grows with the TOTAL corpus while the batch stays micro-batch-sized
     // — prune it by the batch's own doc_ids (bounded collect, capped;
@@ -270,6 +274,7 @@ object StreamDedup {
         .localCheckpoint(true),
       Seq("doc_id"))
     freshDecisions.union(replayed)
+    }
   }
 
   /** ORDERED small-file compaction of the three store tables — the

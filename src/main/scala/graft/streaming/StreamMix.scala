@@ -114,35 +114,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (StreamMixSpec), which ties the online operator to the DuckDB-oracled
   * law. */
 object StreamMix {
+  import StreamStoreOps.{KeySpace, MaxPruneKeys, NoKeyD, NoKeyS, keyGT, keyLE}
 
   private def docsT(prefix: String) = s"${prefix}_docs"
   private def ledgerT(prefix: String) = s"${prefix}_ledger"
   private def thrT(prefix: String) = s"${prefix}_thr"
 
-  /** skey = first 60 bits of md5 (functions/Md5Prefix60), so the
-    * keyspace is exactly [0, 2^60) and uniform — the density estimate
-    * the boundary probes rely on. */
-  private val KeySpace: Long = 1L << 60
-
-  /** Sentinel threshold ordering BEFORE every real key: quota 0 keeps
-    * nothing; real skeys are non-negative. */
-  private val NoKeyS = -1L
-  private val NoKeyD = -1L
-
-  /** Cap on the batch doc_id IN-list pushed into the ledger scan
-    * (same posture as StreamDedup.MaxPruneKeys). */
-  private val MaxPruneKeys = 100000
-
   /** Threshold row: per-source state. (tSkey, tDoc) is the key of the
     * source's quota-th smallest doc, or the sentinel when quota = 0. */
   private final case class Thr(source: String, w: Long, n: Long,
       quota: Long, tSkey: Long, tDoc: Long)
-
-  /** key ≤ (tS, tD) lexicographically — the kept predicate. */
-  private def keyLE(skey: Column, docId: Column, tS: Long, tD: Long): Column =
-    (skey < lit(tS)) || (skey === lit(tS) && docId <= lit(tD))
-  private def keyGT(skey: Column, docId: Column, tS: Long, tD: Long): Column =
-    (skey > lit(tS)) || (skey === lit(tS) && docId > lit(tD))
 
   /** Default source-weight law: the fixture's `(srcN mod 4) + 1`, the
     * same parse `corpusMixOn` applies batch-side. A source's weight only
@@ -152,11 +133,14 @@ object StreamMix {
     * real-world source names pass their own `weights` to
     * [[streamingMix]]/[[processBatch]] instead. */
   val FixtureWeights: String => Long = { source =>
+    // <= 18 digits so toLong can never throw a bare NumberFormatException
+    // — the whole point of this guard is that EVERY rejection names the
+    // contract
     require(source.startsWith("src") && source.length > 3 &&
-      source.drop(3).forall(_.isDigit),
+      source.length <= 21 && source.drop(3).forall(_.isDigit),
       s"StreamMix: no weight for source '$source' — the default weight " +
-        "law expects fixture names 'src<N>' (weight = (N mod 4) + 1); " +
-        "pass weights= for other source naming schemes")
+        "law expects fixture names 'src<N>' (N up to 18 digits; weight = " +
+        "(N mod 4) + 1); pass weights= for other source naming schemes")
     math.floorMod(source.drop(3).toLong, 4L) + 1L
   }
 
@@ -185,28 +169,9 @@ object StreamMix {
   def compactStore(spark: SparkSession, prefix: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       retainThrBatches: Int = 8): Map[String, (Int, Int)] = {
-    require(retainThrBatches >= 1,
-      "retainThrBatches: recovery reads the trailing snapshot — keep >= 1")
     ensureStore(spark, prefix)
-    // The trim rides compactTable's retention filter, so the survivors
-    // are STAGED on disk before the live thr table is touched — the
-    // recovery-critical state never has a crash window where dropped
-    // rows' table is its only copy (unlike a collect-then-reset trim;
-    // same stage+swap posture docs and ledger already get).
-    val thrCut: Option[String] =
-      spark.table(thrT(prefix)).agg(max(col("batch_id"))).head() match {
-        case r if r.isNullAt(0) => None // empty store — nothing to trim
-        case r => Some(s"batch_id >= ${r.getLong(0) - (retainThrBatches - 1)}")
-      }
-    Map(
-      docsT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        docsT(prefix), targetFileBytes,
-        orderBy = Seq("source", "skey", "doc_id")),
-      ledgerT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        ledgerT(prefix), targetFileBytes, orderBy = Seq("doc_id")),
-      thrT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        thrT(prefix), targetFileBytes, orderBy = Seq("batch_id"),
-        where = thrCut))
+    StreamStoreOps.compactMixStore(spark, docsT(prefix), ledgerT(prefix),
+      thrT(prefix), targetFileBytes, retainThrBatches)
   }
 
   /** One micro-batch: extend the corpus, shift the per-source
@@ -228,25 +193,11 @@ object StreamMix {
     if (batchD.isEmpty) return emptyEmission
 
     // ---- decided-set slice: ONE pruned ledger read serves both the
-    // replay detection and the fresh-doc split. The IN-list is the
-    // batch's own ids (bounded, capped); with the doc_id-ordered
-    // compacted layout the pushed keys skip whole row groups. The
-    // native-In pushdown window is widened the same way (and with the
-    // same single-owner session caveat) as Dedup.streamDedupStep.
+    // replay detection and the fresh-doc split (capped IN-list pushed
+    // natively, lazy full read over the cap — StreamStoreOps doc).
     val batchIds = batchD.select(col("doc_id"))
       .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
-    val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val savedIn = spark.conf.get(inKey)
-    // Over the cap the unpruned scan is the plan anyway — keep it LAZY
-    // (a localCheckpoint would pin the entire corpus-sized ledger to
-    // executor storage); only the batch-bounded pruned slice is pinned.
-    val decidedSlice =
-      try {
-        spark.conf.set(inKey, 1000)
-        if (batchIds.length > MaxPruneKeys) ledger
-        else ledger.filter(col("doc_id").isin(batchIds: _*))
-          .localCheckpoint(true)
-      } finally spark.conf.set(inKey, savedIn)
+    val decidedSlice = StreamStoreOps.decidedSlice(spark, ledger, batchIds)
 
     // ---- replay fast-path with the checkpoint-binding guard: ledger
     // rows for this batch_id mean the batch fully committed — but ONLY

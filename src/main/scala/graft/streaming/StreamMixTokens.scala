@@ -84,33 +84,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[corpusMixTokensStreamed]] (`d_corpus_mix_tokens_streamed`,
   * DuckDB CTE chain `ext.TextAnalysis.corpusMixTokensStreamedSql`). */
 object StreamMixTokens {
+  import StreamStoreOps.{KeySpace, MaxPruneKeys, NoKeyD, NoKeyS, keyGT, keyLE}
 
   private def docsT(prefix: String) = s"${prefix}_docs"
   private def ledgerT(prefix: String) = s"${prefix}_ledger"
   private def thrT(prefix: String) = s"${prefix}_thr"
-
-  /** skey = first 60 bits of md5 — uniform on [0, 2^60), the density
-    * estimate the token probes rely on (see [[StreamMix.KeySpace]]). */
-  private val KeySpace: Long = 1L << 60
-
-  /** Sentinel threshold ordering BEFORE every real key: rem 0 keeps the
-    * partial epoch empty; real skeys are non-negative. */
-  private val NoKeyS = -1L
-  private val NoKeyD = -1L
-
-  /** Cap on the batch doc_id IN-list pushed into the ledger scan. */
-  private val MaxPruneKeys = 100000
 
   /** Threshold row: per-source state. (tSkey, tDoc) is the key of the
     * partial epoch's last doc (sentinel when rem = 0); cumT the token
     * sum at-or-below it. */
   private final case class Thr(source: String, w: Long, tTok: Long,
       fullEpochs: Long, rem: Long, tSkey: Long, tDoc: Long, cumT: Long)
-
-  private def keyLE(skey: Column, docId: Column, tS: Long, tD: Long): Column =
-    (skey < lit(tS)) || (skey === lit(tS) && docId <= lit(tD))
-  private def keyGT(skey: Column, docId: Column, tS: Long, tD: Long): Column =
-    (skey > lit(tS)) || (skey === lit(tS) && docId > lit(tD))
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${docsT(prefix)} " +
@@ -132,23 +116,9 @@ object StreamMixTokens {
   def compactStore(spark: SparkSession, prefix: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       retainThrBatches: Int = 8): Map[String, (Int, Int)] = {
-    require(retainThrBatches >= 1,
-      "retainThrBatches: recovery reads the trailing snapshot — keep >= 1")
     ensureStore(spark, prefix)
-    val thrCut: Option[String] =
-      spark.table(thrT(prefix)).agg(max(col("batch_id"))).head() match {
-        case r if r.isNullAt(0) => None
-        case r => Some(s"batch_id >= ${r.getLong(0) - (retainThrBatches - 1)}")
-      }
-    Map(
-      docsT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        docsT(prefix), targetFileBytes,
-        orderBy = Seq("source", "skey", "doc_id")),
-      ledgerT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        ledgerT(prefix), targetFileBytes, orderBy = Seq("doc_id")),
-      thrT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        thrT(prefix), targetFileBytes, orderBy = Seq("batch_id"),
-        where = thrCut))
+    StreamStoreOps.compactMixStore(spark, docsT(prefix), ledgerT(prefix),
+      thrT(prefix), targetFileBytes, retainThrBatches)
   }
 
   /** One micro-batch: extend the corpus, move the per-source token
@@ -172,19 +142,11 @@ object StreamMixTokens {
     if (batchD.isEmpty) return emptyEmission
 
     // ---- decided-set slice: ONE pruned ledger read serves the replay
-    // detection and the fresh-doc split (posture and caveats identical
-    // to StreamMix.processBatch — lazy full read over the cap).
+    // detection and the fresh-doc split (capped IN-list pushed
+    // natively, lazy full read over the cap — StreamStoreOps doc).
     val batchIds = batchD.select(col("doc_id"))
       .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
-    val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val savedIn = spark.conf.get(inKey)
-    val decidedSlice =
-      try {
-        spark.conf.set(inKey, 1000)
-        if (batchIds.length > MaxPruneKeys) ledger
-        else ledger.filter(col("doc_id").isin(batchIds: _*))
-          .localCheckpoint(true)
-      } finally spark.conf.set(inKey, savedIn)
+    val decidedSlice = StreamStoreOps.decidedSlice(spark, ledger, batchIds)
 
     // ---- replay fast-path with the foreign-checkpoint guard
     if (decidedSlice.filter(col("batch_id") === batchId).limit(1).count() > 0) {

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Infrastructure shared by the streaming store operators
+  * ([[StreamDedup]], [[StreamMix]], [[StreamMixTokens]]) — one source
+  * of truth for the keyspace/sentinel constants, the threshold-key
+  * order predicates, the capped ledger-slice prune, the native-IN
+  * pushdown window, and the mix-store compaction body, so a fix to any
+  * of them cannot silently diverge between the operators. */
+private[streaming] object StreamStoreOps {
+
+  /** skey = first 60 bits of md5 (functions/Md5Prefix60), so the
+    * keyspace is exactly [0, 2^60) and uniform — the density estimate
+    * every boundary probe relies on. */
+  val KeySpace: Long = 1L << 60
+
+  /** Sentinel threshold ordering BEFORE every real key (quota/rem 0
+    * keeps nothing; real skeys are non-negative). */
+  val NoKeyS = -1L
+  val NoKeyD = -1L
+
+  /** Cap on any probe-side key collect: above it, the unpruned scan is
+    * the cheaper plan anyway. */
+  val MaxPruneKeys = 100000
+
+  /** key ≤ (tS, tD) lexicographically — the kept/in-partial predicate. */
+  def keyLE(skey: Column, docId: Column, tS: Long, tD: Long): Column =
+    (skey < lit(tS)) || (skey === lit(tS) && docId <= lit(tD))
+  def keyGT(skey: Column, docId: Column, tS: Long, tD: Long): Column =
+    (skey > lit(tS)) || (skey === lit(tS) && docId > lit(tD))
+
+  /** Run `body` with the parquet native-IN pushdown window widened to
+    * 1000 keys: parquet receives an IN-list as a real In predicate only
+    * up to `spark.sql.parquet.pushdown.inFilterThreshold` values
+    * (default 10); bigger lists collapse to a min..max range, which
+    * skips nothing for uniform hash keys and only coarsely for doc
+    * ids. Raised, the key SET reaches row-group dictionaries and page
+    * indexes. CONCURRENCY CAVEAT: the conf is SESSION-global — the
+    * caller is assumed to own the SparkSession for the duration (true
+    * of every foreachBatch serve path: one batch at a time). Two
+    * concurrent streams sharing a session would see each other's
+    * threshold; give each its own `SparkSession.newSession()` instead. */
+  def withPushdownInWindow[T](spark: SparkSession)(body: => T): T = {
+    val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val saved = spark.conf.get(inKey)
+    spark.conf.set(inKey, 1000)
+    try body finally spark.conf.set(inKey, saved)
+  }
+
+  /** The decided-set slice of a change ledger: pruned by the batch's
+    * own doc_ids (bounded IN-list pushed natively via
+    * [[withPushdownInWindow]]) and pinned; over the cap the unpruned
+    * scan is the plan anyway and stays LAZY — a localCheckpoint would
+    * pin the entire corpus-sized ledger to executor storage. */
+  def decidedSlice(spark: SparkSession, ledger: DataFrame,
+      batchIds: IndexedSeq[Long]): DataFrame =
+    withPushdownInWindow(spark) {
+      if (batchIds.length > MaxPruneKeys) ledger
+      else ledger.filter(col("doc_id").isin(batchIds: _*))
+        .localCheckpoint(true)
+    }
+
+  /** Shared mix-store compaction body (see the operators' compactStore
+    * scaladocs for the maintenance contract): docs range-ordered on
+    * (source, skey, doc_id) for the boundary probes' file skipping,
+    * ledger on doc_id for the IN-list row-group skips, thr TRIMMED to
+    * the trailing `retainThrBatches` snapshots via compactTable's
+    * staged retention filter — survivors land on disk in the staging
+    * table BEFORE the live table is touched, so the recovery-critical
+    * state never has a crash window where dropped rows' table is its
+    * only copy — then ordered on batch_id. */
+  def compactMixStore(spark: SparkSession, docsT: String, ledgerT: String,
+      thrT: String, targetFileBytes: Long,
+      retainThrBatches: Int): Map[String, (Int, Int)] = {
+    require(retainThrBatches >= 1,
+      "retainThrBatches: recovery reads the trailing snapshot — keep >= 1")
+    val thrCut: Option[String] =
+      spark.table(thrT).agg(max(col("batch_id"))).head() match {
+        case r if r.isNullAt(0) => None // empty store — nothing to trim
+        case r => Some(s"batch_id >= ${r.getLong(0) - (retainThrBatches - 1)}")
+      }
+    Map(
+      docsT -> graft.sources.TableOps.compactTable(spark, docsT,
+        targetFileBytes, orderBy = Seq("source", "skey", "doc_id")),
+      ledgerT -> graft.sources.TableOps.compactTable(spark, ledgerT,
+        targetFileBytes, orderBy = Seq("doc_id")),
+      thrT -> graft.sources.TableOps.compactTable(spark, thrT,
+        targetFileBytes, orderBy = Seq("batch_id"), where = thrCut))
+  }
+}
