@@ -144,10 +144,26 @@ object ScaleUpBench {
     * `corpusMixTokensOn`'s full re-rank of the same accumulated docs. */
   private val mixTokensServeProbe: Boolean =
     queries.contains("d_mix_tokens_serve")
+
+  /** `e_ann_add` enables the streaming index-ADD probe — the ingest
+    * sibling of `e_ann_serve`: per factor, one untimed full-corpus
+    * index build (the standing index a maintenance stream extends),
+    * then the median per-batch latency of `StreamAnnIndex.processBatch`
+    * over a FIXED 250-vector batch of NEW vec_ids per pass (copy-0
+    * vectors re-id'd per pass, so each timed pass is a genuine add and
+    * the store grows by only 250 rows per pass). The batch is identical
+    * at every factor while the standing codes store grows K×, so the
+    * number is per-batch encode + guard-probe + append cost as the
+    * indexed corpus grows under a fixed arrival rate — StreamAnnIndex's
+    * O(batch) claim on trial. The insert-once gate replays the last
+    * timed batch: acks must re-emit identically and the store must not
+    * grow. */
+  private val annAddProbe: Boolean = queries.contains("e_ann_add")
   private val probeQueries: Seq[String] =
     queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
       q == "d_dedup_serve_pruned" || q == "d_mix_serve" ||
-      q == "d_dedup_serve_full" || q == "d_mix_tokens_serve")
+      q == "d_dedup_serve_full" || q == "d_mix_tokens_serve" ||
+      q == "e_ann_add")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -613,6 +629,51 @@ object ScaleUpBench {
     }
     lazy val mixTokX1 = mixTokensServe(s"$out/x1", "scup_mxt_x1")
 
+    /** (index build sec, per-batch add sec median, insert-once gate)
+      * for the streaming index-add probe — see [[annAddProbe]]. */
+    def annAdd(dir: String, pfx: String): (Double, Double, Boolean) = {
+      import graft.streaming.StreamAnnIndex
+      Seq("codes", "centroids", "codebooks").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val embD = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      graft.ext.Similarity.annIndexWrite(spark, dir, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val corpusN = embD.count()
+      // copy 0 keeps original ids at every K — the same 250 vectors
+      // everywhere; per-pass id offsets make each pass a genuine add
+      val base = embD.filter(col("vec_id") < 250).localCheckpoint(true)
+      def mkBatch(b: Long): DataFrame = base.select(
+        (col("vec_id") + lit(1000000000000L + b * 1000000L)).as("vec_id"),
+        col("embedding"))
+      def acks(df: DataFrame) = df.select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      var nextB = 1L
+      var lastB = 0L
+      var lastAcks: Set[(Long, Int)] = Set.empty
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1; lastB = b
+        val v = StreamAnnIndex.processBatch(s, pfx, mkBatch(b), b)
+        lastAcks = acks(v) // the ORIGINAL emission, captured at add time
+        v
+      }, spark, dir, runs).median
+      require(lastAcks.size == 250,
+        s"ann-add probe: expected 250 acks, got ${lastAcks.size}")
+      // insert-once gate: every pass landed exactly once, and a replay
+      // of the last timed batch re-emits its recorded acks without
+      // growing the store
+      val storeN = spark.table(s"${pfx}_codes").count()
+      require(storeN == corpusN + 250L * (nextB - 1),
+        s"ann-add probe: store holds $storeN codes, expected " +
+          s"${corpusN + 250L * (nextB - 1)}")
+      val replayed = acks(StreamAnnIndex.processBatch(spark, pfx,
+        mkBatch(lastB), lastB))
+      val unchanged = spark.table(s"${pfx}_codes").count() == storeN
+      (build, serve, lastAcks == replayed && unchanged)
+    }
+    lazy val annAddX1 = annAdd(s"$out/x1", "scup_sa_x1")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -703,7 +764,14 @@ object ScaleUpBench {
         val (bk, sk, tk, fk) = mixTokensServe(s"$out/x$k", s"scup_mxt_x$k")
         f""","mix_tokens_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_flips":$f1,"x${k}_flips":$fk}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson}"""
+      val annAddJson = if (!annAddProbe) "" else {
+        val (b1, s1, r1) = annAddX1
+        val (bk, sk, rk) = annAdd(s"$out/x$k", s"scup_sa_x$k")
+        if (!(r1 && rk)) System.err.println(
+          s"[scaleup] ann-add insert-once gate FAILED at x$k (x1=$r1, x$k=$rk)")
+        f""","ann_add":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_add_sec":$s1%.4f,"x${k}_add_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"add_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"replay_same":${r1 && rk}}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -730,6 +798,9 @@ object ScaleUpBench {
       if (mixTokensServeProbe)
         Seq("docs", "ledger", "thr").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_mxt_${fx}_$t"): Unit)
+      if (annAddProbe)
+        Seq("codes", "centroids", "codebooks").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_sa_${fx}_$t"): Unit)
     }
     spark.stop()
   }

@@ -1592,12 +1592,37 @@ object Similarity {
     (codesWithCell, cents, cb)
   }
 
+  /** Encode (vec_id, embedding) rows against a FROZEN model — the
+    * "FAISS add" half of index maintenance: coarse-cell argmin, cell
+    * residual, per-subspace PQ assignment, all against the resident
+    * (cents, cb) literals. No training scan, no shuffle except the
+    * per-vector codes fold; applied to the model's own training corpus
+    * it reproduces [[ivfPqIndex]]'s codes bit-for-bit (same final-round
+    * assign — spec-asserted), which is what lets the streaming add path
+    * extend a persisted index without perturbing the standing rows. */
+  private[graft] def ivfPqEncode(batch: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val resid = batch
+      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
+      .withColumn("cell", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+          (x, c) => x.cast("double") - c).as("rv"))
+    pqAssign(resid.select(col("vec_id"), col("cell"),
+        posexplode(pqSubvectorExpr("rv")).as(Seq("m", "v"))), cb)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
   /** Query-side IVF-PQ scoring over an already-built index (in-memory
     * or read back from the catalog): probe the `probes` nearest cells
     * (same argmin contract as annIvf), build one residual + ADC table
     * per (query, probed cell) — residuals are cell-relative — and rank
     * the candidate union. */
-  private def ivfPqScore(emb: DataFrame, codesWithCell: DataFrame,
+  private[graft] def ivfPqScore(emb: DataFrame, codesWithCell: DataFrame,
       cents: Array[Array[Double]], cb: Array[Array[Array[Double]]],
       probes: Int): DataFrame = {
     val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
@@ -1653,9 +1678,18 @@ object Similarity {
     * is exact — [[annIndexLookup]] reproduces the in-memory
     * [[annIvfPq]] bit-for-bit (spec-asserted). */
   def annIndexWrite(spark: SparkSession, sfDir: String,
-      prefix: String = "ann_ivfpq"): Unit = {
+      prefix: String = "ann_ivfpq"): Unit =
+    annIndexWriteFrom(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      prefix)
+
+  /** [[annIndexWrite]] over a caller-chosen training corpus — the entry
+    * point the streaming index-maintenance path uses to train the model
+    * on the BASE corpus only before new vectors start arriving
+    * ([[graft.streaming.StreamAnnIndex]]). */
+  private[graft] def annIndexWriteFrom(spark: SparkSession, emb: DataFrame,
+      prefix: String): Unit = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val (codesWithCell, cents, cb) = ivfPqIndex(emb)
     graft.sources.TableOps.resetBucketedTable(spark, s"${prefix}_codes",
       codesWithCell.select(col("vec_id"), col("cell"), col("codes")), "cell", 8)
@@ -1728,7 +1762,7 @@ object Similarity {
     meta.properties.getOrElse("graft.rebuild.id", meta.createTime.toString)
   }
 
-  private def loadIvfPqModel(spark: SparkSession, prefix: String)
+  private[graft] def loadIvfPqModel(spark: SparkSession, prefix: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val version = indexVersion(spark, prefix)
     ivfPqModelCache.computeIfAbsent(s"$prefix@$version", _ => new Memo(() => {
@@ -1988,7 +2022,7 @@ object Similarity {
     * run `build` only when `table` is absent or was built from a
     * DIFFERENT source dir (recorded as a table property — the
     * idempotency device of `PartitionedScan.eventsByDay`). */
-  private def ensureFromSource(spark: SparkSession, table: String,
+  private[graft] def ensureFromSource(spark: SparkSession, table: String,
       sfDir: String)(build: => Unit): Unit = {
     val canonical = new java.io.File(sfDir).getCanonicalPath
     val current = spark.catalog.tableExists(table) &&
@@ -2147,6 +2181,65 @@ object Similarity {
   lazy val annIvfPqSql: String = ivfPqSql(probes = 1)
   lazy val annIvfPqProbe2Sql: String = ivfPqSql(probes = 2)
 
+  /** DuckDB twin of the STREAMED index fold
+    * ([[graft.streaming.StreamAnnIndex.annIndexStreamed]]): the coarse
+    * Lloyd chain and the PQ training both run over the BASE corpus only
+    * (vec_id % 5 != 0 — the standing 80%, same split as
+    * [[annIvfIncremental]]), the full corpus is then ENCODED with the
+    * frozen model (a3 assigns every vector against c2; pqTrainCtes'
+    * encodeSv runs the final PQ assignment over the full residual
+    * subvectors), and queries score the union store through the standard
+    * single-probe ADC chain — each neighbor labeled base/new so the
+    * result itself proves the streamed-in rows are retrievable. */
+  lazy val annIndexStreamedSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |etr AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 0),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM etr ORDER BY vec_id LIMIT 16)),
+       |c0l AS (SELECT cell, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS dim,
+       |               unnest(cv) AS x
+       |        FROM c0),
+       |${ivfAssignCte("a1", "c0", "etr")},
+       |${ivfUpdateCte("m1", "a1", "c0l", "c1l", "c1")},
+       |c1l2 AS (SELECT cell, dim, cv AS x FROM c1l),
+       |${ivfAssignCte("a2", "c1", "etr")},
+       |${ivfUpdateCte("m2", "a2", "c1l2", "c2l", "c2")},
+       |${ivfAssignCte("a3", "c2")},
+       |cres AS (
+       |  SELECT a.vec_id, a.cell,
+       |         list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS rv
+       |  FROM a3 a JOIN c2 c ON c.cell = a.cell),
+       |ctr AS (SELECT vec_id, cell, rv FROM cres WHERE vec_id % 5 != 0),
+       |psvt AS (
+       |  ${pqSvCteSql("ctr", "rv")}),
+       |psv AS (
+       |  ${pqSvCteSql("cres", "rv")}),
+       |${pqTrainCtes("p", "psvt", encodeSv = "psv")},
+       |${ivfQueryCellCte("qcell", 1)},
+       |qres AS (
+       |  SELECT q.vec_id, q.cell AS pcell,
+       |         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
+       |  FROM qcell q JOIN e ON e.vec_id = q.vec_id JOIN c2 c ON c.cell = q.cell),
+       |qsv AS (
+       |  ${pqSvCteSql("qres", "rv", ", pcell")}),
+       |${pqAdcTableCtes("qsv", s"pc$PqIters", "", probeKey = true)},
+       |adcs AS (
+       |  SELECT q.q_id, q.pcell AS cell, pc.vec_id AS neighbor_id,
+       |         round(list_sum(list_transform(list_zip(pc.codes, q.dtabs),
+       |           p -> p[2][p[1] + 1])) + 1e-9, 4) AS adc,
+       |         CASE WHEN pc.vec_id % 5 = 0 THEN 'new' ELSE 'base' END AS src
+       |  FROM pcodes pc
+       |  JOIN a3 a ON a.vec_id = pc.vec_id
+       |  JOIN qts q ON q.pcell = a.cell AND pc.vec_id != q.q_id)
+       |SELECT q_id, rank, neighbor_id, cell, adc, src FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM adcs)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   private def pqAssignCte(a: String, c: String, sv: String): String =
     s"""$a AS (SELECT vec_id, m, sv, cell FROM (
        |  SELECT s.vec_id, s.m, s.sv, c.cell,
@@ -2172,8 +2265,14 @@ object Similarity {
     * over residuals) can coexist: seeds = the PqK rank-smallest vec_ids'
     * subvectors, PqIters unrolled rounds (generated from the SAME constant
     * the Spark trainer uses), final assignment + codes. Yields
-    * `${px}codes(vec_id, codes)`; final codebook = `${px}c$PqIters`. */
-  private def pqTrainCtes(px: String, sv: String): String = {
+    * `${px}codes(vec_id, codes)`; final codebook = `${px}c$PqIters`.
+    * `encodeSv` (default: `sv` itself) is the subvector CTE the FINAL
+    * assignment encodes — the frozen-model split the incremental/
+    * streamed index oracles need: train on the base subvectors, encode
+    * the full corpus with the resulting codebook. */
+  private def pqTrainCtes(px: String, sv: String,
+      encodeSv: String = ""): String = {
+    val enc = if (encodeSv.isEmpty) sv else encodeSv
     val rounds = (1 to PqIters).map { k =>
       val prevL = if (k == 1) s"${px}c0l" else s"${px}c${k - 1}l2"
       val pre =
@@ -2191,7 +2290,7 @@ object Similarity {
        |               unnest(cv) AS x
        |        FROM ${px}c0),
        |$rounds,
-       |${pqAssignCte(s"${px}a$fin", s"${px}c$PqIters", sv)},
+       |${pqAssignCte(s"${px}a$fin", s"${px}c$PqIters", enc)},
        |${px}codes AS (SELECT vec_id, list(cell ORDER BY m) AS codes
        |               FROM ${px}a$fin GROUP BY vec_id)""".stripMargin
   }

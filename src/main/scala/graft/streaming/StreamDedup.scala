@@ -151,34 +151,11 @@ object StreamDedup {
       s"INTO $BandBuckets BUCKETS")
   }
 
-  /** Bucket-layout-aligned append: repartition on the table's LIVE
-    * bucket columns/count (it drifts upward across [[compactStore]]
-    * rebucketings) so each task carries exactly one bucket id — an
-    * append adds at most one file per NON-EMPTY bucket instead of
-    * tasks × buckets; a flat legacy table keeps the batch-sized
-    * sorted single-file append. The bucketed writer enforces the
-    * catalog sort spec per bucket file, so both layouts stay
-    * stats-tight on the probe key. Deliberate trade-off vs the flat
-    * layout's one file per append: a micro-batch spread across B
-    * buckets writes up to min(|batch|, B) small files per table, so
-    * the inter-compaction file pile grows B× faster — the price of
-    * the Exchange-free store joins and bucket-pruned probes the
-    * layout buys; [[compactStore]]'s cadence owns the pile, and at
-    * deployment scale batches outweigh bucket counts, amortizing the
-    * per-file cost back out. */
+  // bucket-layout-aligned appends are shared streaming-store
+  // infrastructure — see [[StreamStoreOps.appendToStore]]
   private def appendToStore(spark: SparkSession, table: String,
-      df: DataFrame, sortCols: Seq[String]): Unit = {
-    val spec = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec
-    val laid = spec match {
-      case Some(s) =>
-        df.repartition(s.numBuckets, s.bucketColumnNames.map(col): _*)
-      case None =>
-        df.coalesce(1).sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-    }
-    laid.write.insertInto(table)
-  }
+      df: DataFrame, sortCols: Seq[String]): Unit =
+    StreamStoreOps.appendToStore(spark, table, df, sortCols)
 
   /** One micro-batch: decide fresh docs, append store then decisions
     * (each anti-joined — see the object doc's crash-window analysis),

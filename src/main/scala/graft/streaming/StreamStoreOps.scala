@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * order predicates, the capped ledger-slice prune, the native-IN
   * pushdown window, and the mix-store compaction body, so a fix to any
   * of them cannot silently diverge between the operators. */
-private[streaming] object StreamStoreOps {
+private[graft] object StreamStoreOps {
 
   /** skey = first 60 bits of md5 (functions/Md5Prefix60), so the
     * keyspace is exactly [0, 2^60) and uniform — the density estimate
@@ -61,6 +61,36 @@ private[streaming] object StreamStoreOps {
       else ledger.filter(col("doc_id").isin(batchIds: _*))
         .localCheckpoint(true)
     }
+
+  /** Bucket-layout-aligned append shared by every store-backed streaming
+    * operator ([[StreamDedup]], [[StreamAnnIndex]]): repartition on the
+    * table's LIVE bucket columns/count (it drifts upward across
+    * compaction rebucketings) so each task carries exactly one bucket
+    * id — an append adds at most one file per NON-EMPTY bucket instead
+    * of tasks × buckets; a flat legacy table keeps the batch-sized
+    * sorted single-file append. The bucketed writer enforces the
+    * catalog sort spec per bucket file, so both layouts stay
+    * stats-tight on the probe key. Deliberate trade-off vs the flat
+    * layout's one file per append: a micro-batch spread across B
+    * buckets writes up to min(|batch|, B) small files per table, so
+    * the inter-compaction file pile grows B× faster — the price of
+    * the Exchange-free store joins and bucket-pruned probes the
+    * layout buys; each operator's compactStore cadence owns the pile,
+    * and at deployment scale batches outweigh bucket counts, amortizing
+    * the per-file cost back out. */
+  def appendToStore(spark: SparkSession, table: String,
+      df: DataFrame, sortCols: Seq[String]): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    val laid = spec match {
+      case Some(s) =>
+        df.repartition(s.numBuckets, s.bucketColumnNames.map(col): _*)
+      case None =>
+        df.coalesce(1).sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    }
+    laid.write.insertInto(table)
+  }
 
   /** Shared mix-store compaction body (see the operators' compactStore
     * scaladocs for the maintenance contract): docs range-ordered on

@@ -1,0 +1,162 @@
+package graft
+
+import graft.ext.Similarity
+import graft.streaming.StreamAnnIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamAnnIndexSpec extends SparkSpec {
+
+  private def dropIndex(prefix: String): Unit =
+    Seq("codes", "centroids", "codebooks").foreach(t =>
+      graft.sources.TableOps.dropWithLocation(spark, s"${prefix}_$t"))
+
+  private def emb(sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+  private def codeRows(df: DataFrame) = df
+    .select(col("vec_id"), col("cell"), col("codes"))
+    .collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+    .toSet
+
+  private def serveRows(df: DataFrame) = df
+    .collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+      r.getDouble(4)))
+    .toSet
+
+  /** Base-corpus index build at a scratch prefix (the twin's split). */
+  private def buildBase(prefix: String, sfDir: String): Unit =
+    Similarity.annIndexWriteFrom(spark,
+      emb(sfDir).filter(col("vec_id") % 5 =!= 0), prefix)
+
+  test("frozen-model encode reproduces the index build's codes bit-for-bit") {
+    val base = emb(sf001).filter(col("vec_id") % 5 =!= 0)
+    val (codesWithCell, cents, cb) = Similarity.ivfPqIndex(base)
+    assert(codeRows(Similarity.ivfPqEncode(base, cents, cb)) ==
+      codeRows(codesWithCell))
+  }
+
+  test("a live add stream converges the store to the replay twin's index") {
+    val prefix = "sai_live"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val byWave = emb(sf001).filter(col("vec_id") % 5 === 0)
+      .withColumn("wave", pmod(floor(col("vec_id") / 5), lit(2)).cast("int"))
+      .collect()
+      .map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Float](1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toIndexedSeq).toMap
+    val acks =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamAnnIndex.streamingIndexAdd(
+      mem.toDF().toDF("vec_id", "embedding"), prefix = prefix) { (out, _) =>
+      out.collect().foreach(r =>
+        acks.add((r.getLong(0), r.getInt(1), r.getLong(2))): Unit)
+    }
+    (0 until 2).foreach { w =>
+      mem.addData(byWave(w): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the registry twin folds the same waves through the same core
+    val twinServe = serveRows(
+      StreamAnnIndex.annIndexStreamed(spark, sf001).drop("src"))
+    val (cents, cb) = Similarity.loadIvfPqModel(spark, prefix)
+    val liveServe = serveRows(Similarity.ivfPqScore(
+      emb(sf001), spark.table(s"${prefix}_codes"), cents, cb, probes = 1))
+    assert(liveServe == twinServe,
+      s"live-stream serve diverges from the twin: " +
+        s"only-live=${(liveServe -- twinServe).take(3)} " +
+        s"only-twin=${(twinServe -- liveServe).take(3)}")
+    // every streamed vector acked exactly once, in its own wave's batch
+    val ackList = acks.toArray(Array.empty[(Long, Int, Long)])
+    val newIds = byWave.values.flatten.map(_._1).toSet
+    assert(ackList.map(_._1).toSet == newIds)
+    assert(ackList.length == newIds.size)
+    dropIndex(prefix)
+  }
+
+  test("a replayed batch appends nothing and re-emits identical acks") {
+    val prefix = "sai_rp"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    val batch = emb(sf001).filter(col("vec_id") % 5 === 0)
+    def ackSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = ackSet(StreamAnnIndex.processBatch(spark, prefix, batch, 3L))
+    val n = spark.table(s"${prefix}_codes").count()
+    val second = ackSet(StreamAnnIndex.processBatch(spark, prefix, batch, 3L))
+    assert(second == first)
+    assert(spark.table(s"${prefix}_codes").count() == n,
+      "replayed batch must not grow the store")
+    // store stays duplicate-free on the primary key
+    assert(spark.table(s"${prefix}_codes")
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty)
+    dropIndex(prefix)
+  }
+
+  test("a partially-landed append converges under replay") {
+    val prefix = "sai_cw"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    val batch = emb(sf001).filter(col("vec_id") % 5 === 0)
+    // simulate the crash window: half the batch's encoded rows landed,
+    // the batch then replays in full
+    val (cents, cb) = Similarity.loadIvfPqModel(spark, prefix)
+    val half = Similarity.ivfPqEncode(batch, cents, cb)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("cell"), col("codes"))
+    graft.streaming.StreamStoreOps.appendToStore(
+      spark, s"${prefix}_codes", half, Seq("cell"))
+    StreamAnnIndex.processBatch(spark, prefix, batch, 0L): Unit
+    // clean one-shot reference store
+    val ref = "sai_cw_ref"
+    dropIndex(ref)
+    buildBase(ref, sf001)
+    StreamAnnIndex.processBatch(spark, ref, batch, 0L): Unit
+    assert(codeRows(spark.table(s"${prefix}_codes")) ==
+      codeRows(spark.table(s"${ref}_codes")))
+    dropIndex(prefix)
+    dropIndex(ref)
+  }
+
+  test("duplicate vec_ids within a batch collapse to one store row") {
+    val prefix = "sai_dup"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    val one = emb(sf001).filter(col("vec_id") % 5 === 0).limit(3)
+    val acks = StreamAnnIndex.processBatch(spark, prefix,
+      one.union(one), 0L)
+    assert(acks.count() == 3)
+    assert(spark.table(s"${prefix}_codes")
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty)
+    dropIndex(prefix)
+  }
+
+  test("compaction preserves the serve answer and collapses the file pile") {
+    val prefix = "sai_cmp"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    val newbies = emb(sf001).filter(col("vec_id") % 5 === 0)
+      .withColumn("b", pmod(col("vec_id"), lit(4)))
+    (0 until 4).foreach(b => StreamAnnIndex.processBatch(spark, prefix,
+      newbies.filter(col("b") === b).drop("b"), b.toLong): Unit)
+    val (cents, cb) = Similarity.loadIvfPqModel(spark, prefix)
+    def serve() = serveRows(Similarity.ivfPqScore(
+      emb(sf001), spark.table(s"${prefix}_codes"), cents, cb, probes = 1))
+    val before = serve()
+    val (nBefore, nAfter) = StreamAnnIndex.compactStore(spark, prefix)
+    assert(nAfter < nBefore, s"expected fewer files, got $nBefore -> $nAfter")
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${prefix}_codes")).bucketSpec.isDefined,
+      "compaction must preserve the bucket layout")
+    assert(serve() == before, "compaction changed a serve answer")
+    dropIndex(prefix)
+  }
+}
