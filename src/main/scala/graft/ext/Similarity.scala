@@ -1762,6 +1762,21 @@ object Similarity {
     meta.properties.getOrElse("graft.rebuild.id", meta.createTime.toString)
   }
 
+  /** Codes-RELATION version: the rebuild id plus the append revision
+    * [[graft.streaming.StreamAnnIndex]] stamps per add batch
+    * (`graft.store.rev`). The blue-green refresh key: a moved rev means
+    * new FILES under an unchanged model, so the serve loop re-lists the
+    * codes relation without reloading the model (whose memo stays keyed
+    * on the rebuild id alone — appends never change centroids or
+    * codebooks). Same single catalog metadata fetch as
+    * [[indexVersion]], no Spark job. */
+  private def codesVersion(spark: SparkSession, prefix: String): String = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_codes"))
+    meta.properties.getOrElse("graft.rebuild.id", meta.createTime.toString) +
+      "@" + meta.properties.getOrElse("graft.store.rev", "0")
+  }
+
   private[graft] def loadIvfPqModel(spark: SparkSession, prefix: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val version = indexVersion(spark, prefix)
@@ -1838,8 +1853,11 @@ object Similarity {
     * index under a running serve stream desyncs model and codes, so a
     * rebuild is followed by a serve-stream RESTART (the restart reloads
     * via the version-keyed memo; checkpointed sinks resume exactly).
-    * When the fleet must absorb rebuilds without restarting, use
-    * [[annServeStreamBlueGreen]] — the per-batch version cut-over.
+    * The same pinning applies to [[graft.streaming.StreamAnnIndex]]
+    * ADDS: vectors appended after stream start surface only on
+    * restart. When the fleet must absorb rebuilds or adds without
+    * restarting, use [[annServeStreamBlueGreen]] — the per-batch
+    * version cut-over.
     *
     * 100 TB posture: per query the work is O(d·k_cells + M·K·d) map
     * arithmetic plus `probes` bucketed-cell reads — the static side is
@@ -1912,7 +1930,11 @@ object Similarity {
     * rebuild's commit answer from version N, batches after from N+1,
     * and no in-flight query is dropped (spec-asserted: rebuild
     * mid-stream, every emitted row matches the version current at its
-    * batch). The mechanism is foreachBatch: per batch the resident
+    * batch). Streamed ADDS are absorbed the same way: the per-batch
+    * version is the composite (rebuild id, append rev) —
+    * [[graft.streaming.StreamAnnIndex]] stamps the rev per add batch —
+    * so new vectors become servable at the next batch boundary while
+    * an unchanged-version batch still re-lists nothing. The mechanism is foreachBatch: per batch the resident
     * model is re-resolved through the version-keyed memo
     * ([[loadIvfPqModel]] — an unchanged version costs one catalog
     * metadata fetch, no Spark job) and the codes relation re-resolves
@@ -1952,7 +1974,14 @@ object Similarity {
         var done = false
         while (!done) {
           var out: DataFrame = null
-          var v = indexVersion(spark, prefix)
+          // composite (rebuild id, append rev): a rolled REBUILD re-lists
+          // codes and reloads the model (the memo is keyed on the rebuild
+          // id inside loadIvfPqModel); a moved append REV — StreamAnnIndex
+          // landing new vectors under the unchanged model — re-lists codes
+          // only, which is what lets a serve fleet absorb streamed adds
+          // without a restart (spec-asserted: an add between two serve
+          // batches is retrievable in the second).
+          var v = codesVersion(spark, prefix)
           var settled = false
           while (!settled) {
             if (v != lastVersion) {
@@ -1961,7 +1990,7 @@ object Similarity {
             }
             val (cents, cb) = loadIvfPqModel(spark, prefix)
             out = serveScore(batch, k, prefix, probes, cents, cb)
-            val v2 = indexVersion(spark, prefix)
+            val v2 = codesVersion(spark, prefix)
             settled = v2 == v
             v = v2
           }

@@ -94,6 +94,16 @@ object StreamAnnIndex {
         .select(col("vec_id"), col("cell"), col("codes"))
         .localCheckpoint(true)
       StreamStoreOps.appendToStore(spark, codesT(prefix), fresh, Seq("cell"))
+      // Append-revision stamp: blue-green serve loops key their codes
+      // re-list on (rebuild id, store rev), so new vectors become
+      // servable at the next serve-batch boundary WITHOUT a restart
+      // (Similarity.codesVersion). Stamped on every non-empty batch —
+      // not just fresh appends — so the crash window "files landed,
+      // stamp didn't" heals on the batch's replay instead of leaving
+      // the rows invisible to running serve fleets indefinitely.
+      if (batchIds.nonEmpty)
+        spark.sql(s"ALTER TABLE ${codesT(prefix)} SET TBLPROPERTIES " +
+          s"('graft.store.rev' = '${java.util.UUID.randomUUID()}')"): Unit
       encoded.select(col("vec_id"), col("cell"))
         .withColumn("batch_id", lit(batchId))
     }

@@ -138,6 +138,52 @@ class StreamAnnIndexSpec extends SparkSpec {
     dropIndex(prefix)
   }
 
+  test("blue-green serve absorbs streamed adds without a restart") {
+    val prefix = "sai_bg"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    Similarity.clearIvfPqModelCache()
+    // queries = five new vectors' own embeddings under fresh q_ids, so
+    // once those vectors are added each query's top-k must change (its
+    // own code word scores the minimum ADC)
+    val newVecs = emb(sf001).filter(col("vec_id") % 5 === 0).limit(5)
+      .localCheckpoint(true)
+    val ts = java.sql.Timestamp.valueOf("2017-03-05 00:00:00")
+    val qRows = newVecs.collect()
+      .map(r => (r.getLong(0) + 1000000L, ts, r.getSeq[Float](1)))
+    val perBatch =
+      scala.collection.concurrent.TrieMap[Long, Set[(Long, Long, Double)]]()
+    def rows(df: DataFrame) = df
+      .select(col("q_id"), explode(col("topk")).as("t"))
+      .select(col("q_id"), col("t.neighbor_id"), col("t.adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val q = Similarity.annServeStreamBlueGreen(
+      mem.toDF().toDF("q_id", "event_ts", "embedding"),
+      prefix = prefix) { (out, bid) => perBatch(bid) = rows(out) }
+    mem.addData(qRows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // the index grows mid-stream, from a DIFFERENT session than the
+    // one executing the serve batches
+    StreamAnnIndex.processBatch(spark, prefix, newVecs, 0L): Unit
+    mem.addData(qRows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val queries = newVecs.select((col("vec_id") + 1000000L).as("q_id"),
+      lit(ts).as("event_ts"), col("embedding"))
+    val after = rows(Similarity.serveBatch(queries, prefix = prefix))
+    assert(perBatch(1L) == after,
+      s"post-add serve batch diverges from a fresh serve over the grown " +
+        s"store: only-stream=${(perBatch(1L) -- after).take(3)} " +
+        s"only-fresh=${(after -- perBatch(1L)).take(3)}")
+    assert(perBatch(0L) != perBatch(1L),
+      "fixture inert: the added vectors did not change any query's top-k")
+    dropIndex(prefix)
+  }
+
   test("compaction preserves the serve answer and collapses the file pile") {
     val prefix = "sai_cmp"
     dropIndex(prefix)
