@@ -757,6 +757,9 @@ object ScaleUpBench {
         val same = k1c == kkc && d1 == dk
         if (!same) System.err.println(
           s"[scaleup] full dedup-serve verdict drift at x$k: x1=($k1c kept, $d1 dropped) x$k=($kkc kept, $dk dropped)")
+        if (!(r1 && rk)) System.err.println(
+          s"[scaleup] full dedup-serve decide-exactly-once gate FAILED " +
+            s"at x$k (x1=$r1, x$k=$rk) — replay re-emitted different verdicts")
         f""","dedup_serve_full":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"kept":$k1c,"dropped":$d1,"verdicts_same":$same,"replay_same":${r1 && rk}}"""
       }
       val mixTokJson = if (!mixTokensServeProbe) "" else {

@@ -178,13 +178,35 @@ object TableOps {
                    targetFileBytes: Long = 128L * 1024 * 1024,
                    orderBy: Seq[String] = Nil,
                    where: Option[String] = None): (Int, Int) = {
+    val props = graftProps(spark, name)
     val (staging, nBefore) =
       stageCompaction(spark, name, targetFileBytes, orderBy = orderBy,
         where = where)
     dropWithLocation(spark, name)
     spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    restoreGraftProps(spark, name, props)
     (nBefore, dataFiles(spark, warehousePath(spark, name)).length)
   }
+
+  /** Engine-stamped table properties (`graft.*`) must SURVIVE a
+    * stage+swap rewrite: compaction changes the table's files, not its
+    * identity — without this, routine maintenance silently reset the
+    * build-once guards (`graft.source.dir`: the next ensure would
+    * retrain and DISCARD streamed-in index rows), the model-cache
+    * version (`graft.rebuild.id`: reintroducing the createTime
+    * millisecond-tick stale-model hazard the stamp closed), and the
+    * append revision (`graft.store.rev`). Captured from the live
+    * metadata before the drop, re-applied after the rename. */
+  private def graftProps(spark: SparkSession, name: String): Map[String, String] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .properties.filter(_._1.startsWith("graft."))
+
+  private def restoreGraftProps(spark: SparkSession, name: String,
+      props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"): Unit
 
   /** [[compactTable]] for BUCKETED tables — the form [[stageCompaction]]
     * refuses, because a flat rewrite would silently drop the bucket spec
@@ -252,6 +274,9 @@ object TableOps {
     } finally spark.conf.set(bucketReadKey, savedBucketRead)
     dropWithLocation(spark, name)
     spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    // identity properties survive maintenance (see [[graftProps]])
+    restoreGraftProps(spark, name,
+      meta.properties.filter(_._1.startsWith("graft.")))
     (before, dataFiles(spark, warehousePath(spark, name)).length)
   }
 

@@ -64,7 +64,11 @@ object StreamAnnIndex {
     * the batch's own capped id list), and return the batch's ack frame
     * (vec_id, cell, batch_id) — deterministic per batch, so replays
     * re-emit it bit-identically (see the object doc's crash-window
-    * analysis). Duplicate vec_ids WITHIN a batch are collapsed to one
+    * analysis). The acked cell is the cell the vector is SERVED from:
+    * for a vec_id the insert-once guard found already standing — e.g.
+    * a re-submission with a changed embedding — the ack carries the
+    * STANDING row's cell, never a fresh encoding the index didn't
+    * store. Duplicate vec_ids WITHIN a batch are collapsed to one
     * deterministic winner (smallest embedding under array ordering)
     * before encoding — senders own key uniqueness; the tie-break only
     * pins replay determinism. Exposed package-private so specs can
@@ -84,11 +88,10 @@ object StreamAnnIndex {
       // the anti-join's right side to left-side keys is a no-op
       val batchIds = encoded.select(col("vec_id"))
         .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
-      val standing = spark.table(codesT(prefix)).select(col("vec_id"))
-      val slice =
-        if (batchIds.isEmpty) standing.filter(lit(false))
-        else if (batchIds.length > MaxPruneKeys) standing
-        else standing.filter(col("vec_id").isin(batchIds: _*))
+      val slice = StreamStoreOps.keySlice(
+        spark.table(codesT(prefix))
+          .select(col("vec_id"), col("cell").as("standing_cell")),
+        "vec_id", batchIds)
       val fresh = encoded
         .join(slice, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"), col("codes"))
@@ -104,7 +107,16 @@ object StreamAnnIndex {
       if (batchIds.nonEmpty)
         spark.sql(s"ALTER TABLE ${codesT(prefix)} SET TBLPROPERTIES " +
           s"('graft.store.rev' = '${java.util.UUID.randomUUID()}')"): Unit
+      // Ack cell = the cell the vector is SERVED from: the STANDING
+      // row's cell when the insert-once guard kept it (a re-submitted
+      // vec_id with a changed embedding must not be acked into a cell
+      // the index never stored), the fresh encoding's otherwise. Read
+      // after the append, both branches agree for this batch's fresh
+      // rows, so the frame stays deterministic under replay.
       encoded.select(col("vec_id"), col("cell"))
+        .join(slice, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("standing_cell"), col("cell")).as("cell"))
         .withColumn("batch_id", lit(batchId))
     }
   }
@@ -116,11 +128,19 @@ object StreamAnnIndex {
     * fits the base build). Run with the add stream idle, same contract
     * as every in-place lake maintenance job here. */
   def compactStore(spark: SparkSession, prefix: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    graft.sources.TableOps.compactBucketedTable(spark, codesT(prefix),
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val r = graft.sources.TableOps.compactBucketedTable(spark, codesT(prefix),
       newBuckets = Some(StreamDedup.bucketsFor(
         graft.sources.TableOps.tableDataBytes(spark, codesT(prefix)),
         targetFileBytes)))
+    // the rewrite replaced every FILE under an unchanged identity
+    // (compaction preserves the graft.* properties) — bump the append
+    // revision so running blue-green fleets re-list proactively instead
+    // of through the missing-file retry path
+    spark.sql(s"ALTER TABLE ${codesT(prefix)} SET TBLPROPERTIES " +
+      s"('graft.store.rev' = '${java.util.UUID.randomUUID()}')"): Unit
+    r
+  }
 
   /** Start the online index-add loop over a streaming (vec_id,
     * embedding) DataFrame. The persisted index (model tables + codes

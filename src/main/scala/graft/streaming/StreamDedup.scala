@@ -180,13 +180,10 @@ object StreamDedup {
     // restricting either side of an equi-/anti-join on doc_id to the
     // batch's ids is a no-op). With a doc_id-ordered ledger layout
     // ([[compactStore]]) the pushed id range skips files outright.
-    val decidedAll = spark.table(decisions(prefix))
     val batchIds = batch.select(col("doc_id")).distinct()
       .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
-    val decided =
-      if (batchIds.isEmpty) decidedAll.filter(lit(false))
-      else if (batchIds.length > MaxPruneKeys) decidedAll
-      else decidedAll.filter(col("doc_id").isin(batchIds: _*))
+    val decided = StreamStoreOps.keySlice(
+      spark.table(decisions(prefix)), "doc_id", batchIds)
     // Freeze both sides of the already-decided split BEFORE any append:
     // the appends below mutate the very tables these frames read, and a
     // lazy evaluation after the decisions append would double-count the
@@ -217,12 +214,8 @@ object StreamDedup {
     // ledger uses above; over the cap the full scan is the cheaper plan
     // anyway. With the doc_id-ordered/bucketed store layouts the pushed
     // id set skips row groups (and whole buckets for toks/decisions).
-    def storeIdSlice(table: String): DataFrame = {
-      val ids = spark.table(table).select(col("doc_id"))
-      (if (batchIds.isEmpty) ids.filter(lit(false))
-       else if (batchIds.length > MaxPruneKeys) ids
-       else ids.filter(col("doc_id").isin(batchIds: _*))).distinct()
-    }
+    def storeIdSlice(table: String): DataFrame = StreamStoreOps.keySlice(
+      spark.table(table).select(col("doc_id")), "doc_id", batchIds).distinct()
     val newBands = keptBands
       .join(storeIdSlice(bands(prefix)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band_idx"), col("band"))

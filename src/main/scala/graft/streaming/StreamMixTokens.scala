@@ -214,14 +214,18 @@ object StreamMixTokens {
     import spark.implicits._
     val prevDf = prevThr.values.toSeq
       .map(t => (t.source, t.tSkey, t.tDoc)).toDF("source", "p_skey", "p_doc")
+    // both sums coalesce: a NULL-text doc's tok is NULL (contributing
+    // nothing, like the batch law), and a source whose ENTIRE arrival is
+    // NULL-text sums to NULL — which Row.getLong refuses; zero tokens is
+    // the defined outcome (→ zero servable epochs below)
     val freshStats = freshK
       .join(broadcast(prevDf), Seq("source"), "left")
       .groupBy(col("source"))
-      .agg(sum(col("tok")).as("ft"),
-        sum(when((col("skey") < coalesce(col("p_skey"), lit(NoKeyS))) ||
+      .agg(coalesce(sum(col("tok")), lit(0L)).as("ft"),
+        coalesce(sum(when((col("skey") < coalesce(col("p_skey"), lit(NoKeyS))) ||
           (col("skey") === coalesce(col("p_skey"), lit(NoKeyS)) &&
             col("doc_id") <= coalesce(col("p_doc"), lit(NoKeyD))),
-          col("tok")).otherwise(0L)).as("btok"))
+          col("tok")).otherwise(0L)), lit(0L)).as("btok"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
@@ -240,10 +244,17 @@ object StreamMixTokens {
     val wsum = sources.map(wOf).sum
     val bS: Map[String, Long] =
       sources.map(s => s -> (wOf(s) * budget) / wsum).toMap
+    // A source with ZERO accumulated tokens (every doc NULL-text) has no
+    // servable epochs: quota 0/0 — the defined outcome the batch law
+    // reaches through NULL propagation (`b_s div t_s` → NULL epochs →
+    // zero copies), where a bare division here would instead kill the
+    // stream with an ArithmeticException.
     val fullNew: Map[String, Long] =
-      sources.map(s => s -> bS(s) / tTokNew(s)).toMap
+      sources.map(s => s -> (if (tTokNew(s) == 0L) 0L
+        else bS(s) / tTokNew(s))).toMap
     val remNew: Map[String, Long] =
-      sources.map(s => s -> bS(s) % tTokNew(s)).toMap
+      sources.map(s => s -> (if (tTokNew(s) == 0L) 0L
+        else bS(s) % tTokNew(s))).toMap
 
     // Recovery-binding guard (see StreamMix: a legit crash-after-thr
     // replay re-derives the SAME state; any mismatch is a foreign

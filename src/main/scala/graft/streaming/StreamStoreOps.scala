@@ -49,17 +49,29 @@ private[graft] object StreamStoreOps {
     try body finally spark.conf.set(inKey, saved)
   }
 
-  /** The decided-set slice of a change ledger: pruned by the batch's
-    * own doc_ids (bounded IN-list pushed natively via
-    * [[withPushdownInWindow]]) and pinned; over the cap the unpruned
-    * scan is the plan anyway and stays LAZY — a localCheckpoint would
-    * pin the entire corpus-sized ledger to executor storage. */
+  /** Capped key-slice prune — THE store-read shape of every streaming
+    * operator here (decide splits, append guards, ack joins): the store
+    * grows with the corpus while the batch stays micro-batch-sized, so
+    * restricting the store side of a key-equi/anti-join to the batch's
+    * own keys is a no-op on the join and turns the read into a pushed
+    * IN-list (bucket/row-group pruned under [[withPushdownInWindow]]).
+    * Empty batch → empty slice; over [[MaxPruneKeys]] → the unpruned
+    * frame (the full scan is the cheaper plan anyway). One definition
+    * so a cap/semantics fix cannot silently diverge between operators. */
+  def keySlice(df: DataFrame, key: String, ids: IndexedSeq[Long]): DataFrame =
+    if (ids.isEmpty) df.filter(lit(false))
+    else if (ids.length > MaxPruneKeys) df
+    else df.filter(col(key).isin(ids: _*))
+
+  /** The decided-set slice of a change ledger: [[keySlice]] on doc_id,
+    * pushed natively via [[withPushdownInWindow]] and pinned; over the
+    * cap the unpruned scan stays LAZY — a localCheckpoint would pin the
+    * entire corpus-sized ledger to executor storage. */
   def decidedSlice(spark: SparkSession, ledger: DataFrame,
       batchIds: IndexedSeq[Long]): DataFrame =
     withPushdownInWindow(spark) {
       if (batchIds.length > MaxPruneKeys) ledger
-      else ledger.filter(col("doc_id").isin(batchIds: _*))
-        .localCheckpoint(true)
+      else keySlice(ledger, "doc_id", batchIds).localCheckpoint(true)
     }
 
   /** Bucket-layout-aligned append shared by every store-backed streaming

@@ -125,6 +125,36 @@ class StreamAnnIndexSpec extends SparkSpec {
     dropIndex(ref)
   }
 
+  test("a re-submitted vec_id is acked with its STANDING cell, store untouched") {
+    val prefix = "sai_upd"
+    dropIndex(prefix)
+    buildBase(prefix, sf001)
+    val pair = emb(sf001).filter(col("vec_id") % 5 === 0).limit(2)
+      .collect()
+    val (vid, e1) = (pair(0).getLong(0), pair(0).getSeq[Float](1))
+    val e2 = pair(1).getSeq[Float](1) // a different vector's embedding
+    import spark.implicits._
+    def ackOf(embv: scala.collection.Seq[Float], bid: Long) =
+      StreamAnnIndex.processBatch(spark, prefix,
+        Seq((vid, embv)).toDF("vec_id", "embedding"), bid)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val first = ackOf(e1, 0L)
+    val stored = spark.table(s"${prefix}_codes")
+      .filter(col("vec_id") === vid).collect()
+    assert(stored.length == 1)
+    // update attempt under a changed embedding: insert-once keeps the
+    // standing row, and the ack must carry ITS cell — never a fresh
+    // encoding the index didn't store
+    val second = ackOf(e2, 1L)
+    assert(second == first,
+      s"re-submission ack diverged from the standing row: $second vs $first")
+    assert(codeRows(spark.table(s"${prefix}_codes")
+      .filter(col("vec_id") === vid)) == codeRows(spark.createDataFrame(
+        spark.sparkContext.parallelize(stored.toIndexedSeq), stored(0).schema)),
+      "update attempt must not mutate the standing row")
+    dropIndex(prefix)
+  }
+
   test("duplicate vec_ids within a batch collapse to one store row") {
     val prefix = "sai_dup"
     dropIndex(prefix)
@@ -196,12 +226,30 @@ class StreamAnnIndexSpec extends SparkSpec {
     def serve() = serveRows(Similarity.ivfPqScore(
       emb(sf001), spark.table(s"${prefix}_codes"), cents, cb, probes = 1))
     val before = serve()
+    // stamp the identity properties an ensure/serve fleet depends on
+    spark.sql(s"ALTER TABLE ${prefix}_codes SET TBLPROPERTIES " +
+      "('graft.source.dir' = '/some/canonical/dir')")
+    def props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${prefix}_codes")).properties
+    val rebuildBefore = props("graft.rebuild.id")
+    val revBefore = props.get("graft.store.rev")
     val (nBefore, nAfter) = StreamAnnIndex.compactStore(spark, prefix)
     assert(nAfter < nBefore, s"expected fewer files, got $nBefore -> $nAfter")
     assert(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         s"${prefix}_codes")).bucketSpec.isDefined,
       "compaction must preserve the bucket layout")
+    // identity survives maintenance: the build-once guard's source dir
+    // and the model-cache rebuild id are the SAME table, new files —
+    // losing them made the next ensure silently retrain and DISCARD
+    // every streamed-in vector
+    assert(props.get("graft.source.dir").contains("/some/canonical/dir"),
+      "compaction dropped graft.source.dir — the next ensure would retrain")
+    assert(props.get("graft.rebuild.id").contains(rebuildBefore),
+      "compaction dropped/changed graft.rebuild.id")
+    assert(props.get("graft.store.rev") != revBefore,
+      "compaction must BUMP the append revision so serve fleets re-list")
     assert(serve() == before, "compaction changed a serve answer")
     dropIndex(prefix)
   }

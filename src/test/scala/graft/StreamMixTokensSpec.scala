@@ -100,6 +100,29 @@ class StreamMixTokensSpec extends SparkSpec {
     dropStore("smt_eq")
   }
 
+  test("a source whose only docs carry NULL text gets zero epochs, not a crash") {
+    dropStore("smt_z")
+    import spark.implicits._
+    // src987's entire arrival is NULL-text (a source name the fixture
+    // never uses): tok is NULL, the accumulated token count is 0, and
+    // the quota law's division must resolve to zero servable epochs
+    // (the batch law's NULL-propagation outcome) — a bare division
+    // killed the stream with an ArithmeticException
+    val batch = Seq((9000001L, "src987", null: String),
+        (9000002L, "src987", null: String))
+      .toDF("doc_id", "source", "text")
+      .unionByName(wavedDocs.filter(col("wave") === 0)
+        .select(col("doc_id"), col("source"), col("text")))
+    val out = StreamMixTokens.processBatch(spark, "smt_z", batch, 0L)
+    val z = out.filter(col("source") === "src987").collect()
+    assert(z.length == 2, s"expected 2 src987 emissions, got ${z.length}")
+    assert(z.forall(!_.getBoolean(2)),
+      "a zero-token source must keep nothing (epochs 0, empty partial)")
+    // the healthy sources still decide (sanity: the guard didn't mask them)
+    assert(out.filter(col("source") =!= "src987").count() > 0)
+    dropStore("smt_z")
+  }
+
   test("a replayed batch re-emits identical changes and leaves all tables unchanged") {
     dropStore("smt_rp")
     val w0 = wavedDocs.filter(col("wave") === 0)
