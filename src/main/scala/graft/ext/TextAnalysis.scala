@@ -2176,8 +2176,12 @@ object TextAnalysis {
 
   private[graft] def corpusMixTokensOn(docs: DataFrame, seed: String): DataFrame = {
     graft.functions.Md5Prefix60.register(docs.sparkSession)
+    // NULL text counts as zero tokens — the same defined semantic as
+    // the streaming twin (StreamMixTokens.batchD), so the two halves
+    // cannot diverge on a NULL-text doc (fixture-free edge; the DuckDB
+    // twin never sees one)
     val keyed = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("tok"),
+      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("tok"),
       expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
         .as("skey"),
       (pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + lit(1L))

@@ -180,7 +180,19 @@ object StreamDedup {
     // restricting either side of an equi-/anti-join on doc_id to the
     // batch's ids is a no-op). With a doc_id-ordered ledger layout
     // ([[compactStore]]) the pushed id range skips files outright.
-    val batchIds = batch.select(col("doc_id")).distinct()
+    // Within-batch doc_id collapse (the StreamAnnIndex device): an
+    // at-least-once source can redeliver a doc INSIDE one micro-batch;
+    // without the collapse both rows flow through — duplicate verdict
+    // emissions, duplicate ledger/toks rows multiplying every later
+    // replay join, and (for same-id-different-text redelivery) a
+    // minhash signature silently merged from both texts. One
+    // deterministic winner (smallest (source, text)) pins replay.
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("source"), col("text"))
+    val batch1 = batch
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") === 1).drop("rn")
+    val batchIds = batch1.select(col("doc_id")).distinct()
       .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
     val decided = StreamStoreOps.keySlice(
       spark.table(decisions(prefix)), "doc_id", batchIds)
@@ -189,11 +201,11 @@ object StreamDedup {
     // lazy evaluation after the decisions append would double-count the
     // batch's own fresh docs as replayed.
     val replayed = decided
-      .join(batch.select(col("doc_id")), Seq("doc_id"))
+      .join(batch1.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("kept"),
         col("matched_old"), col("batch_id"))
       .localCheckpoint(true)
-    val fresh = batch
+    val fresh = batch1
       .join(decided.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
       .localCheckpoint(true)

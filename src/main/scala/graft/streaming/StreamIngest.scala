@@ -99,7 +99,16 @@ object StreamIngest {
           } else {
             stateTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
             var lastKept = state.getOption.getOrElse(Long.MinValue)
-            val kept = rows.toSeq.sortBy(_.event_ts.getTime).filter { r =>
+            // secondary (sensor) key: a parsed notification yields one
+            // row per sensor SHARING a timestamp, and the group
+            // iterator's arrival order is shuffle-merge order — not
+            // stable across a checkpoint replay. Without the tie-break,
+            // WHICH same-ts row survives the throttle is
+            // nondeterministic, breaking exactly-once re-emission (the
+            // same pin every other stateful op here applies via
+            // event_id/stage keys).
+            val kept = rows.toSeq
+              .sortBy(r => (r.event_ts.getTime, r.sensor)).filter { r =>
               val t = r.event_ts.getTime
               val keep = lastKept == Long.MinValue || t - lastKept >= minGapMs
               if (keep) lastKept = t

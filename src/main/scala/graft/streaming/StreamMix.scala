@@ -256,7 +256,12 @@ object StreamMix {
       .join(decidedSlice.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
-        expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
+        // seed goes through lit(), never string interpolation into the
+        // expr — a quote in a caller seed would break parsing (or worse,
+        // splice expressions); the function itself is the registered
+        // md5_prefix60, same as the batch law's
+        call_function("md5_prefix60",
+          concat(lit(seed), lit(":"), col("doc_id").cast("string")))
           .as("skey"))
       .localCheckpoint(true)
 
@@ -292,6 +297,17 @@ object StreamMix {
     val wOf: Map[String, Long] = sources.map { s =>
       s -> prevThr.get(s).map(_.w).getOrElse(weights(s))
     }.toMap
+    // The 12-trick (`v = n·(12/w)`, `quota = (w·u12) div 12`) is EXACT
+    // integer math only for weights dividing 12 — the batch law's
+    // documented constraint (TextAnalysis corpusMix scaladoc). An
+    // unvalidated caller weight of 5 silently distorts the mix (12/5=2),
+    // 13+ zeroes every quota (mass eviction), 0 divides by zero.
+    wOf.foreach { case (s, w) =>
+      require(w >= 1 && 12L % w == 0L,
+        s"streamingMix($prefix): weight $w for source '$s' — the " +
+          "exact-integer quota law requires a divisor of 12 " +
+          "({1, 2, 3, 4, 6, 12})")
+    }
     val u12 = sources.map(s => nNew(s) * (12L / wOf(s))).min
     val quotaNew: Map[String, Long] =
       sources.map(s => s -> (wOf(s) * u12) / 12L).toMap

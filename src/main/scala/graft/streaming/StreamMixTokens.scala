@@ -134,10 +134,16 @@ object StreamMixTokens {
     val emptyEmission = ledger.filter(lit(false))
       .select(col("doc_id"), col("source"), col("in_partial"), col("batch_id"))
 
-    // token counts are extracted HERE — bodies never reach a store table
+    // token counts are extracted HERE — bodies never reach a store
+    // table. NULL text counts as ZERO tokens (coalesce): a NULL tok in
+    // the docs store would poison every later cum-sum and boundary
+    // probe over this source (NULL-struct getLong NPE on the resolved
+    // hit; silent exclusion from ascending windows) — zero is the
+    // defined semantic, matching the batch law's treatment.
     val batchD = batch
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("tok"))
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("tok"))
       .dropDuplicates("doc_id").localCheckpoint(true)
     if (batchD.isEmpty) return emptyEmission
 
@@ -201,7 +207,10 @@ object StreamMixTokens {
       .join(decidedSlice.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("tok"),
-        expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
+        // seed through lit(), never interpolated into the expr (see
+        // StreamMix: quote-bearing caller seeds must not break parsing)
+        call_function("md5_prefix60",
+          concat(lit(seed), lit(":"), col("doc_id").cast("string")))
           .as("skey"))
       .localCheckpoint(true)
 
@@ -240,6 +249,14 @@ object StreamMixTokens {
     val wOf: Map[String, Long] = sources.map { s =>
       s -> prevThr.get(s).map(_.w).getOrElse(weights(s))
     }.toMap
+    // token quotas are generic integer arithmetic (`(w·B) div Σw`) — no
+    // divide-12 constraint like the doc-count law — but a non-positive
+    // weight still yields a zero/negative quota share or a zero wsum
+    wOf.foreach { case (s, w) =>
+      require(w >= 1,
+        s"streamingMixTokens($prefix): weight $w for source '$s' — " +
+          "weights must be >= 1")
+    }
     val budget = sources.map(tTokNew).sum
     val wsum = sources.map(wOf).sum
     val bS: Map[String, Long] =

@@ -116,8 +116,16 @@ private[graft] object StreamStoreOps {
   def compactMixStore(spark: SparkSession, docsT: String, ledgerT: String,
       thrT: String, targetFileBytes: Long,
       retainThrBatches: Int): Map[String, (Int, Int)] = {
-    require(retainThrBatches >= 1,
-      "retainThrBatches: recovery reads the trailing snapshot — keep >= 1")
+    // >= 2, not >= 1: healthy-path recovery reads only the trailing
+    // snapshot, but a crash-after-thr replay of the NEWEST batch N
+    // recomputes its state from snapshot N-1 — trimming to N alone
+    // would make that replay recompute from scratch, fail the
+    // foreign-checkpoint consistency guard, and permanently wedge the
+    // stream (the snapshot it needs is deleted; no prefix or
+    // checkpoint fix recovers it).
+    require(retainThrBatches >= 2,
+      "retainThrBatches: a crash-after-thr replay of the newest batch " +
+        "recovers from its PREDECESSOR snapshot — keep >= 2")
     val thrCut: Option[String] =
       spark.table(thrT).agg(max(col("batch_id"))).head() match {
         case r if r.isNullAt(0) => None // empty store — nothing to trim

@@ -63,6 +63,33 @@ class StreamDedupSpec extends SparkSpec {
     dropStore("sd_eq")
   }
 
+  test("a doc redelivered twice INSIDE one batch collapses to one verdict and one store row") {
+    dropStore("sd_dup")
+    val batch = Tables.documents(spark, sf001)
+      .filter(substring(col("source"), 4, 10).cast("int") < 5)
+      .select(col("doc_id"), col("source"), col("text"))
+      .limit(20)
+    // at-least-once redelivery within a micro-batch, second copy with
+    // DIFFERENT text — the deterministic winner is the smallest
+    // (source, text), and only ITS tokens may reach the signature
+    val doubled = batch.unionByName(
+      batch.withColumn("text", concat(lit("zzz_redelivered "), col("text"))))
+    val verdicts = rowsOf(StreamDedup.processBatch(spark, "sd_dup", doubled, 0L))
+    assert(verdicts.size == 20, s"expected 20 verdicts, got ${verdicts.size}")
+    Seq("toks", "decisions").foreach { t =>
+      val dup = spark.table(s"sd_dup_$t")
+        .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+      assert(dup == 0L, s"$t holds $dup duplicated doc_ids")
+    }
+    // the kept winner's token set is the ORIGINAL text's (smallest
+    // (source, text) sorts before the zzz_-prefixed redelivery), never a
+    // merge of both deliveries
+    assert(spark.table("sd_dup_toks")
+      .filter(expr("exists(toks, t -> t = 'zzz_redelivered')")).count() == 0L,
+      "redelivered text leaked into a minhash token set")
+    dropStore("sd_dup")
+  }
+
   test("a replayed batch re-emits identical decisions and leaves the store unchanged") {
     dropStore("sd_rp")
     val batch = Tables.documents(spark, sf001)

@@ -249,6 +249,27 @@ class StreamMixSpec extends SparkSpec {
     dropStore("sm_wa"); dropStore("sm_wb")
   }
 
+  test("a weight outside the divide-12 law refuses loudly; quoted seeds parse") {
+    dropStore("sm_wv")
+    val wave = wavedDocs.filter(col("wave") === 0)
+      .select(col("doc_id"), col("source"))
+    // 5 does not divide 12: integer 12/5 = 2 would silently distort the
+    // mix ratio; 13+ would zero every quota (mass eviction); 0 divides
+    // by zero — all three must refuse with the law named, never corrupt
+    Seq(0L, 5L, 13L).foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        StreamMix.processBatch(spark, "sm_wv", wave, 0L, "incr42", _ => bad)
+      }
+      assert(ex.getMessage.contains("divisor of 12"), s"weight $bad")
+      dropStore("sm_wv")
+    }
+    // a caller seed containing a quote must not break expr parsing (the
+    // seed rides through lit(), not string interpolation)
+    val out = StreamMix.processBatch(spark, "sm_wv", wave, 0L, "it's-2026")
+    assert(out.count() > 0)
+    dropStore("sm_wv")
+  }
+
   test("compactStore preserves state and subsequent batches serve identically") {
     dropStore("sm_cp"); dropStore("sm_cq")
     val waves = (0 until 4).map(w => wavedDocs.filter(col("wave") === w)
@@ -266,13 +287,18 @@ class StreamMixSpec extends SparkSpec {
       val b = rowsOf(StreamMix.processBatch(spark, "sm_cq", waves(w), w.toLong, "incr42"))
       assert(a == b, s"post-compaction batch $w diverged")
     }
-    // thr retention: trim history to the trailing snapshot only; the
-    // next batch recovers from it and the audit state still obeys the
-    // full-rank law over the whole accumulated corpus
-    StreamMix.compactStore(spark, "sm_cp", retainThrBatches = 1)
+    // thr retention: trim history to the trailing TWO snapshots (the
+    // minimum — a crash-after-thr replay of the newest batch recovers
+    // from its predecessor); the next batch recovers from the tail and
+    // the audit state still obeys the full-rank law over the whole
+    // accumulated corpus
+    intercept[IllegalArgumentException] {
+      StreamMix.compactStore(spark, "sm_cp", retainThrBatches = 1)
+    }
+    StreamMix.compactStore(spark, "sm_cp", retainThrBatches = 2)
     val thrBatches = spark.table("sm_cp_thr")
-      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSeq
-    assert(thrBatches == Seq(3L), s"retention kept $thrBatches")
+      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(thrBatches == Seq(2L, 3L), s"retention kept $thrBatches")
     val extra = wavedDocs.filter(col("wave") === 0)
       .select((col("doc_id") + lit(500000L)).as("doc_id"), col("source"))
     StreamMix.processBatch(spark, "sm_cp", extra, 4L, "incr42").count(): Unit
