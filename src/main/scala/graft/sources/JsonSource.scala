@@ -21,31 +21,10 @@ import graft.Tables
   * `spark.read.json` pays.
   */
 object JsonSource {
-  /** Per-JVM token keying the scratch dir: two concurrent sessions on the
-    * same machine (parallel bench + verify runs) must not race on an
-    * overwrite-vs-read of a SHARED tmp path. Stable within a JVM so
-    * repeated invocations stay idempotent (warm bench runs overwrite the
-    * same dir), unique across JVMs so they never collide. */
-  private val runToken: String = java.util.UUID.randomUUID().toString.take(8)
-
-  private def scratchRoot =
-    new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_json_$runToken")
-
-  /** JVM-exit sweep of this run's scratch root: without it every
-    * bench/verify JVM would orphan its own NDJSON corpus in tmpdir. */
-  private val cleanupHook: Unit = {
-    val root = scratchRoot
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(root)
-    }: Unit
-  }
-
+  // per-JVM scratch root with exit sweep — the overwrite-vs-read
+  // concurrency contract lives in ONE place ([[Scratch]])
   private def jsonPath(sfDir: String): String =
-    s"${scratchRoot.getPath}/" +
+    s"${Scratch.root("graft_json").getPath}/" +
       s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
 
   /** Idempotent NDJSON materialization of `orders` + explicit-schema

@@ -69,7 +69,8 @@ object LakeFold {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Settled-but-unretired days (the bounded working list). Days at or
-    * below [[retiredFloor]] are ALSO settled; [[isSettled]] checks both. */
+    * below [[retiredFloor]] are ALSO settled; each consumer's settled
+    * closure checks both (built from one [[bookkeeping]] fetch). */
   private[graft] def foldedDays(spark: SparkSession, lakeTable: String): Seq[String] =
     foldedDayCounts(spark, lakeTable).map(_._1)
 
@@ -81,8 +82,13 @@ object LakeFold {
   private[graft] def foldedDayCounts(spark: SparkSession, lakeTable: String)
       : Seq[(String, Option[Int])] =
     tableProp(spark, lakeTable, "graft.folded.days")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(parseDayCount))
+      .map(splitDayEntries(_).map(parseDayCount))
       .getOrElse(Nil)
+
+  /** One definition of the `graft.folded.days` entry split shared by
+    * both readers — a format change edited in only one place. */
+  private def splitDayEntries(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private def parseDayCount(entry: String): (String, Option[Int]) =
     entry.split(":") match {
@@ -110,15 +116,8 @@ object LakeFold {
       : (Seq[String], Option[String]) = {
     val props = lakeMeta(spark, lakeTable).properties
     val listed = props.get("graft.folded.days")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        .map(e => parseDayCount(e)._1)).getOrElse(Nil)
+      .map(splitDayEntries(_).map(parseDayCount(_)._1)).getOrElse(Nil)
     (listed, props.get("graft.retired.floor").filter(_.nonEmpty))
-  }
-
-  private def isSettled(spark: SparkSession, lakeTable: String): String => Boolean = {
-    val (listedSeq, floor) = bookkeeping(spark, lakeTable)
-    val listed = listedSeq.toSet
-    day => listed(day) || floor.exists(day <= _)
   }
 
   /** Record `day` as settled with `fileCount` committed sink data files
@@ -501,7 +500,14 @@ object LakeFold {
       // in-flight writes are impossible).
       val settledNow: String => Boolean = { val l = listed.toSet
         day => l(day) || floor.exists(day <= _) }
-      sinkDays(spark, sinkPath).filterNot(settledNow).reverse.iterator
+      // the NULL-day default partition is excluded from the probe: '_'
+      // sorts after every digit, so .reverse would put it FIRST, and it
+      // is never settled — its old (possibly pre-drift) files would
+      // become the ONLY footer the check ever inspects, silently
+      // reopening the live-day NULL-fill window this probe exists to
+      // close
+      sinkDays(spark, sinkPath).filterNot(settledNow)
+        .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").reverse.iterator
         .map(day => day -> dayWriterSchema(spark, sinkPath, day, lenient = true))
         .collectFirst { case (day, Some(s)) => (day, s) }
         .foreach { case (day, s) => assertSchemaMatches(spark, lakeTable, day, s) }
@@ -520,6 +526,12 @@ object LakeFold {
       .map(c => d.isNull || c).getOrElse(lit(true))
     val open = sinkRows(spark, sinkPath, lakeTable)
       .filter(unsettledCond).select(cols.map(col): _*)
+    // helper-column hygiene: withColumn REPLACES a same-named user
+    // column — with default keyCols the dedup would then group on the
+    // literal and emit it, silent wrong data — so refuse loudly instead
+    require(!cols.contains("_src") && !cols.contains("_minsrc"),
+      s"combinedRead($lakeTable): the lake schema uses the reserved " +
+        "helper column names _src/_minsrc — rename those columns")
     // merged open tail: unsettled lake rows win over their sink copies
     // via min(_src) per key group (window grouping treats NULL keys as
     // equal — the same null-safe identity `<=>` gave the anti-join)
@@ -592,8 +604,17 @@ object LakeFold {
     // day after it this run
     val prefix = sinkDays(spark, sinkPath)
       .takeWhile(d => settled(d) && !exclude(d) && safeToRetire(d))
-    val deleted = prefix.filter { day =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$day"), true)
+    // takeWhile, NOT filter, on the delete outcome: Hadoop delete
+    // returns false instead of throwing in several failure modes, and
+    // if a LATER day's delete succeeded past an earlier failure the
+    // floor (max of deleted) would absorb the failed day with its
+    // directory intact — every subsequent fold/retire would then halt
+    // on a false "retired-day resurrection" diagnosis
+    val deleted = prefix.takeWhile { day =>
+      val ok = fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$day"), true)
+      if (!ok) log.warn(s"could not delete sink day=$day; halting the " +
+        "retire prefix here (will retry next run)")
+      ok
     }
     if (deleted.nonEmpty) {
       val newFloor = (deleted ++ floor).max

@@ -19,8 +19,12 @@ import graft.Tables
   * scan half is the steady-state reader.
   */
 object OrcSource {
+  // per-JVM scratch root ([[Scratch]]): a SHARED tmp path raced
+  // overwrite-vs-read between parallel bench and verify JVMs — one
+  // JVM's mode(overwrite) deleted part files under the other's scan
   private def orcPath(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_orc/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
+    s"${Scratch.root("graft_orc").getPath}/" +
+      s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
 
   /** Idempotent ORC materialization of `orders` + read-back. Overwrite on
     * every call keeps the operator deterministic and self-contained. */

@@ -27,8 +27,14 @@ import graft.Tables
   * parquet with a CASE — no drifted fixture needed driver-side.
   */
 object SchemaDrift {
+  // per-JVM scratch root ([[Scratch]]): on a SHARED tmp path two JVMs
+  // could interleave the two-generation build (overwrite, overwrite,
+  // append, append = every wide row doubled) and the completion marker
+  // — whose content is the SOURCE fingerprint, not a content hash —
+  // would then validate the corrupt fixture forever
   private[graft] def driftPath(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_drift/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
+    s"${Scratch.root("graft_drift").getPath}/" +
+      s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
 
   /** Idempotent materialization of the mixed-footer directory: generation
     * 1 overwrites (narrow schema), generation 2 appends (wide schema).

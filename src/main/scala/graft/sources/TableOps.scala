@@ -87,11 +87,25 @@ object TableOps {
   /** Total data bytes under a managed table's location (live files
     * only) — the input to bucket-count growth policies. */
   private[graft] def tableDataBytes(spark: SparkSession, name: String): Long =
-    dataFiles(spark, warehousePath(spark, name)).map(_.getLen).sum
+    dataFiles(spark, tableLocation(spark, name)).map(_.getLen).sum
 
   private[sources] def warehousePath(spark: SparkSession, name: String) =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+
+  /** The table's CATALOG storage location. Prefer this over
+    * [[warehousePath]] wherever the table already exists: a
+    * reconstructed warehouse path silently misses EXTERNAL tables
+    * (location outside the warehouse — the lake case
+    * `LakeFold.foldClosedDays` explicitly supports and probes through
+    * the catalog for exactly this reason). [[warehousePath]] remains
+    * only where no metadata exists to ask (post-DROP location sweeps,
+    * pre-CREATE staging probes). */
+  private[sources] def tableLocation(spark: SparkSession, name: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .location)
 
   /** Stage phase of [[compactTable]]: build the full compacted rewrite
     * as a SEPARATE staging table, touching nothing the live table owns.
@@ -363,6 +377,12 @@ object TableOps {
     val (staging, nBefore) =
       stageCompaction(spark, cur, targetFileBytes, next, orderBy)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $staging")
+    // identity properties ride the version bump (same contract as
+    // compactTable/compactBucketedTable — see [[graftProps]]): the
+    // staged table is a fresh resetTable with none, so without the copy
+    // a view-fronted table carrying graft.* stamps would lose them on
+    // routine compaction
+    restoreGraftProps(spark, staging, graftProps(spark, cur))
     // cur is deliberately NOT dropped here — see the reader-grace note in
     // the scaladoc; the next run's cleanup pass reclaims it
     (nBefore, dataFiles(spark, warehousePath(spark, staging)).length)
@@ -378,8 +398,13 @@ object TableOps {
       name: String, partCol: String, partVal: String,
       targetFileBytes: Long): (org.apache.hadoop.fs.Path, Int, DataFrame) = {
     val partDirName = s"$partCol=$partVal"
-    val partPath = new org.apache.hadoop.fs.Path(
-      warehousePath(spark, name), partDirName)
+    // resolved from the CATALOG location, never a reconstructed
+    // warehouse path — the lake table may be EXTERNAL (LakeFold probes
+    // partition existence at the catalog location for the same reason),
+    // and a warehouse-reconstructed path would refuse with "no such
+    // partition directory" on the first fold of any external lake
+    val tableLoc = tableLocation(spark, name)
+    val partPath = new org.apache.hadoop.fs.Path(tableLoc, partDirName)
     val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Half-swapped recovery: a crash between compactPartition's two
     // renames leaves the LIVE directory absent while the data sits intact
@@ -393,9 +418,9 @@ object TableOps {
     // whole partition, with no manual spelunking through hidden dirs.
     if (!fs.exists(partPath)) {
       val staged = new org.apache.hadoop.fs.Path(
-        warehousePath(spark, name), s".compacting_$partDirName")
+        tableLoc, s".compacting_$partDirName")
       val retired = new org.apache.hadoop.fs.Path(
-        warehousePath(spark, name), s".old_$partDirName")
+        tableLoc, s".old_$partDirName")
       val stagedCommitted = fs.exists(staged) &&
         fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
       if (stagedCommitted) {
@@ -437,7 +462,7 @@ object TableOps {
         === partVal)
       .drop(partCol)
     val staging = new org.apache.hadoop.fs.Path(
-      warehousePath(spark, name), s".compacting_$partDirName")
+      tableLoc, s".compacting_$partDirName")
     slice.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
     (staging, before.length, live)
   }
@@ -463,11 +488,12 @@ object TableOps {
     val (staging, nBefore, stageSource) =
       stagePartitionCompaction(spark, name, partCol, partVal, targetFileBytes)
     val partDirName = s"$partCol=$partVal"
-    val partPath = new org.apache.hadoop.fs.Path(
-      warehousePath(spark, name), partDirName)
+    // catalog location, same external-lake contract as the stage phase
+    val tableLoc = tableLocation(spark, name)
+    val partPath = new org.apache.hadoop.fs.Path(tableLoc, partDirName)
     val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retired = new org.apache.hadoop.fs.Path(
-      warehousePath(spark, name), s".old_$partDirName")
+      tableLoc, s".old_$partDirName")
     if (fs.exists(retired)) fs.delete(retired, true): Unit
     require(fs.rename(partPath, retired),
       s"compactPartition($name, $partDirName): could not retire live dir")

@@ -680,6 +680,46 @@ class LakeFoldSpec extends SparkSpec {
     assert(spark.table("fold_lake_drift").count() == 4)
   }
 
+  test("combinedRead's drift probe inspects the live day, not the NULL-day partition") {
+    // '__HIVE_DEFAULT_PARTITION__' sorts after every date, is never
+    // settled, and its files can long predate a schema evolution — the
+    // probe must skip it, or its old matching footer masks a DRIFTED
+    // live day and the open side silently NULL-fills the new column
+    val base = java.nio.file.Files.createTempDirectory("graft_foldnull").toString
+    val sink = buildSink(base)
+    resetLake(sink, "fold_lake_nullp")
+    LakeFold.foldClosedDays(spark, sink, "fold_lake_nullp", "2017-03-08"): Unit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(sink).getFileSystem(conf)
+    def firstPart(dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).head.getPath
+    // NULL-day dir carrying a READABLE, lake-matching footer (a folded
+    // day's sink file — still on disk, retirement hasn't run)
+    val matching = firstPart(new org.apache.hadoop.fs.Path(sink, "day=2017-03-05"))
+    val nullDay = new org.apache.hadoop.fs.Path(sink,
+      "day=__HIVE_DEFAULT_PARTITION__")
+    fs.mkdirs(nullDay)
+    org.apache.hadoop.fs.FileUtil.copy(fs, matching, fs,
+      new org.apache.hadoop.fs.Path(nullDay, matching.getName), false, conf)
+    // the newest REAL unsettled day arrives from a drifted writer
+    val driftSrc = s"$base/drift_src"
+    spark.range(1).selectExpr("id AS weird_col").write.parquet(driftSrc)
+    val drifted = firstPart(new org.apache.hadoop.fs.Path(driftSrc))
+    val liveDay = new org.apache.hadoop.fs.Path(sink, "day=2017-03-08")
+    fs.mkdirs(liveDay)
+    org.apache.hadoop.fs.FileUtil.copy(fs, drifted, fs,
+      new org.apache.hadoop.fs.Path(liveDay, drifted.getName), false, conf)
+    // the probe must fail naming the LIVE day — stopping at the default
+    // partition's matching footer was the silent pre-fix outcome
+    val e = intercept[IllegalArgumentException] {
+      LakeFold.combinedRead(spark, sink, "fold_lake_nullp")
+    }
+    assert(e.getMessage.contains("2017-03-08") &&
+      e.getMessage.contains("weird_col"), e.getMessage)
+  }
+
   test("retiring folded sink days keeps every read exact") {
     // The lifecycle's last step: folded days' sink directories are cold
     // duplicates — retire them and prove the module's whole read surface

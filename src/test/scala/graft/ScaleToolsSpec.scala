@@ -336,8 +336,18 @@ class ScaleToolsSpec extends SparkSpec {
     val inFlight = spark.table("orders_vf")
     inFlight.schema // force analysis pre-swap
 
+    // identity properties on the BACKING table must ride the version
+    // bump (the compactTable/compactBucketedTable contract)
+    spark.sql("ALTER TABLE orders_vf_v1 SET TBLPROPERTIES " +
+      "('graft.source.dir' = '/canonical/dir')")
+
     // recovery run: reclaims the orphan, completes, swaps to v2
     val (before, after) = TableOps.compactTableAtomic(spark, "orders_vf")
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "orders_vf_v2")).properties.get("graft.source.dir")
+      .contains("/canonical/dir"),
+      "atomic compaction dropped graft.* properties across the version bump")
     assert(before >= 32 && after < before,
       s"viewed compaction did not consolidate: $before -> $after files")
     readable()
@@ -591,6 +601,31 @@ class ScaleToolsSpec extends SparkSpec {
       s"z-sort day span $daySpanZSort !< half of user-sort span $daySpanUserSort")
     assert(userSpanZSort < userSpanGlobal.toDouble,
       s"z-sort must still cluster user_id below the global span $userSpanGlobal")
+  }
+
+  test("compactPartition compacts an EXTERNAL table through its catalog location") {
+    // the lake table may live OUTSIDE the warehouse (LakeFold probes
+    // partition existence at the catalog location for exactly this
+    // case) — a reconstructed warehouse path refused with "no such
+    // partition directory" on any external table's first compaction
+    val ext = java.nio.file.Files.createTempDirectory("graft_extpart")
+      .toString + "/lake"
+    Tables.orders(spark, sf001).limit(120)
+      .withColumn("day", expr("CAST(o_orderkey % 3 AS STRING)"))
+      .repartition(4)
+      .write.partitionBy("day").mode("overwrite").parquet(ext)
+    spark.sql("DROP TABLE IF EXISTS ext_part_lake")
+    spark.sql(s"CREATE TABLE ext_part_lake USING parquet LOCATION '$ext'")
+    spark.sql("MSCK REPAIR TABLE ext_part_lake")
+    val want = spark.table("ext_part_lake")
+      .filter(col("day") === "1").agg(sum(col("o_orderkey"))).head().getLong(0)
+    val (before, after) = TableOps.compactPartition(
+      spark, "ext_part_lake", "day", "1")
+    assert(after <= before && after >= 1, s"$before -> $after")
+    assert(spark.table("ext_part_lake")
+      .filter(col("day") === "1").agg(sum(col("o_orderkey"))).head().getLong(0)
+      == want, "external-partition compaction changed the data")
+    spark.sql("DROP TABLE IF EXISTS ext_part_lake")
   }
 
   test("the benign-accumulator-race log filter installs and stays scoped") {
