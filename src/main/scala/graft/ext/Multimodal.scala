@@ -24,7 +24,6 @@ object Multimodal {
     * (oracle-checkable on both engines). */
   def payloadMeta(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(
         col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
@@ -65,6 +64,16 @@ object Multimodal {
     StructField("frame_bytes", IntegerType, nullable = false),
     StructField("frame_hash", LongType, nullable = false)))
 
+  /** The opaque-binary projection every stub decoder stage consumes —
+    * ONE definition so a change to the payload derivation (charset,
+    * null-text guard) cannot silently diverge between the five
+    * multimodal operators. */
+  private def payloadProjection(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  private def payloadsOf(spark: SparkSession, sfDir: String): DataFrame =
+    payloadProjection(Tables.documents(spark, sfDir))
+
   /** Frame sampling: binary payload → per-partition batch decode →
     * one row per sampled frame. The mapPartitions stage is where a
     * production pipeline calls the codec library once per batch (the
@@ -75,8 +84,7 @@ object Multimodal {
     * character slices — a full DuckDB oracle replaying the same modular
     * fold via `list_reduce`. */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val payloads = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val payloads = payloadsOf(spark, sfDir)
     val rowEncoder = org.apache.spark.sql.Encoders.row(frameSchema)
     payloads.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -110,8 +118,7 @@ object Multimodal {
     * pipeline with the real Spark plumbing (binary column in, batched
     * per-partition imperative pass, long-format rows out). */
   def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
-    val payloads = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val payloads = payloadsOf(spark, sfDir)
     val rowEncoder = org.apache.spark.sql.Encoders.row(featureSchema)
     payloads.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -165,8 +172,7 @@ object Multimodal {
     * fully oracled because the sampling positions and the fold are pure
     * integer arithmetic over ASCII-coincident bytes. */
   def resize(spark: SparkSession, sfDir: String): DataFrame = {
-    val payloads = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val payloads = payloadsOf(spark, sfDir)
     val rowEncoder = org.apache.spark.sql.Encoders.row(resizeSchema)
     payloads.mapPartitions { rows =>
       rows.map { r =>
@@ -225,8 +231,7 @@ object Multimodal {
     StructField("peak", IntegerType, nullable = false)))
 
   def audioWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    val payloads = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val payloads = payloadsOf(spark, sfDir)
     val rowEncoder = org.apache.spark.sql.Encoders.row(audioSchema)
     payloads.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -346,7 +351,13 @@ object Multimodal {
     * pixel stage for a real thumbnail decode; everything downstream
     * (threshold, packing, bucketing, verify) is unchanged. */
   def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // empty documents are excluded BEFORE the pixel expression: under
+    // this project's ANSI-on sessions `i % length(text)` throws
+    // DIVIDE_BY_ZERO at length 0 (the DuckDB twin's `i % 0` yields NULL
+    // pixels, whose hash never joins — so exclusion is exactly the
+    // twin's semantics, reached without killing the job)
     val px = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), expr(
         """transform(sequence(0, 63),
           |  i -> CAST(ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT))"""
@@ -423,8 +434,7 @@ object Multimodal {
     sceneCutsOnDocs(Tables.documents(spark, sfDir))
 
   def sceneCutsOnDocs(documents: DataFrame): DataFrame = {
-    val payloads = documents
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val payloads = payloadProjection(documents)
     val rowEncoder = org.apache.spark.sql.Encoders.row(sceneSchema)
     val frames = payloads.mapPartitions { rows =>
       rows.flatMap { r =>

@@ -634,8 +634,11 @@ object TextAnalysis {
     * CMS's one-sided guarantee (est ≥ true, spec-asserted). The
     * truth join is the validation harness; production keeps only the
     * 256-cell grid. */
-  private[ext] val CmsDepth = 4
-  private[ext] val CmsWidth = 64
+  // private[graft]: the native one-pass aggregate (functions.CmsSketch)
+  // defaults to THESE constants, so tuning the grid cannot silently
+  // desynchronize the two formulations
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64
 
   private[graft] def cmsBucketArr: Column =
     array((0 until CmsDepth).map(j =>

@@ -21,15 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * PQ family where the expression evaluates |corpus|×|queries| times.
   *
   * NULL contract matches the higher-order form bit-for-bit FOR
-  * NON-NEGATIVE codes — the domain `pqQuantize` produces (codes are
-  * `array_position` results minus 1, always ≥ 0): mismatched lengths →
-  * null (zip_with pads with null and the fold absorbs it), a code past
-  * the table end → null (element_at out of bounds), and any null
-  * element on either side → null. Accumulation is the same
-  * left-to-right double fold. Negative codes diverge by design:
-  * `element_at(t, c + 1)` throws at c = -1 (index 0 is invalid) and
-  * indexes from the array END at c ≤ -2, both nonsense for a PQ code;
-  * adc_sum treats any c < 0 as out-of-range → null.
+  * IN-RANGE codes — the domain `pqQuantize` produces (codes are
+  * `array_position` results minus 1, always in [0, K)): mismatched
+  * lengths → null (zip_with pads with null and the fold absorbs it),
+  * and any null element on either side → null. Accumulation is the
+  * same left-to-right double fold. OUT-OF-RANGE codes diverge by
+  * design, in adc_sum's favor under this project's ANSI-on sessions:
+  * `element_at(t, c + 1)` THROWS for c = -1 (index 0 invalid) and for
+  * c past the table end (INVALID_ARRAY_INDEX under ANSI; only with
+  * ANSI off does it return null), and indexes from the array END at
+  * c ≤ -2 — all nonsense for a PQ code; adc_sum treats ANY
+  * out-of-range c as → null instead of killing the query.
   */
 case class AdcSum(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -109,16 +111,11 @@ case class AdcSum(left: Expression, right: Expression)
 }
 
 object AdcSum {
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val reg = new Registration
 
-  /** Per-session idempotent SQL registration (same contract as
-    * [[CosineSimilarity.register]]). */
-  def register(spark: SparkSession): Unit = {
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "adc_sum", exprs => AdcSum(exprs(0), exprs(1)), "scala_udf")
-    }
+  /** Per-session idempotent SQL registration ([[Registration]]). */
+  def register(spark: SparkSession): Unit = reg.once(spark) {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_sum", exprs => AdcSum(exprs(0), exprs(1)), "scala_udf")
   }
 }

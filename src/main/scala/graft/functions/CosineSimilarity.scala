@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * left-to-right double accumulation), so the DuckDB oracles for the knn
   * queries verify it directly.
   *
-  * Mismatched lengths yield null (defensive; the fixtures are fixed-dim).
+  * Mismatched lengths yield null (defensive; the fixtures are
+  * fixed-dim), and so does a null ELEMENT on either side — matching the
+  * NULL propagation of the higher-order form (zip_with over a null slot
+  * is null, the aggregate fold then stays null), which previously
+  * diverged: ArrayData.getFloat reads a null slot as 0.0f, silently
+  * skewing the score instead of nulling it.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,13 +52,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else {
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
-      while (i < n) {
-        val xv = x.getFloat(i).toDouble
-        val yv = y.getFloat(i).toDouble
-        dot += xv * yv; nx += xv * xv; ny += yv * yv
+      var anyNull = false
+      while (i < n && !anyNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+        else {
+          val xv = x.getFloat(i).toDouble
+          val yv = y.getFloat(i).toDouble
+          dot += xv * yv; nx += xv * xv; ny += yv * yv
+        }
         i += 1
       }
-      if (nx == 0.0 || ny == 0.0) null
+      if (anyNull || nx == 0.0 || ny == 0.0) null
       else java.lang.Double.valueOf(dot / math.sqrt(nx) / math.sqrt(ny))
     }
   }
@@ -74,14 +83,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    final double $xv = (double) $a.getFloat($i);
          |    final double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny);
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny);
+         |    }
          |  }
          |}
        """.stripMargin
@@ -93,25 +108,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Per-session idempotent SQL registration; after this,
+  private val reg = new Registration
+
+  /** Per-session idempotent SQL registration ([[Registration]] — one
+    * definition of the once-per-session contract); after this,
     * `expr("cosine_sim(a, b)")` resolves to the native expression.
     * (Production sessions can instead install [[graft.GraftExtensions]]
     * via `spark.sql.extensions`.) */
-  // Sessions this object has already registered into. Weak keys: a closed
-  // session's entry must not pin it in memory.
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  def register(spark: SparkSession): Unit = {
-    // createOrReplaceTempFunction logs a "replaced a previously registered
-    // function" WARN on every repeat call, so register once per session —
-    // but track OUR registrations rather than probing functionExists: a
-    // foreign/stale "cosine_sim" in a reused session must be replaced by
-    // the native expression (first call wins it back), not silently used.
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    }
+  def register(spark: SparkSession): Unit = reg.once(spark) {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
   }
 }

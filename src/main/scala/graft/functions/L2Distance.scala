@@ -50,13 +50,19 @@ case class L2Distance(left: Expression, right: Expression)
     case _ => false
   }
 
+  // hoisted off the interpreted per-row path (|corpus| × |centroids|
+  // invocations re-ran two dataType pattern matches each); transient —
+  // recomputed once per deserialized task, like every plan-static fact
+  @transient private lazy val leftIsFloat = isFloat(left)
+  @transient private lazy val rightIsFloat = isFloat(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
-      val xf = isFloat(left); val yf = isFloat(right)
+      val xf = leftIsFloat; val yf = rightIsFloat
       var s = 0.0
       var i = 0
       var anyNull = false
@@ -109,16 +115,11 @@ case class L2Distance(left: Expression, right: Expression)
 }
 
 object L2Distance {
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val reg = new Registration
 
-  /** Per-session idempotent SQL registration (same contract as
-    * [[CosineSimilarity.register]]). */
-  def register(spark: SparkSession): Unit = {
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "l2_dist", exprs => L2Distance(exprs(0), exprs(1)), "scala_udf")
-    }
+  /** Per-session idempotent SQL registration ([[Registration]]). */
+  def register(spark: SparkSession): Unit = reg.once(spark) {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_dist", exprs => L2Distance(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -71,16 +71,12 @@ object Md5Prefix60 {
     acc >>> 4
   }
 
-  // Sessions already registered into (same pattern and rationale as
-  // CosineSimilarity.register).
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private val reg = new Registration
 
-  /** Per-session idempotent SQL registration; after this,
-    * `expr("md5_prefix60(s)")` resolves to the native expression. */
+  /** Per-session idempotent SQL registration ([[Registration]]); after
+    * this, `expr("md5_prefix60(s)")` resolves to the native expression. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+    reg.once(spark) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "md5_prefix60", exprs => Md5Prefix60(exprs(0)), "scala_udf")
     }

@@ -21,15 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * 1000-executor scan wants, with no per-row shuffle at all.
   */
 object SketchAggs {
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private val reg = new Registration
 
-  /** Per-session idempotent SQL registration; after this,
-    * `expr("kmv_sketch(h)")` / `expr("cms_sketch(h)")` resolve to the
-    * native aggregates (the analyzer wraps bare AggregateFunctions). */
+  /** Per-session idempotent SQL registration ([[Registration]]); after
+    * this, `expr("kmv_sketch(h)")` / `expr("cms_sketch(h)")` resolve to
+    * the native aggregates (the analyzer wraps bare AggregateFunctions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+    reg.once(spark) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "kmv_sketch", exprs => KmvSketch(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -68,8 +66,16 @@ case class KmvSketch(
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      buf.add(v.asInstanceOf[Long])
-      if (buf.size > k) buf.pollLast()
+      val h = v.asInstanceOf[Long]
+      // full buffer + h >= current max: h can never enter the bottom-K
+      // (an equal-to-max value is already present — the set holds
+      // distinct longs), so skip the box + O(log k) insert-then-poll
+      // churn that otherwise dominates the map-side fold once the
+      // first K distinct hashes have landed
+      if (buf.size < k || h < buf.last) {
+        buf.add(h)
+        if (buf.size > k) buf.pollLast(): Unit
+      }
     }
     buf
   }
@@ -126,8 +132,8 @@ case class KmvSketch(
   * computed in one pass with a constant-size partial per task. */
 case class CmsSketch(
     child: Expression,
-    depth: Int = 4,
-    width: Int = 64,
+    depth: Int = graft.ext.TextAnalysis.CmsDepth,
+    width: Int = graft.ext.TextAnalysis.CmsWidth,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
@@ -156,7 +162,15 @@ case class CmsSketch(
       val h = v.asInstanceOf[Long]
       var j = 0
       while (j < depth) {
-        val bucket = ((h * as(j) + bs(j)) % graft.ext.Dedup.SlotP % width).toInt
+        // floorMod, not %: an out-of-contract hash (negative, or an
+        // unreduced 60-bit md5_prefix60 whose h·a product overflows
+        // Long) must still yield a well-formed bucket — plain % went
+        // negative, crashing at j = 0 and silently incrementing
+        // ANOTHER depth-row's cell at j >= 1. For in-contract inputs
+        // (h in [0, SlotP)) floorMod is bit-identical to %.
+        val bucket = java.lang.Math.floorMod(
+          java.lang.Math.floorMod(h * as(j) + bs(j), graft.ext.Dedup.SlotP),
+          width.toLong).toInt
         buf(j * width + bucket) += 1L
         j += 1
       }

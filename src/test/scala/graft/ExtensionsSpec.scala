@@ -619,6 +619,37 @@ class ExtensionsSpec extends SparkSpec {
         |       cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS nul""".stripMargin)
       .collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // a null ELEMENT on either side propagates to null — the HOF form's
+    // semantics (ArrayData.getFloat would otherwise read the slot as
+    // 0.0f and silently skew the score); both eval modes checked
+    // (whole-stage codegen in the SQL run, interpreted via the
+    // filter-pushdown-hostile cast below is covered by the same path)
+    val e = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS l,
+        |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |                  array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))) AS r""".stripMargin)
+      .collect()(0)
+    assert(e.isNullAt(0) && e.isNullAt(1),
+      "null array element must propagate to a null similarity")
+  }
+
+  test("cms_sketch stays well-formed on out-of-contract (unreduced) hashes") {
+    graft.functions.Md5Prefix60.register(spark)
+    graft.functions.SketchAggs.register(spark)
+    // the contract input is h reduced mod SlotP; an UNREDUCED 60-bit
+    // md5_prefix60 value overflows h*a — plain % then crashed at depth
+    // row 0 and silently corrupted a NEIGHBORING row's cell at j >= 1;
+    // floorMod keeps every increment in its own row
+    val n = 500L
+    val grid = spark.range(n)
+      .select(expr("md5_prefix60(CAST(id AS STRING))").as("h"))
+      .agg(expr("cms_sketch(h)").as("grid"))
+      .collect()(0).getSeq[Long](0)
+    assert(grid.length == 4 * 64)
+    for (j <- 0 until 4)
+      assert((0 until 64).map(b => grid(j * 64 + b)).sum == n,
+        s"depth row $j lost or gained increments")
   }
 
   test("ivf ann (kmeans twin) returns up to 3 in-cell neighbors per query") {
