@@ -2197,11 +2197,15 @@ object TextAnalysis {
       .agg(sum(col("tok")).as("t_s"))
       .localCheckpoint(true)
     val tot = caps.agg(sum(col("t_s")).as("b"), sum(col("w")).as("wsum"))
+    // t_s = 0 (a source whose every doc is zero-token / NULL-text)
+    // yields zero epochs + zero remainder — the streaming twin's
+    // defined semantic (StreamMixTokens.fullNew); a bare division
+    // would raise DIVIDE_BY_ZERO under ANSI-on sessions
     val quotas = caps.crossJoin(broadcast(tot))
       .select(col("source"), col("t_s"), expr("(w * b) div wsum").as("b_s"))
       .select(col("source"),
-        expr("b_s div t_s").as("full_epochs"),
-        expr("b_s % t_s").as("rem"))
+        expr("CASE WHEN t_s = 0 THEN 0 ELSE b_s div t_s END").as("full_epochs"),
+        expr("CASE WHEN t_s = 0 THEN 0 ELSE b_s % t_s END").as("rem"))
     val win = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
     keyed
       .join(broadcast(quotas), Seq("source"))

@@ -218,9 +218,19 @@ object TableOps {
 
   private def restoreGraftProps(spark: SparkSession, name: String,
       props: Map[String, String]): Unit =
-    if (props.nonEmpty)
-      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
-        props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"): Unit
+    if (props.nonEmpty) {
+      // Catalog API, not interpolated SQL: property values are caller
+      // data (graft.source.dir holds a filesystem path — quotes are
+      // legal in one), and a parse failure here would land AFTER the
+      // drop+rename swap, stranding the compacted table without the
+      // identity props the build-once guards read. alterTable is the
+      // same call the SET TBLPROPERTIES command bottoms out in, minus
+      // the parser.
+      val cat = spark.sessionState.catalog
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      val meta = cat.getTableMetadata(id)
+      cat.alterTable(meta.copy(properties = meta.properties ++ props))
+    }
 
   /** [[compactTable]] for BUCKETED tables — the form [[stageCompaction]]
     * refuses, because a flat rewrite would silently drop the bucket spec

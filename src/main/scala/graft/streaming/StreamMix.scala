@@ -133,15 +133,17 @@ object StreamMix {
     * real-world source names pass their own `weights` to
     * [[streamingMix]]/[[processBatch]] instead. */
   val FixtureWeights: String => Long = { source =>
-    // <= 18 digits so toLong can never throw a bare NumberFormatException
-    // — the whole point of this guard is that EVERY rejection names the
-    // contract
+    // Reads the FIRST 10 digits only — the EXACT parse the batch laws
+    // apply (`substring(source, 4, 10).cast("long")` in corpusMixOn /
+    // corpusMixTokensOn), so the two halves can never disagree on a
+    // long numeric suffix; 10 digits also keeps toLong overflow-free.
     require(source.startsWith("src") && source.length > 3 &&
-      source.length <= 21 && source.drop(3).forall(_.isDigit),
+      source.drop(3).forall(_.isDigit),
       s"StreamMix: no weight for source '$source' — the default weight " +
-        "law expects fixture names 'src<N>' (N up to 18 digits; weight = " +
-        "(N mod 4) + 1); pass weights= for other source naming schemes")
-    math.floorMod(source.drop(3).toLong, 4L) + 1L
+        "law expects fixture names 'src<N>' (weight = (first-10-digits " +
+        "of N mod 4) + 1, the batch law's substring(source, 4, 10) " +
+        "parse); pass weights= for other source naming schemes")
+    math.floorMod(source.drop(3).take(10).toLong, 4L) + 1L
   }
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
@@ -188,8 +190,17 @@ object StreamMix {
     val emptyEmission = ledger.filter(lit(false))
       .select(col("doc_id"), col("source"), col("kept"), col("batch_id"))
 
+    // Deterministic within-batch collapse (smallest source — same
+    // replay device as StreamDedup/StreamMixTokens): dropDuplicates
+    // keeps a partition-order-dependent row, so a crash-after-thr
+    // replay of an at-least-once redelivery that carried one doc_id
+    // under two sources could recompute different per-source counts
+    // and wedge on the recovery consistency guard. Ties (same doc_id,
+    // same source) are indistinguishable downstream.
+    val bw = Window.partitionBy(col("doc_id")).orderBy(col("source"))
     val batchD = batch.select(col("doc_id"), col("source"))
-      .dropDuplicates("doc_id").localCheckpoint(true)
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") === 1).drop("rn").localCheckpoint(true)
     if (batchD.isEmpty) return emptyEmission
 
     // ---- decided-set slice: ONE pruned ledger read serves both the

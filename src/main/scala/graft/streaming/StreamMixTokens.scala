@@ -140,11 +140,20 @@ object StreamMixTokens {
     // probe over this source (NULL-struct getLong NPE on the resolved
     // hit; silent exclusion from ascending windows) — zero is the
     // defined semantic, matching the batch law's treatment.
+    // Within-batch duplicate doc_ids collapse to ONE DETERMINISTIC
+    // winner (smallest (source, tok) — StreamDedup's replay device):
+    // dropDuplicates keeps a partition-order-dependent row, so a
+    // crash-after-thr replay of an at-least-once redelivery could
+    // recompute different token sums and wedge on the recovery-binding
+    // equality guard. Ties in (source, tok) are indistinguishable to
+    // every downstream read, so the winner is replay-stable.
+    val bw = Window.partitionBy(col("doc_id")).orderBy(col("source"), col("tok"))
     val batchD = batch
       .select(col("doc_id"), col("source"),
         coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
           .as("tok"))
-      .dropDuplicates("doc_id").localCheckpoint(true)
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") === 1).drop("rn").localCheckpoint(true)
     if (batchD.isEmpty) return emptyEmission
 
     // ---- decided-set slice: ONE pruned ledger read serves the replay
@@ -261,11 +270,11 @@ object StreamMixTokens {
     val wsum = sources.map(wOf).sum
     val bS: Map[String, Long] =
       sources.map(s => s -> (wOf(s) * budget) / wsum).toMap
-    // A source with ZERO accumulated tokens (every doc NULL-text) has no
-    // servable epochs: quota 0/0 — the defined outcome the batch law
-    // reaches through NULL propagation (`b_s div t_s` → NULL epochs →
-    // zero copies), where a bare division here would instead kill the
-    // stream with an ArithmeticException.
+    // A source with ZERO accumulated tokens (every doc NULL-text) has
+    // no servable epochs: full_epochs = rem = 0 — the SAME guarded
+    // branch the batch law takes (corpusMixTokensOn's CASE WHEN t_s=0),
+    // where a bare division here would instead kill the stream with an
+    // ArithmeticException under ANSI.
     val fullNew: Map[String, Long] =
       sources.map(s => s -> (if (tTokNew(s) == 0L) 0L
         else bS(s) / tTokNew(s))).toMap

@@ -189,6 +189,22 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got.count() == wantRows)
     assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
       "compaction changed the data")
+    // identity properties carrying PARSER-HOSTILE values (a path with a
+    // quote is legal on Linux) must ride the rewrite: the restore goes
+    // through the catalog API, not interpolated SQL — an unescaped SQL
+    // restore would throw AFTER the drop+rename and strand the table
+    // propertyless (the silent-retrain hazard)
+    val hostile = "/data/bob's corpus"
+    spark.sessionState.catalog.alterTable {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("orders_frag"))
+      m.copy(properties = m.properties + ("graft.source.dir" -> hostile))
+    }
+    TableOps.compactTable(spark, "orders_frag")
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("orders_frag"))
+      .properties.get("graft.source.dir").contains(hostile),
+      "quote-bearing graft.* property did not survive compaction")
     spark.sql("DROP TABLE IF EXISTS orders_frag")
     // partitioned tables must be refused, not silently flattened
     TableOps.resetTable(spark, "orders_part",

@@ -249,6 +249,43 @@ class StreamMixSpec extends SparkSpec {
     dropStore("sm_wa"); dropStore("sm_wb")
   }
 
+  test("FixtureWeights reads the first 10 digits, exactly like the batch law") {
+    import spark.implicits._
+    // an 11-digit suffix: the batch laws parse substring(source, 4, 10)
+    // — only the first 10 digits — so the default weight fn must too,
+    // or the stream's quotas silently diverge from the oracled twins
+    val names = Seq("src12345678901", "src99999999999999", "src7", "src40")
+    val lawW = names.toDF("source")
+      .select(col("source"),
+        (pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + lit(1L))
+          .as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.foreach { n =>
+      assert(StreamMix.FixtureWeights(n) == lawW(n),
+        s"weight for '$n': fn ${StreamMix.FixtureWeights(n)} != law ${lawW(n)}")
+    }
+  }
+
+  test("within-batch duplicate doc_ids collapse to the smallest-source winner") {
+    import spark.implicits._
+    // one doc_id redelivered under two sources in one batch: the
+    // deterministic winner (smallest source) must hold for either
+    // arrival order, or a crash-after-thr replay can recompute
+    // different per-source counts and wedge the consistency guard
+    val variants = Seq((42L, "src1"), (42L, "src2"))
+    for ((order, i) <- Seq(variants, variants.reverse).zipWithIndex) {
+      val pfx = s"sm_dup$i"
+      dropStore(pfx)
+      val batch = order.toDF("doc_id", "source").repartition(4)
+      StreamMix.processBatch(spark, pfx, batch, 0L, "mix42")
+      val docs = spark.table(s"${pfx}_docs")
+        .select(col("doc_id"), col("source")).collect()
+      assert(docs.length == 1 && docs.head.getString(1) == "src1",
+        s"order $i kept ${docs.mkString(",")}, not the deterministic src1 winner")
+      dropStore(pfx)
+    }
+  }
+
   test("a weight outside the divide-12 law refuses loudly; quoted seeds parse") {
     dropStore("sm_wv")
     val wave = wavedDocs.filter(col("wave") === 0)

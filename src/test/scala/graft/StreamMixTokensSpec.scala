@@ -120,7 +120,40 @@ class StreamMixTokensSpec extends SparkSpec {
       "a zero-token source must keep nothing (epochs 0, empty partial)")
     // the healthy sources still decide (sanity: the guard didn't mask them)
     assert(out.filter(col("source") =!= "src987").count() > 0)
+    // the BATCH law over the same frame takes the same guarded branch
+    // (corpusMixTokensOn's CASE WHEN t_s = 0) — a bare `b_s div t_s`
+    // raised DIVIDE_BY_ZERO under ANSI instead of agreeing with the
+    // stream's zero-copies outcome
+    val lawZ = ext.TextAnalysis.corpusMixTokensOn(batch, "epoch42")
+      .filter(col("source") === "src987")
+      .select(col("doc_id"), col("in_partial"), col("copies")).collect()
+    assert(lawZ.length == 2, s"batch law lost src987 rows: ${lawZ.length}")
+    assert(lawZ.forall(r => !r.getBoolean(1) && r.getLong(2) == 0L),
+      "batch law must give a zero-token source zero copies, like the stream")
     dropStore("smt_z")
+  }
+
+  test("within-batch duplicate doc_ids collapse to one deterministic winner") {
+    import spark.implicits._
+    // doc 42 redelivered in ONE batch under two (source, text) variants:
+    // the winner must be the smallest (source, tok) — ('src1', 2 toks)
+    // beats ('src2', 1 tok) — REGARDLESS of arrival order, or a
+    // crash-after-thr replay could recompute different token sums and
+    // wedge the recovery-binding equality guard.
+    val variants = Seq((42L, "src1", "a b"), (42L, "src2", "a"))
+    for ((order, i) <- Seq(variants, variants.reverse).zipWithIndex) {
+      val pfx = s"smt_dup$i"
+      dropStore(pfx)
+      val batch = order.toDF("doc_id", "source", "text")
+        .repartition(4) // scatter so dropDuplicates' pick would be order-dependent
+      StreamMixTokens.processBatch(spark, pfx, batch, 0L)
+      val docs = spark.table(s"${pfx}_docs")
+        .select(col("doc_id"), col("source"), col("tok")).collect()
+      assert(docs.length == 1, s"duplicate doc_id not collapsed: ${docs.length}")
+      assert(docs.head.getString(1) == "src1" && docs.head.getLong(2) == 2L,
+        s"order $i picked ${docs.head}, not the deterministic (src1, 2) winner")
+      dropStore(pfx)
+    }
   }
 
   test("a replayed batch re-emits identical changes and leaves all tables unchanged") {
