@@ -2366,4 +2366,193 @@ object TextAnalysis {
        |JOIN lm ON lm.doc_id = d.doc_id
        |JOIN cls ON cls.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ————— DSIR importance weighting (Xie et al., NeurIPS 2023: "Data
+  // Selection for Language Models via Importance Resampling") —————
+  //
+  // Hashed-n-gram importance weights: fit bag-of-hashed-grams unigram
+  // models p (target domain) and q (raw pool) over B buckets with
+  // Laplace smoothing, weight each raw doc by
+  //   w(doc) = Σ_f c_f(doc) · (ln p_f − ln q_f)
+  // and keep the top-k (deterministic heuristic) or Gumbel-top-k
+  // (seeded importance resample) docs.
+  //
+  // Engine-exactness device: the per-bucket log-ratio is quantized to
+  // INTEGER micro-nats (floor(ln·1e6 + 0.5)) before the per-doc sum, so
+  // the doc weight is exact BIGINT arithmetic — no float-summation-
+  // order divergence between partial-agg schedules or between Spark
+  // and the DuckDB twin. ln itself enters only through B scalar bucket
+  // values, each rounded once.
+  //
+  // 100 TB dataflow: two map-side explodes (unigrams + bigrams) feeding
+  // bounded-key aggregates (B = 512 buckets), the B-row log-ratio
+  // relation broadcast back, one (doc_id, f) partial-agg shuffle, and a
+  // TakeOrderedAndProject top-k — no global window, no all-pairs, no
+  // driver state beyond two scalar totals.
+
+  private[ext] val DsirBuckets = 512
+  private[ext] val DsirK = 100
+  private[ext] val DsirTargetSources = Seq("src0", "src1")
+
+  /** Hashed (unigram ∪ bigram) features per doc: (doc_id, source, f)
+    * with multiplicity, f = md5_prefix60(gram) mod B — the same
+    * portable 60-bit hash the mixers key on. Zero-gram docs (NULL
+    * text) carry no evidence and drop out of the pool by law. */
+  private def dsirGrams(documents: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix60.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tokens"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """concat(tokens,
+          |  CASE WHEN size(tokens) >= 2
+          |       THEN transform(sequence(0, size(tokens) - 2),
+          |                      i -> concat(tokens[i], ' ', tokens[i + 1]))
+          |       ELSE CAST(array() AS array<string>) END)""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("source"),
+        expr(s"md5_prefix60(g) % $DsirBuckets").as("f"))
+  }
+
+  /** (f, lr_u) for every bucket 0..B-1: the Laplace-smoothed log-ratio
+    * ln((c_t+1)/(CT+B)) − ln((c_r+1)/(CR+B)) in integer micro-nats.
+    * B rows — pinned and broadcast to the per-doc join. */
+  private def dsirLogRatios(grams: DataFrame): DataFrame = {
+    val spark = grams.sparkSession
+    val isTgt = col("source").isin(DsirTargetSources: _*)
+    val byF = grams.groupBy(col("f")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("c_t"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("c_r"))
+    val tot = byF.agg(sum(col("c_t")).as("ct_tot"), sum(col("c_r")).as("cr_tot"))
+    val b = lit(DsirBuckets.toDouble)
+    spark.range(DsirBuckets).toDF("f")
+      .join(byF, Seq("f"), "left")
+      .na.fill(0L, Seq("c_t", "c_r"))
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        floor((log((col("c_t") + lit(1L)).cast("double") / (col("ct_tot").cast("double") + b))
+          - log((col("c_r") + lit(1L)).cast("double") / (col("cr_tot").cast("double") + b)))
+          * lit(1e6) + lit(0.5)).cast("long").as("lr_u"))
+      .localCheckpoint(true)
+  }
+
+  /** Raw-pool doc weights in micro-nats (exact BIGINT): (doc_id,
+    * w_micro). Target-domain docs are the model, not candidates. */
+  private def dsirWeightFrame(documents: DataFrame): DataFrame = {
+    val grams = dsirGrams(documents)
+    val lr = dsirLogRatios(grams)
+    grams.filter(!col("source").isin(DsirTargetSources: _*))
+      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lr_u")).as("w_micro"))
+  }
+
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsOn(Tables.documents(spark, sfDir))
+
+  /** `d_dsir_weights`: (doc_id, w_micro, selected) over the raw pool —
+    * selected ⟺ top-[[DsirK]] by (w_micro desc, doc_id asc), computed
+    * as a TakeOrderedAndProject + broadcast semi-join, never a global
+    * window. */
+  def dsirWeightsOn(documents: DataFrame): DataFrame = {
+    val w = dsirWeightFrame(documents)
+    val topk = w.orderBy(col("w_micro").desc, col("doc_id"))
+      .limit(DsirK).select(col("doc_id"), lit(true).as("selected"))
+    w.join(broadcast(topk), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w_micro"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame =
+    dsirResampleOn(Tables.documents(spark, sfDir), "dsir42")
+
+  /** `d_dsir_resample`: seeded Gumbel-top-k importance RESAMPLE — the
+    * paper's sampling rule, derandomized portably: u(doc) from the
+    * md5-keyed 60-bit stream, Gumbel noise −ln(−ln u) quantized to the
+    * same micro-nat grid as the weights, key = w_micro + g_micro,
+    * selected ⟺ top-k by (key desc, doc_id asc). Equivalent to
+    * sampling k docs without replacement ∝ exp(w) at temperature 1,
+    * yet bit-reproducible across engines and runs. */
+  def dsirResampleOn(documents: DataFrame, seed: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(documents.sparkSession)
+    val two60 = lit((1L << 60).toDouble)
+    val w = dsirWeightFrame(documents)
+      .withColumn("u",
+        (expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
+          .cast("double") + lit(0.5)) / two60)
+      .withColumn("g_micro",
+        floor(-log(-log(col("u"))) * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("doc_id"), col("w_micro"),
+        (col("w_micro") + col("g_micro")).as("gkey"))
+    val topk = w.orderBy(col("gkey").desc, col("doc_id"))
+      .limit(DsirK).select(col("doc_id"), lit(true).as("selected"))
+    w.join(broadcast(topk), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w_micro"), col("gkey"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  /** Shared oracle CTEs: hashed grams (md5 60-bit idiom), per-bucket
+    * smoothed log-ratios in micro-nats, exact per-doc BIGINT weights. */
+  private val dsirWeightCtes: String =
+    s"""tl AS (SELECT doc_id, source, string_split(text, ' ') AS tokens
+       |       FROM documents),
+       |uni AS (SELECT doc_id, source, unnest(tokens) AS g FROM tl),
+       |bi AS (SELECT doc_id, source,
+       |         unnest(list_transform(range(0, len(tokens) - 1),
+       |           i -> tokens[CAST(i + 1 AS INT)] || ' ' ||
+       |                tokens[CAST(i + 2 AS INT)])) AS g
+       |       FROM tl),
+       |grams AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(list_transform(range(0, 15),
+       |      p -> CAST(strpos('0123456789abcdef',
+       |             substr(md5(g), CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b) % $DsirBuckets AS f
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |tgt AS (SELECT * FROM grams WHERE source IN ('src0', 'src1')),
+       |raw AS (SELECT * FROM grams WHERE source NOT IN ('src0', 'src1')),
+       |ct AS (SELECT f, count(*) AS c_t FROM tgt GROUP BY 1),
+       |cr AS (SELECT f, count(*) AS c_r FROM raw GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM tgt) AS ct_tot,
+       |               (SELECT count(*) FROM raw) AS cr_tot),
+       |spine AS (SELECT CAST(range AS BIGINT) AS f FROM range(0, $DsirBuckets)),
+       |lr AS (
+       |  SELECT spine.f,
+       |    CAST(floor((ln((COALESCE(c_t, 0) + 1)
+       |                   / (ct_tot + $DsirBuckets.0))
+       |              - ln((COALESCE(c_r, 0) + 1)
+       |                   / (cr_tot + $DsirBuckets.0))) * 1e6 + 0.5)
+       |         AS BIGINT) AS lr_u
+       |  FROM spine LEFT JOIN ct ON spine.f = ct.f
+       |             LEFT JOIN cr ON spine.f = cr.f, tot),
+       |docf AS (SELECT doc_id, f, count(*) AS c FROM raw GROUP BY 1, 2),
+       |w AS (SELECT doc_id, sum(c * lr_u) AS w_micro
+       |      FROM docf JOIN lr ON docf.f = lr.f GROUP BY 1)""".stripMargin
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirWeightCtes,
+       |sel AS (SELECT doc_id FROM w
+       |        ORDER BY w_micro DESC, doc_id LIMIT $DsirK)
+       |SELECT w.doc_id, w_micro,
+       |       (sel.doc_id IS NOT NULL) AS selected
+       |FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  val dsirResampleSql: String =
+    s"""WITH $dsirWeightCtes,
+       |gk AS (
+       |  SELECT doc_id, w_micro,
+       |    w_micro + CAST(floor(-ln(-ln(
+       |        (list_reduce(list_transform(range(0, 15),
+       |           p -> CAST(strpos('0123456789abcdef',
+       |                  substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)),
+       |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0))
+       |        * 1e6 + 0.5) AS BIGINT) AS gkey
+       |  FROM w),
+       |sel AS (SELECT doc_id FROM gk
+       |        ORDER BY gkey DESC, doc_id LIMIT $DsirK)
+       |SELECT gk.doc_id, w_micro, gkey,
+       |       (sel.doc_id IS NOT NULL) AS selected
+       |FROM gk LEFT JOIN sel ON gk.doc_id = sel.doc_id
+       |ORDER BY gk.doc_id""".stripMargin
 }

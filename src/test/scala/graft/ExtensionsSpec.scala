@@ -1628,4 +1628,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(dyn(from = true, to = false), "fixture produced no eviction")
     assert(dyn(from = false, to = true), "fixture produced no admission")
   }
+
+  test("dsir weights are exact integers over the raw pool; gumbel resample perturbs the tail") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf001)
+    val tgt = docs.filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val w = TextAnalysis.dsirWeightsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the raw pool excludes the target-domain docs that DEFINE p
+    assert(w.map(_._1).toSet.intersect(tgt).isEmpty,
+      "target docs leaked into the candidate pool")
+    assert(w.count(_._3) == math.min(100, w.length),
+      s"selected count ${w.count(_._3)} != k")
+    // selection law: selected ⟺ top-k by (w_micro desc, doc_id asc)
+    val byLaw = w.sortBy(t => (-t._2, t._1)).take(100).map(_._1).toSet
+    assert(w.forall(t => t._3 == byLaw(t._1)), "selected set != top-k law")
+    // integer micro-nat weights are bit-stable across independent plans
+    val again = TextAnalysis.dsirWeightsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w.forall(t => again(t._1) == t._2),
+      "w_micro differed across runs — the fixed-point law leaked floats")
+    // the seeded resample agrees on weights but re-deals part of the set
+    val rs = TextAnalysis.dsirResampleOn(docs, "dsir42").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rs.forall(t => again(t._1) == t._2),
+      "resample weights diverged from the deterministic law")
+    assert(rs.count(_._4) == math.min(100, rs.length))
+    val det = w.filter(_._3).map(_._1).toSet
+    val gum = rs.filter(_._4).map(_._1).toSet
+    assert(gum != det && gum.intersect(det).size > (det.size / 2),
+      s"gumbel set should overlap-but-differ: |∩| = ${gum.intersect(det).size}")
+    // a different seed re-deals differently
+    val gum2 = TextAnalysis.dsirResampleOn(docs, "dsir43").collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(gum2 != gum, "seed must move the resample")
+  }
 }
