@@ -159,11 +159,20 @@ object ScaleUpBench {
     * timed batch: acks must re-emit identically and the store must not
     * grow. */
   private val annAddProbe: Boolean = queries.contains("e_ann_add")
+
+  /** `d_dsir_serve` measures `StreamDsir`: untimed model fit + whole-xK
+    * corpus fed as batch 0 + compactStore (the (gkey, doc_id)-ordered
+    * layout the bounded selected-set read range-prunes against), then
+    * the median per-batch latency of a FIXED 250-doc batch of new
+    * doc_ids against the K×-grown standing pool — the O(batch + k)
+    * claim in StreamDsir's scaladoc, gated by a full recomputed-key
+    * equality + independent top-k re-rank of the final store. */
+  private val dsirServeProbe: Boolean = queries.contains("d_dsir_serve")
   private val probeQueries: Seq[String] =
     queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
       q == "d_dedup_serve_pruned" || q == "d_mix_serve" ||
       q == "d_dedup_serve_full" || q == "d_mix_tokens_serve" ||
-      q == "e_ann_add")
+      q == "e_ann_add" || q == "d_dsir_serve")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -674,6 +683,82 @@ object ScaleUpBench {
     }
     lazy val annAddX1 = annAdd(s"$out/x1", "scup_sa_x1")
 
+    /** (model+store build sec, per-batch serve sec median, last delta
+      * rows, last evictions) for the streaming-DSIR probe — see
+      * [[dsirServeProbe]]. */
+    def dsirServe(dir: String, pfx: String): (Double, Double, Long, Long) = {
+      import graft.streaming.StreamDsir
+      import graft.ext.TextAnalysis
+      Seq("model", "scores", "thr", "ledger").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val t0 = System.nanoTime()
+      StreamDsir.modelWrite(spark, pfx, docs)
+      StreamDsir.processBatch(spark, pfx, docs, 0L, "dsrv42").count(): Unit
+      StreamDsir.compactStore(spark, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val base = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+      def probeBatch(b: Long): DataFrame = base.select(
+        (col("doc_id") + lit(1000000000000L + b * 1000000L)).as("doc_id"),
+        col("source"), col("text"))
+      var nextB = 1L
+      var lastTotal = 0L
+      var lastFresh = 0L
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1
+        val d = StreamDsir.processBatch(s, pfx, probeBatch(b), b, "dsrv42")
+        lastTotal = d.count()
+        lastFresh = d.filter(col("doc_id") >= 1000000000000L + b * 1000000L)
+          .count()
+        d
+      }, spark, dir, runs).median
+      // probe batches re-id copy-0 docs, which INCLUDE target-source
+      // rows the pool filter drops — fresh verdicts are the batch's
+      // raw-pool slice, pinned against the same filter applied here
+      val poolPerBatch = base
+        .filter(!col("source").isin(TextAnalysis.DsirTargetSources: _*))
+        .count()
+      require(lastFresh == poolPerBatch,
+        s"dsir-serve probe: expected $poolPerBatch fresh verdicts, " +
+          s"got $lastFresh")
+      // law gates over the final store, all untimed:
+      // (1) coverage + key equality: every pool doc of the
+      // INDEPENDENTLY reconstructed corpus is stored with exactly the
+      // frozen-model recomputed key;
+      val lawInput = (1L until nextB).map(probeBatch)
+        .foldLeft(docs)(_ unionByName _)
+        .filter(!col("source").isin(TextAnalysis.DsirTargetSources: _*))
+      val lawKeys = TextAnalysis.dsirScore(lawInput,
+        spark.table(s"${pfx}_model"), "dsrv42")
+      val stored = spark.table(s"${pfx}_scores")
+        .select(col("doc_id"), col("gkey").as("stored_gkey"))
+      val storedCnt = stored.count()
+      val lawCnt = lawKeys.count()
+      require(storedCnt == lawCnt,
+        s"dsir-serve probe: store holds $storedCnt docs, the law input " +
+          s"$lawCnt — docs lost or duplicated")
+      val keyBad = stored.join(lawKeys, Seq("doc_id"))
+        .filter(col("stored_gkey") =!= col("gkey")).count()
+      require(keyBad == 0L,
+        s"dsir-serve probe: $keyBad stored keys diverge from the frozen " +
+          "scoring law")
+      // (2) selection law: the threshold-derived selected set equals an
+      // independent top-k re-rank of the store
+      val expect = stored
+        .orderBy(col("stored_gkey").desc, col("doc_id"))
+        .limit(TextAnalysis.DsirK)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val got = StreamDsir.currentSelected(spark, pfx)
+        .filter(col("selected")).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      require(got == expect,
+        s"dsir-serve probe: selected set (${got.size}) != independent " +
+          s"top-k re-rank (${expect.size})")
+      (build, serve, lastTotal, lastTotal - lastFresh)
+    }
+    lazy val dsirX1 = dsirServe(s"$out/x1", "scup_ds_x1")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -774,7 +859,12 @@ object ScaleUpBench {
           s"[scaleup] ann-add insert-once gate FAILED at x$k (x1=$r1, x$k=$rk)")
         f""","ann_add":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_add_sec":$s1%.4f,"x${k}_add_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"add_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"replay_same":${r1 && rk}}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson}"""
+      val dsirJson = if (!dsirServeProbe) "" else {
+        val (b1, s1, t1, e1) = dsirX1
+        val (bk, sk, tk, ek) = dsirServe(s"$out/x$k", s"scup_ds_x$k")
+        f""","dsir_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_evictions":$e1,"x${k}_evictions":$ek}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -804,6 +894,9 @@ object ScaleUpBench {
       if (annAddProbe)
         Seq("codes", "centroids", "codebooks").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_sa_${fx}_$t"): Unit)
+      if (dsirServeProbe)
+        Seq("model", "scores", "thr", "ledger").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_ds_${fx}_$t"): Unit)
     }
     spark.stop()
   }

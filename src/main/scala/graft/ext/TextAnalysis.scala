@@ -2390,9 +2390,9 @@ object TextAnalysis {
   // TakeOrderedAndProject top-k — no global window, no all-pairs, no
   // driver state beyond two scalar totals.
 
-  private[ext] val DsirBuckets = 512
-  private[ext] val DsirK = 100
-  private[ext] val DsirTargetSources = Seq("src0", "src1")
+  private[graft] val DsirBuckets = 512
+  private[graft] val DsirK = 100
+  private[graft] val DsirTargetSources = Seq("src0", "src1")
 
   /** Hashed (unigram ∪ bigram) features per doc: (doc_id, source, f)
     * with multiplicity, f = md5_prefix60(gram) mod B — the same
@@ -2439,12 +2439,46 @@ object TextAnalysis {
   private def dsirWeightFrame(documents: DataFrame): DataFrame = {
     val grams = dsirGrams(documents)
     val lr = dsirLogRatios(grams)
-    grams.filter(!col("source").isin(DsirTargetSources: _*))
-      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
-      .join(broadcast(lr), Seq("f"))
+    dsirWeightsAgainst(
+      grams.filter(!col("source").isin(DsirTargetSources: _*)), lr)
+  }
+
+  /** Per-doc exact weights from a PRECOMPUTED gram frame and log-ratio
+    * model — the scoring half [[graft.streaming.StreamDsir]] reuses
+    * against its FROZEN persisted model (train-once/score-as-you-go). */
+  private[graft] def dsirWeightsAgainst(grams: DataFrame,
+      model: DataFrame): DataFrame =
+    grams.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("f"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("lr_u")).as("w_micro"))
-  }
+
+  /** Seeded Gumbel key on the micro-nat grid: w_micro + ⌊−ln(−ln u)·1e6⌉
+    * with u from the md5-keyed 60-bit stream — the one scoring law both
+    * [[dsirResampleOn]] and the streaming selector derive keys from. */
+  private[graft] def dsirGumbelKey(weights: DataFrame, seed: String): DataFrame =
+    weights
+      .withColumn("u",
+        (call_function("md5_prefix60",
+          concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+          .cast("double") + lit(0.5)) / lit((1L << 60).toDouble))
+      .withColumn("g_micro",
+        floor(-log(-log(col("u"))) * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("doc_id"), col("w_micro"),
+        (col("w_micro") + col("g_micro")).as("gkey"))
+
+  /** Hashed gram frame + frozen-model scoring entry for the streaming
+    * selector: (doc_id, gkey) for every doc in `pool` that carries at
+    * least one gram. */
+  private[graft] def dsirScore(pool: DataFrame, model: DataFrame,
+      seed: String): DataFrame =
+    dsirGumbelKey(dsirWeightsAgainst(dsirGrams(pool), model), seed)
+      .select(col("doc_id"), col("gkey"))
+
+  /** The frozen 512-row model over an arbitrary reference corpus —
+    * what [[graft.streaming.StreamDsir.modelWrite]] persists. */
+  private[graft] def dsirModel(documents: DataFrame): DataFrame =
+    dsirLogRatios(dsirGrams(documents))
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
     dsirWeightsOn(Tables.documents(spark, sfDir))
@@ -2474,15 +2508,7 @@ object TextAnalysis {
     * yet bit-reproducible across engines and runs. */
   def dsirResampleOn(documents: DataFrame, seed: String): DataFrame = {
     graft.functions.Md5Prefix60.register(documents.sparkSession)
-    val two60 = lit((1L << 60).toDouble)
-    val w = dsirWeightFrame(documents)
-      .withColumn("u",
-        (expr(s"md5_prefix60(concat('$seed', ':', CAST(doc_id AS STRING)))")
-          .cast("double") + lit(0.5)) / two60)
-      .withColumn("g_micro",
-        floor(-log(-log(col("u"))) * lit(1e6) + lit(0.5)).cast("long"))
-      .select(col("doc_id"), col("w_micro"),
-        (col("w_micro") + col("g_micro")).as("gkey"))
+    val w = dsirGumbelKey(dsirWeightFrame(documents), seed)
     val topk = w.orderBy(col("gkey").desc, col("doc_id"))
       .limit(DsirK).select(col("doc_id"), lit(true).as("selected"))
     w.join(broadcast(topk), Seq("doc_id"), "left")
@@ -2536,6 +2562,44 @@ object TextAnalysis {
        |       (sel.doc_id IS NOT NULL) AS selected
        |FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
        |ORDER BY w.doc_id""".stripMargin
+
+  /** Oracle for the streaming selector's 4-wave replay twin
+    * (`graft.streaming.StreamDsir.dsirStreamed`): the running
+    * Gumbel-top-k invariant says the selected set after wave j is
+    * exactly the batch top-k over the docs arrived through wave j, so
+    * the twin re-derives each wave's selection with an independent
+    * LIMIT-k ranking — admitted = membership at the arrival wave, kept
+    * = membership at the final wave. Pins the monotone-threshold
+    * dataflow (the part the stream computes incrementally) to the
+    * batch law. */
+  val dsirStreamedSql: String = {
+    val selCtes = (0 until 4).map(j =>
+      s"""s$j AS (SELECT doc_id FROM gw WHERE wave <= $j
+         |        ORDER BY gkey DESC, doc_id LIMIT $DsirK)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH $dsirWeightCtes,
+       |gk AS (
+       |  SELECT doc_id, w_micro,
+       |    w_micro + CAST(floor(-ln(-ln(
+       |        (list_reduce(list_transform(range(0, 15),
+       |           p -> CAST(strpos('0123456789abcdef',
+       |                  substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)),
+       |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0))
+       |        * 1e6 + 0.5) AS BIGINT) AS gkey
+       |  FROM w),
+       |gw AS (SELECT doc_id, gkey,
+       |         CAST((doc_id // 20) % 4 AS INT) AS wave FROM gk),
+       |$selCtes
+       |SELECT doc_id, gkey, wave,
+       |  CASE wave
+       |    WHEN 0 THEN doc_id IN (SELECT doc_id FROM s0)
+       |    WHEN 1 THEN doc_id IN (SELECT doc_id FROM s1)
+       |    WHEN 2 THEN doc_id IN (SELECT doc_id FROM s2)
+       |    ELSE doc_id IN (SELECT doc_id FROM s3) END AS admitted,
+       |  doc_id IN (SELECT doc_id FROM s3) AS kept
+       |FROM gw ORDER BY doc_id""".stripMargin
+  }
 
   val dsirResampleSql: String =
     s"""WITH $dsirWeightCtes,
