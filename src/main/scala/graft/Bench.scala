@@ -91,9 +91,9 @@ object Bench {
     "e_ann_index_lookup", "d_bpe_merges12", "d_bpe_encode", "q_scd2",
     "q_mv_refresh", "m_audio_vad", "d_corpus_stats", "d_span_dedup",
     "d_corpus_shuffle", "d_corpus_mix", "d_corpus_mix_tokens",
-    "d_corpus_mix_incr")
-  // d_dedup_streamed, d_corpus_mix_streamed and
-  // d_corpus_mix_tokens_streamed are deliberately NOT
+    "d_corpus_mix_incr", "d_dsir_weights", "d_dsir_resample")
+  // d_dedup_streamed, d_corpus_mix_streamed, d_corpus_mix_tokens_streamed
+  // and d_dsir_streamed are deliberately NOT
   // benched: each is the 4-wave SEQUENTIAL semantics twin of its
   // streaming operator, so its ~10 s at any small SF is 4 × (rounds ×
   // driver-loop scheduling floor), not data cost — benching it would
