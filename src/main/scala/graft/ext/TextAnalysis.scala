@@ -2397,10 +2397,16 @@ object TextAnalysis {
   /** Hashed (unigram ∪ bigram) features per doc: (doc_id, source, f)
     * with multiplicity, f = md5_prefix60(gram) mod B — the same
     * portable 60-bit hash the mixers key on. Zero-gram docs (NULL
-    * text) carry no evidence and drop out of the pool by law. */
+    * text) carry no evidence and drop out of the pool by law.
+    * NULL-source docs are defined OUT of the family entirely (neither
+    * model evidence nor candidates): a three-valued `isin` would
+    * exclude them from the pool while `otherwise`-counting them into
+    * the raw model q — silently diverging from the oracle twins, whose
+    * `IN`/`NOT IN` predicates both drop NULL. */
   private def dsirGrams(documents: DataFrame): DataFrame = {
     graft.functions.Md5Prefix60.register(documents.sparkSession)
     documents
+      .filter(col("source").isNotNull)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tokens"))
       .select(col("doc_id"), col("source"), explode(expr(
         """concat(tokens,
@@ -2455,13 +2461,23 @@ object TextAnalysis {
 
   /** Seeded Gumbel key on the micro-nat grid: w_micro + ⌊−ln(−ln u)·1e6⌉
     * with u from the md5-keyed 60-bit stream — the one scoring law both
-    * [[dsirResampleOn]] and the streaming selector derive keys from. */
+    * [[dsirResampleOn]] and the streaming selector derive keys from.
+    * u is clamped to < 1: keys within 128 of 2^60 round to exactly 1.0
+    * under the double cast, and −ln(−ln 1) is +Infinity — a silent
+    * Long.MaxValue under non-ANSI casts, a thrown CAST_OVERFLOW under
+    * ANSI, and an oracle-run abort in DuckDB. (Unlike the weights,
+    * whose per-bucket quantization makes the per-doc sum exact integer
+    * arithmetic, the Gumbel term evaluates one libm ln pair per doc:
+    * a cross-engine ulp landing within ~1e-10 of a micro-nat .5
+    * boundary could flip g_micro — an accepted, astronomically-thin
+    * risk, NOT covered by the weights' exactness device.) */
   private[graft] def dsirGumbelKey(weights: DataFrame, seed: String): DataFrame =
     weights
-      .withColumn("u",
+      .withColumn("u", least(
         (call_function("md5_prefix60",
           concat(lit(seed), lit(":"), col("doc_id").cast("string")))
-          .cast("double") + lit(0.5)) / lit((1L << 60).toDouble))
+          .cast("double") + lit(0.5)) / lit((1L << 60).toDouble),
+        lit(0.9999999999999999)))
       .withColumn("g_micro",
         floor(-log(-log(col("u"))) * lit(1e6) + lit(0.5)).cast("long"))
       .select(col("doc_id"), col("w_micro"),
@@ -2580,12 +2596,13 @@ object TextAnalysis {
     s"""WITH $dsirWeightCtes,
        |gk AS (
        |  SELECT doc_id, w_micro,
-       |    w_micro + CAST(floor(-ln(-ln(
+       |    w_micro + CAST(floor(-ln(-ln(least(
        |        (list_reduce(list_transform(range(0, 15),
        |           p -> CAST(strpos('0123456789abcdef',
        |                  substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)),
        |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
-       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0))
+       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0,
+       |        0.9999999999999999)))
        |        * 1e6 + 0.5) AS BIGINT) AS gkey
        |  FROM w),
        |gw AS (SELECT doc_id, gkey,
@@ -2605,12 +2622,13 @@ object TextAnalysis {
     s"""WITH $dsirWeightCtes,
        |gk AS (
        |  SELECT doc_id, w_micro,
-       |    w_micro + CAST(floor(-ln(-ln(
+       |    w_micro + CAST(floor(-ln(-ln(least(
        |        (list_reduce(list_transform(range(0, 15),
        |           p -> CAST(strpos('0123456789abcdef',
        |                  substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)),
        |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
-       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0))
+       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0,
+       |        0.9999999999999999)))
        |        * 1e6 + 0.5) AS BIGINT) AS gkey
        |  FROM w),
        |sel AS (SELECT doc_id FROM gk

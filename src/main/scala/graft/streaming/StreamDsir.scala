@@ -101,28 +101,18 @@ object StreamDsir {
   }
 
   /** ORDERED small-file compaction + thr-history retention — the
-    * shared mix-store maintenance contract, with scores ordered on the
-    * (gkey, doc_id) probe key the selected-set range read prunes on. */
+    * shared threshold-store maintenance contract
+    * ([[StreamStoreOps.compactThresholdStore]]: rank-based snapshot
+    * retention, staged trim), with scores ordered on the (gkey,
+    * doc_id) probe key the selected-set range read prunes on. */
   def compactStore(spark: SparkSession, prefix: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       retainThrBatches: Int = 8): Map[String, (Int, Int)] = {
     ensureStore(spark, prefix)
-    require(retainThrBatches >= 2,
-      "retainThrBatches: a crash-after-thr replay of the newest batch " +
-        "recovers from its PREDECESSOR snapshot — keep >= 2")
-    val thrCut: Option[String] =
-      spark.table(thrT(prefix)).agg(max(col("batch_id"))).head() match {
-        case r if r.isNullAt(0) => None
-        case r => Some(s"batch_id >= ${r.getLong(0) - (retainThrBatches - 1)}")
-      }
-    Map(
-      scoresT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        scoresT(prefix), targetFileBytes, orderBy = Seq("gkey", "doc_id")),
-      ledgerT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        ledgerT(prefix), targetFileBytes, orderBy = Seq("doc_id")),
-      thrT(prefix) -> graft.sources.TableOps.compactTable(spark,
-        thrT(prefix), targetFileBytes, orderBy = Seq("batch_id"),
-        where = thrCut))
+    StreamStoreOps.compactThresholdStore(spark,
+      Seq(scoresT(prefix) -> Seq("gkey", "doc_id"),
+        ledgerT(prefix) -> Seq("doc_id")),
+      thrT(prefix), targetFileBytes, retainThrBatches)
   }
 
   /** One micro-batch: score the fresh pool docs against the frozen
@@ -215,17 +205,37 @@ object StreamDsir {
     // static, so docs at-or-below the previous threshold are out
     // FOREVER — this bounded read is the whole reason the batch never
     // rescans the corpus.
-    val (pKey, pDoc) = prevThr.map(t => (t._1, t._2)).getOrElse((NoKey, NoDoc))
-    val oldSel = spark.table(scoresT(prefix))
-      .filter(selPred(pKey, pDoc))
-      .join(broadcast(freshK.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("gkey"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    require(prevThr.forall(t => oldSel.length == t._3),
-      s"streamingDsir($prefix): selected-set read returned " +
-        s"${oldSel.length} rows, thresholds snapshot says " +
-        s"${prevThr.map(_._3)} — store and snapshot disagree (bug or " +
-        "foreign store)")
+    val oldSel: Array[(Long, Long)] = prevThr match {
+      case Some((pKey, pDoc, nSelPrev)) =>
+        val sel = spark.table(scoresT(prefix))
+          .filter(selPred(pKey, pDoc))
+          .join(broadcast(freshK.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("gkey"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(sel.length == nSelPrev,
+          s"streamingDsir($prefix): selected-set read returned " +
+            s"${sel.length} rows, thresholds snapshot says $nSelPrev — " +
+            "store and snapshot disagree (bug or foreign store)")
+        sel
+      case None =>
+        // No predecessor snapshot means NOTHING may be decided yet —
+        // guarded BEFORE any sentinel-threshold read: falling back to
+        // select-all over a populated store would collect the corpus
+        // to the driver and emit spurious evictions for every
+        // unselected doc (the exact garbage path a thr history trimmed
+        // past the predecessor would open).
+        val residue = spark.table(scoresT(prefix))
+          .join(broadcast(freshK.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .limit(1).count()
+        require(residue == 0L,
+          s"streamingDsir($prefix): no thresholds snapshot precedes " +
+            s"batch_id=$batchId but the scores store carries decided " +
+            "docs — the predecessor snapshot is missing (foreign store, " +
+            "or thr history trimmed below retainThrBatches >= 2)")
+        Array.empty
+    }
 
     // ---- new threshold = kth of (old selected ∪ fresh) by
     // (gkey desc, doc_id asc): the union is ≤ k + |batch| rows and the

@@ -104,18 +104,20 @@ private[graft] object StreamStoreOps {
     laid.write.insertInto(table)
   }
 
-  /** Shared mix-store compaction body (see the operators' compactStore
-    * scaladocs for the maintenance contract): docs range-ordered on
-    * (source, skey, doc_id) for the boundary probes' file skipping,
-    * ledger on doc_id for the IN-list row-group skips, thr TRIMMED to
-    * the trailing `retainThrBatches` snapshots via compactTable's
-    * staged retention filter — survivors land on disk in the staging
-    * table BEFORE the live table is touched, so the recovery-critical
-    * state never has a crash window where dropped rows' table is its
-    * only copy — then ordered on batch_id. */
-  def compactMixStore(spark: SparkSession, docsT: String, ledgerT: String,
-      thrT: String, targetFileBytes: Long,
-      retainThrBatches: Int): Map[String, (Int, Int)] = {
+  /** Shared threshold-store compaction body — ONE implementation for
+    * every operator that pairs key-ordered data tables with a
+    * per-batch thresholds snapshot ([[StreamMix]], [[StreamMixTokens]],
+    * [[StreamDsir]]), so a retention/staging fix cannot silently
+    * diverge between them. Each data table is rewritten ordered on its
+    * probe key; thr is TRIMMED to the trailing `retainThrBatches`
+    * snapshots via compactTable's staged retention filter — survivors
+    * land on disk in the staging table BEFORE the live table is
+    * touched, so the recovery-critical state never has a crash window
+    * where the dropped rows' table is its only copy — then ordered on
+    * batch_id. */
+  def compactThresholdStore(spark: SparkSession,
+      dataTables: Seq[(String, Seq[String])], thrT: String,
+      targetFileBytes: Long, retainThrBatches: Int): Map[String, (Int, Int)] = {
     // >= 2, not >= 1: healthy-path recovery reads only the trailing
     // snapshot, but a crash-after-thr replay of the NEWEST batch N
     // recomputes its state from snapshot N-1 — trimming to N alone
@@ -126,17 +128,31 @@ private[graft] object StreamStoreOps {
     require(retainThrBatches >= 2,
       "retainThrBatches: a crash-after-thr replay of the newest batch " +
         "recovers from its PREDECESSOR snapshot — keep >= 2")
+    // Retention by RANK over the DISTINCT stored batch ids, never by id
+    // arithmetic: batch ids are NOT contiguous in the thr table (a
+    // batch whose pool filter leaves nothing writes no snapshot), so a
+    // `max - (retain-1)` range cut could land inside a gap and delete
+    // the PREDECESSOR snapshot the newest batch's crash-after-thr
+    // replay recovers from — wedging (mixers) or, worse, degrading the
+    // recovery to the no-history sentinel (selector).
+    val keepIds = spark.table(thrT).select(col("batch_id")).distinct()
+      .orderBy(col("batch_id").desc).limit(retainThrBatches)
+      .collect().map(_.getLong(0))
     val thrCut: Option[String] =
-      spark.table(thrT).agg(max(col("batch_id"))).head() match {
-        case r if r.isNullAt(0) => None // empty store — nothing to trim
-        case r => Some(s"batch_id >= ${r.getLong(0) - (retainThrBatches - 1)}")
-      }
-    Map(
-      docsT -> graft.sources.TableOps.compactTable(spark, docsT,
-        targetFileBytes, orderBy = Seq("source", "skey", "doc_id")),
-      ledgerT -> graft.sources.TableOps.compactTable(spark, ledgerT,
-        targetFileBytes, orderBy = Seq("doc_id")),
-      thrT -> graft.sources.TableOps.compactTable(spark, thrT,
-        targetFileBytes, orderBy = Seq("batch_id"), where = thrCut))
+      if (keepIds.isEmpty) None // empty store — nothing to trim
+      else Some(s"batch_id >= ${keepIds.min}")
+    dataTables.map { case (t, ord) =>
+      t -> graft.sources.TableOps.compactTable(spark, t,
+        targetFileBytes, orderBy = ord)
+    }.toMap + (thrT -> graft.sources.TableOps.compactTable(spark, thrT,
+      targetFileBytes, orderBy = Seq("batch_id"), where = thrCut))
   }
+
+  /** [[compactThresholdStore]] with the mixers' table layout. */
+  def compactMixStore(spark: SparkSession, docsT: String, ledgerT: String,
+      thrT: String, targetFileBytes: Long,
+      retainThrBatches: Int): Map[String, (Int, Int)] =
+    compactThresholdStore(spark,
+      Seq(docsT -> Seq("source", "skey", "doc_id"), ledgerT -> Seq("doc_id")),
+      thrT, targetFileBytes, retainThrBatches)
 }

@@ -150,7 +150,12 @@ class StreamDsirSpec extends SparkSpec {
         .filter(col("batch_id") === w.toLong)
         .select(col("t_key"), col("t_doc"), col("n_sel")).head()
       val thr = (t.getLong(0), t.getLong(1))
-      assert(implicitly[Ordering[(Long, Long)]].compare(thr, lastThr) >= 0 ||
+      // threshold order follows the selection law (gkey desc, doc_id
+      // asc): a HIGHER threshold has a larger t_key, or an equal t_key
+      // with a SMALLER t_doc — compare on (t_key, -t_doc)
+      def rank(p: (Long, Long)) = (p._1, -p._2)
+      assert(implicitly[Ordering[(Long, Long)]]
+        .compare(rank(thr), rank(lastThr)) >= 0 ||
         lastThr == (Long.MinValue, Long.MaxValue),
         s"wave $w threshold regressed: $lastThr -> $thr")
       lastThr = thr
@@ -193,6 +198,58 @@ class StreamDsirSpec extends SparkSpec {
       assert(a == b, s"wave $w diverged after compaction")
     }
     dropStore("sds_cp"); dropStore("sds_cq")
+  }
+
+  test("thr retention keeps the trailing snapshots by RANK across batch-id gaps") {
+    dropStore("sds_gap")
+    import spark.implicits._
+    StreamDsir.modelWrite(spark, "sds_gap", Tables.documents(spark, sf001))
+    StreamDsir.processBatch(spark, "sds_gap",
+      wavedDocs.filter(col("wave") === 0)
+        .select(col("doc_id"), col("source"), col("text")), 0L).count(): Unit
+    // batch 1 is all target-source: empty emission, NO thr snapshot —
+    // the id sequence in the thr table now has a gap
+    StreamDsir.processBatch(spark, "sds_gap",
+      Seq((900001L, "src0", "a b"), (900002L, "src1", "c d"))
+        .toDF("doc_id", "source", "text"), 1L).count(): Unit
+    StreamDsir.processBatch(spark, "sds_gap",
+      wavedDocs.filter(col("wave") === 1)
+        .select(col("doc_id"), col("source"), col("text")), 2L).count(): Unit
+    StreamDsir.compactStore(spark, "sds_gap", retainThrBatches = 2)
+    val ids = spark.table("sds_gap_thr")
+      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+    // rank-based retention must keep snapshots {0, 2} — an id-range cut
+    // (batch_id >= max-1) would land in the gap and delete snapshot 0,
+    // the predecessor a crash-after-thr replay of batch 2 recovers from
+    assert(ids == Set(0L, 2L),
+      s"retention trimmed the predecessor across the id gap: kept $ids")
+    dropStore("sds_gap")
+  }
+
+  test("a store whose predecessor snapshot is missing refuses instead of mass-evicting") {
+    dropStore("sds_ms"); dropStore("sds_msA")
+    val docs = Tables.documents(spark, sf001)
+    val w0 = wavedDocs.filter(col("wave") === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val w1 = wavedDocs.filter(col("wave") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    // A supplies the deterministic batch-1 thr residue
+    StreamDsir.modelWrite(spark, "sds_msA", docs)
+    StreamDsir.processBatch(spark, "sds_msA", w0, 0L).count(): Unit
+    StreamDsir.processBatch(spark, "sds_msA", w1, 1L).count(): Unit
+    StreamDsir.modelWrite(spark, "sds_ms", docs)
+    StreamDsir.processBatch(spark, "sds_ms", w0, 0L).count(): Unit
+    // crash window 1 residue for batch 1 — but with the batch-0
+    // predecessor snapshot GONE (an over-trimmed / foreign thr history)
+    graft.sources.TableOps.resetTable(spark, "sds_ms_thr",
+      spark.table("sds_msA_thr").filter(col("batch_id") === 1L)
+        .select(col("batch_id"), col("t_key"), col("t_doc"), col("n_sel")))
+    val ex = intercept[IllegalArgumentException] {
+      StreamDsir.processBatch(spark, "sds_ms", w1, 1L)
+    }
+    assert(ex.getMessage.contains("predecessor snapshot is missing"),
+      s"wrong refusal: ${ex.getMessage}")
+    dropStore("sds_ms"); dropStore("sds_msA")
   }
 
   test("a missing frozen model refuses loudly; target-source arrivals are not candidates") {
