@@ -426,4 +426,72 @@ object GraftProps extends Properties("graft") {
       Prop(cover && arrival && law && finalAgrees) :|
         s"docs=${docs0.take(5)}... seed=$seed out=${out.take(3)}..."
     }
+
+  // --- spark: streaming DSIR selection is batching-invariant --------
+
+  private val dsirCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val dsirVocab = Gen.oneOf("scan", "agg", "join", "row", "table",
+    "fast", "key", "part", "hash", "data")
+  private val dsirDocsGen: Gen[List[(Long, String, String)]] =
+    Gen.sequence[List[(Long, String, String)], (Long, String, String)](
+      (0 until 24).toList.map { i =>
+        for {
+          src <- if (i < 6) Gen.const("src0")
+                 else Gen.oneOf("src2", "src3", "src17")
+          n <- Gen.choose(3, 6)
+          ws <- Gen.listOfN(n, dsirVocab)
+        } yield (i.toLong, src, ws.mkString(" "))
+      })
+
+  /** The final selection of [[graft.streaming.StreamDsir]] must not
+    * depend on HOW arrivals were batched: every batching of the same
+    * pool yields (a) the reference keys for every pool doc, (b)
+    * selected == top-k over those keys, (c) at most one eviction per
+    * doc, only ever after an admission — the running-Gumbel-top-k
+    * model the replay twin's oracle encodes, here exercised on random
+    * corpora and random batchings instead of the fixture's four
+    * waves. */
+  property("streaming dsir final selection is batching-invariant") =
+    forAll(dsirDocsGen, Gen.listOfN(24, Gen.choose(0, 2)),
+      Gen.choose(2, 6)) { (docs, assign, k) =>
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val pfx = s"prop_dsir${dsirCounter.incrementAndGet()}"
+      Seq("model", "scores", "thr", "ledger").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val all = docs.toDF("doc_id", "source", "text")
+      graft.streaming.StreamDsir.modelWrite(spark, pfx, all)
+      val batches = docs.zip(assign).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (b, ds) => (b, ds.map(_._1)) }
+      val events = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long)]()
+      batches.foreach { case (b, ds) =>
+        events ++= graft.streaming.StreamDsir.processBatch(spark, pfx,
+          ds.toDF("doc_id", "source", "text"), b.toLong, "p42", k)
+          .select($"doc_id", $"kept", $"batch_id").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      }
+      // reference: frozen-model keys over the whole pool, batch top-k
+      val pool = all.filter(!$"source".isin("src0", "src1"))
+      val refKeys = graft.ext.TextAnalysis
+        .dsirScore(pool, spark.table(s"${pfx}_model"), "p42")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val stored = spark.table(s"${pfx}_scores")
+        .select($"doc_id", $"gkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val keysOk = stored == refKeys
+      val expectSel = refKeys.toSeq.sortBy { case (d, g) => (-g, d) }
+        .take(k).map(_._1).toSet
+      val gotSel = graft.streaming.StreamDsir.currentSelected(spark, pfx)
+        .filter($"selected").select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val evShape = events.groupBy(_._1).forall { case (_, es) =>
+        val seqd = es.sortBy(_._3).map(_._2).toSeq
+        seqd.length <= 2 && (seqd.length < 2 || seqd == Seq(true, false))
+      }
+      Seq("model", "scores", "thr", "ledger").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      Prop(keysOk && gotSel == expectSel && evShape) :|
+        s"k=$k batches=${batches.map(_._2.length)} |sel|=${gotSel.size} " +
+          s"expect=${expectSel.size} keysOk=$keysOk evShape=$evShape"
+    }
 }
