@@ -162,6 +162,16 @@ object Dedup {
        |  FROM hh0),
        |sig AS (SELECT doc_id, $slotMinsSql FROM hh GROUP BY doc_id)""".stripMargin
 
+  /** The 4-band relation CTE body over `sig` — ONE definition shared by
+    * every oracle that bands (lshScurve, incremental, streamed,
+    * minhashEstimate, pipeline, dailyIngest), so an edit to the banding
+    * cannot silently diverge the twins. */
+  private val bandsCteBodySql: String =
+    s"""  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig""".stripMargin
+
   val dedupMinhashSql: String =
     s"""WITH $sigCtesSql
        |SELECT doc_id,
@@ -299,13 +309,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val docs = documents
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
-      .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard_raw",
-        col("i").cast("double") / (size(col("toks_a")) + size(col("toks_b")) - col("i")))
-      .filter(col("jaccard_raw") >= threshold)
+    jaccardJoin(candidates, docs, docs, threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
   }
@@ -361,12 +365,8 @@ object Dedup {
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 4
     val docs = Tables.documents(spark, sfDir)
-    def shingles(df: DataFrame, idCol: String): DataFrame = df
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= k)
-      .select(col("doc_id").as(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(tokens) - $k),
-           |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)).as("shingle"))
+    def shingles(df: DataFrame, idCol: String): DataFrame =
+      shinglesOf(df, idCol, k)
     val bench = shingles(docs.filter(col("doc_id") < 5), "bench_id")
     val corpus = shingles(docs.filter(col("doc_id") >= 5), "doc_id")
     corpus.join(broadcast(bench), "shingle")
@@ -416,6 +416,21 @@ object Dedup {
     * in the hot path. m is sized at ~16 bits/key rounded up to a power of
     * two (fpp ≈ 4e-4 at k=5); at 1e7 eval shingles that is a 20 MB bit
     * array — still broadcast-trivial. */
+
+  /** k-gram shingle explosion over a (doc_id, text) frame — ONE
+    * definition for the whole decontamination family (contamination,
+    * bloomDecontamination, dailyIngest, and the streaming screens in
+    * StreamIngest), so a tokenizer change cannot leave the family
+    * internally inconsistent. Docs shorter than k tokens emit nothing. */
+  private[graft] def shinglesOf(df: DataFrame, idCol: String,
+      k: Int): DataFrame = df
+    .withColumn("tokens", split(col("text"), " "))
+    .filter(size(col("tokens")) >= k)
+    .select(col("doc_id").as(idCol), explode(expr(
+      s"""array_distinct(transform(sequence(0, size(tokens) - $k),
+         |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin))
+      .as("shingle"))
+
   /** Build a Bloom bit array over a one-column (`shingle`) DataFrame. The
     * k bit positions are computed WITH Spark's own `xxhash64` expression
     * (seeds 0..numHashes-1) and only the positions are collected —
@@ -450,22 +465,26 @@ object Dedup {
     // (the positive half overflows at parse); CAST of the plain decimal
     // literal is safe for every long.
     val arr = bits.map(v => s"CAST($v AS BIGINT)").mkString("array(", ",", ")")
-    (0 until numHashes).map { i =>
-      s"((element_at($arr, cast(pmod(xxhash64($term, $i), $mBits) div 64 as int) + 1)" +
-        s" & shiftleft(1L, cast(pmod(xxhash64($term, $i), $mBits) % 64 as int))) <> 0L)"
-    }.mkString("(", " AND ", ")")
+    // ONE inline copy of the bit array and ONE xxhash64 per hash term:
+    // the earlier per-term AND-chain inlined the array literal (and
+    // evaluated the hash) once per DIV/MOD use — at the scaladoc's own
+    // production sizing (1e7 keys → ~2.6M-element literal) that is
+    // numHashes copies of a multi-MB expression tree for Catalyst to
+    // analyze. forall/transform bind the literal a single time; bh/bp
+    // are chosen not to collide with callers' outer lambda variables
+    // (the streaming screens wrap this probe in `filter(shl, s -> …)`).
+    s"forall(transform(sequence(0, ${numHashes - 1}), " +
+      s"bh -> pmod(xxhash64($term, bh), $mBits)), " +
+      s"bp -> (element_at($arr, cast(bp div 64 as int) + 1)" +
+      s" & shiftleft(1L, cast(bp % 64 as int))) <> 0L)"
   }
 
   def bloomDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 4
     val numHashes = 5
     val docs = Tables.documents(spark, sfDir)
-    def shingles(df: DataFrame, idCol: String): DataFrame = df
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= k)
-      .select(col("doc_id").as(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(tokens) - $k),
-           |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)).as("shingle"))
+    def shingles(df: DataFrame, idCol: String): DataFrame =
+      shinglesOf(df, idCol, k)
     val bench = shingles(docs.filter(col("doc_id") < 5), "bench_id")
     val corpus = shingles(docs.filter(col("doc_id") >= 5), "doc_id")
 
@@ -545,10 +564,7 @@ object Dedup {
   val lshScurveSql: String =
     s"""WITH $sigCtesSql,
        |bands AS (
-       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
-       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
-       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
-       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |$bandsCteBodySql),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -606,7 +622,12 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n{2,}")).as(Seq("para_idx", "para")))
       .select(col("doc_id"), col("para_idx"),
-        split(trim(col("para")), " +").as("ptoks"))
+        // \s+, not ' +': paragraphs split only on BLANK lines, so a
+        // single newline (hard wrap) is intra-paragraph whitespace — a
+        // space-only split would leave it embedded in a token ("b\nc")
+        // and a genuinely leaked shingle spanning the wrap would be
+        // reported clean
+        split(trim(col("para")), "\\s+").as("ptoks"))
 
   def parasFixedWindow(documents: DataFrame, width: Int = 16): DataFrame =
     documents
@@ -624,11 +645,17 @@ object Dedup {
     def shingleArr(toksCol: String) = expr(
       s"""array_distinct(transform(sequence(0, size($toksCol) - $k),
          |  i -> concat_ws(' ', slice($toksCol, i + 1, $k))))""".stripMargin)
+    // bench side tokenizes on \s+ like parasFromNewlines' paragraphs —
+    // both sides must normalize hard wraps identically or a shingle
+    // spanning a newline never matches (space-only fixture: identical)
     val benchSet = benchDocs
-      .withColumn("btoks", split(col("text"), " "))
+      .withColumn("btoks", split(trim(col("text")), "\\s+"))
       .filter(size(col("btoks")) >= k)
       .select(explode(shingleArr("btoks")).as("shingle")).distinct()
-    val hits = paras
+    // both output branches below re-read `paras`; pin the paragraph
+    // explosion once (lazy — materialized on first use)
+    val parasP = paras.localCheckpoint(false)
+    val hits = parasP
       .withColumn("shl",
         when(size(col("ptoks")) >= k, shingleArr("ptoks"))
           .otherwise(array().cast("array<string>")))
@@ -636,7 +663,7 @@ object Dedup {
       .join(broadcast(benchSet), "shingle")
       .groupBy(col("doc_id"), col("para_idx"))
       .agg(count(lit(1)).as("n_shared"))
-    paras.select(col("doc_id"), col("para_idx"))
+    parasP.select(col("doc_id"), col("para_idx"))
       .join(hits, Seq("doc_id", "para_idx"), "left")
       .na.fill(0L, Seq("n_shared"))
       .groupBy(col("doc_id"))
@@ -988,10 +1015,7 @@ object Dedup {
        |                CAST(substr(source, 4) AS INT) AS src_num
        |         FROM documents),
        |bands AS (
-       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
-       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
-       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
-       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |$bandsCteBodySql),
        |cand AS (
        |  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
        |  FROM bands o JOIN srcs so ON so.doc_id = o.doc_id
@@ -1026,6 +1050,16 @@ object Dedup {
   private[graft] def jaccardVerifyToks(candidates: DataFrame,
       toksA: DataFrame, toksB: DataFrame,
       threshold: Double = 0.8): DataFrame =
+    jaccardJoin(candidates, toksA, toksB, threshold)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** THE exact-Jaccard verification join — the single definition both
+    * [[jaccardVerify]] (text input) and [[jaccardVerifyToks]] (the
+    * streaming store's pre-tokenized form) project from, so the
+    * intersect/union/threshold math cannot drift between the batch and
+    * streaming paths. Emits (doc_a, doc_b, jaccard_raw). */
+  private def jaccardJoin(candidates: DataFrame,
+      toksA: DataFrame, toksB: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(toksA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(toksB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
@@ -1034,7 +1068,6 @@ object Dedup {
         col("i").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("i")))
       .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
 
   /** ONE micro-batch step of ONLINE near-dedup — the shared core of the
     * streaming filter ([[graft.streaming.StreamDedup]]) and its oracled
@@ -1300,10 +1333,7 @@ object Dedup {
     }
     s"""WITH RECURSIVE $sigCtesSql,
        |bands AS MATERIALIZED (
-       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
-       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
-       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
-       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |$bandsCteBodySql),
        |srcs AS MATERIALIZED (SELECT doc_id, source,
        |                CAST(floor(CAST(substr(source, 4) AS INT) / 5.0) AS INT) AS wave
        |         FROM documents),
@@ -1388,7 +1418,9 @@ object Dedup {
       .join(side("a"), "doc_a").join(side("b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / 16.0).as("est_jaccard"))
-    val shl = shingleSets(docs)
+    // both exact-side joins read the corpus-wide shingle build; pin it
+    // once (the lshScurve pattern) instead of re-shingling per side
+    val shl = shingleSets(docs).localCheckpoint(false)
     est
       .join(shl.select(col("doc_id").as("doc_a"), col("shl").as("shl_a")), "doc_a")
       .join(shl.select(col("doc_id").as("doc_b"), col("shl").as("shl_b")), "doc_b")
@@ -1402,10 +1434,7 @@ object Dedup {
   val minhashEstimateSql: String =
     s"""WITH $sigCtesSql,
        |bands AS (
-       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
-       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
-       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
-       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |$bandsCteBodySql),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -1431,10 +1460,7 @@ object Dedup {
   val dedupPipelineSql: String =
     s"""WITH RECURSIVE $sigCtesSql,
        |bands AS (
-       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
-       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
-       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
-       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |$bandsCteBodySql),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -1514,12 +1540,8 @@ object Dedup {
         (col("n_emails") + col("n_phones") + col("n_ips")).as("n_pii"))
       .localCheckpoint(false)
 
-    def shingles4(df: DataFrame, idCol: String): DataFrame = df
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= k)
-      .select(col("doc_id").as(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(tokens) - $k),
-           |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)).as("shingle"))
+    def shingles4(df: DataFrame, idCol: String): DataFrame =
+      shinglesOf(df, idCol, k)
     val bench = shingles4(standing.filter(col("doc_id") < 5), "bench_id")
     val bits = bloomBits(bench.select(col("shingle")), numHashes)
     val contam = shingles4(arriving, "doc_id")
@@ -1582,10 +1604,7 @@ object Dedup {
        |srcs AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num
        |         FROM documents),
        |bands AS (
-       |  SELECT doc_id, 0 AS bi, md5(${bandSql(0)}) AS b FROM sig UNION ALL
-       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig UNION ALL
-       |  SELECT doc_id, 2, md5(${bandSql(2)}) FROM sig UNION ALL
-       |  SELECT doc_id, 3, md5(${bandSql(3)}) FROM sig),
+       |$bandsCteBodySql),
        |cand AS (
        |  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
        |  FROM bands o JOIN srcs so ON so.doc_id = o.doc_id

@@ -231,10 +231,13 @@ object StreamIngest {
     def shingleArr = expr(
       s"""array_distinct(transform(sequence(0, size(tokens) - $k),
          |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)
-    val benchShingles = benchDocs
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= k)
-      .select(explode(shingleArr).as("shingle")).distinct()
+    // bench side goes through the family-shared shingler (Dedup
+    // .shinglesOf); the per-doc shl column below stays local because
+    // the streaming side needs the array FORM (probe inside a lambda),
+    // not the exploded relation
+    val benchShingles = graft.ext.Dedup
+      .shinglesOf(benchDocs, "bench_id", k)
+      .select(col("shingle")).distinct()
     val bits = graft.ext.Dedup.bloomBits(benchShingles, numHashes = 5)
     val probe = graft.ext.Dedup.bloomProbeSql(bits, numHashes = 5, term = "s")
     docs
