@@ -46,13 +46,43 @@ object Similarity {
     }
   }
 
+  /** The full rebuild-race signature: mid-execution file loss
+    * ([[isMissingFileError]]) OR the resolve-phase variants — the
+    * rebuild's drop+recreate landing while the serve batch is fetching
+    * the version/model surfaces as a missing TABLE (the catalog window
+    * between drop and recreate), not missing files. */
+  private def isRebuildRaceError(t: Throwable): Boolean =
+    isMissingFileError(t) || {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+      chain.exists {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => true
+        case e =>
+          val m = Option(e.getMessage).getOrElse("")
+          m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+            m.contains("Table or view not found")
+      }
+    }
+
+  /** Bound on the blue-green settle loop: each pass is one catalog
+    * metadata fetch + plan construction, so exhausting it means the
+    * index is being rebuilt/appended faster than a plan can be built —
+    * an operational misconfiguration to surface, not to spin on. */
+  private val BlueGreenSettleRetries = 32
+
   /** cosine(a, b) in double precision via higher-order folds — the
     * pure-built-in formulation, kept as the reference implementation the
-    * native expression is tested against. */
+    * native expression is tested against. Divisors are null-guarded:
+    * a zero-norm side yields NULL (the family law — see the native
+    * expression's scaladoc); a bare `/ sqrt(0)` would instead throw
+    * DIVIDE_BY_ZERO under ANSI. */
   def cosineHof(a: String, b: String): Column = {
     def dot(x: String, y: String) = expr(
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS DOUBLE) * cast(q AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    def norm(x: String) = {
+      val n = sqrt(dot(x, x))
+      when(n =!= 0.0, n)
+    }
+    dot(a, b) / norm(a) / norm(b)
   }
 
   /** cosine(a, b) through the native fused-loop Catalyst expression
@@ -85,7 +115,7 @@ object Similarity {
       |         sqrt(list_sum(list_transform(q.qe,
       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_q
       |  FROM embeddings e CROSS JOIN q)
-      |SELECT vec_id, round(dotqe / norm_e / norm_q + 1e-9, 4) AS sim
+      |SELECT vec_id, round(dotqe / nullif(norm_e, 0) / nullif(norm_q, 0) + 1e-9, 4) AS sim
       |FROM d ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** Brute-force top-3 neighbors for each of the first 20 query vectors:
@@ -110,8 +140,8 @@ object Similarity {
       |         round(
       |           list_sum(list_transform(list_zip(e.embedding, q.embedding),
       |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |           / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |           / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           / nullif(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+      |           / nullif(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
       |           + 1e-9, 4) AS sim
       |  FROM embeddings q JOIN embeddings e
       |    ON q.vec_id < 20 AND e.vec_id != q.vec_id)
@@ -180,6 +210,17 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
   }
 
+  /** Append the coarse-quantizer assignment: `darr` (squared distance
+    * to every centroid literal) and `cell` (argmin, FIRST cell on exact
+    * ties via array_position-of-min — the cross-engine tie-break the
+    * DuckDB ivfAssignCte replays). ONE definition for the whole IVF
+    * family (quantizer, incremental add, PQ encode, PQ serve) so a
+    * tie-break or distance fix cannot silently desynchronize them. */
+  private def withCoarseCell(cents: Array[Array[Double]])(df: DataFrame): DataFrame = df
+    .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
+    .withColumn("cell",
+      (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+
   /** The deterministic Lloyd quantizer shared by the IVF family and
     * [[semanticDedup]]: seeds = the k rank-smallest vec_ids' embeddings,
     * `iters` assign/update rounds with centroid means rounded (+1e-9,
@@ -197,10 +238,9 @@ object Similarity {
       maxTrainRows: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
     val train = maxTrainRows.fold(emb)(n =>
       emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n))
-    def assign(df: DataFrame, cents: Array[Array[Double]]): DataFrame = df
-      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
-      .withColumn("cell", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
-      .select(col("vec_id"), col("cell"), col("embedding"))
+    def assign(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
+      withCoarseCell(cents)(df)
+        .select(col("vec_id"), col("cell"), col("embedding"))
     var cents: Array[Array[Double]] = train.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -311,8 +351,8 @@ object Similarity {
        |    round(
        |      list_sum(list_transform(list_zip(ea.embedding, eq.embedding),
        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |      / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / nullif(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+       |      / nullif(sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
        |      + 1e-9, 4) AS sim
        |  FROM (SELECT vec_id AS q_id, cell FROM aq) q
        |  JOIN a3 a ON a.cell = q.cell AND a.vec_id != q.q_id
@@ -384,8 +424,8 @@ object Similarity {
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |         / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |         / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         / nullif(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+      |         / nullif(sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
       |         AS sim_raw
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, round(sim_raw + 1e-9, 4) AS sim
@@ -461,8 +501,8 @@ object Similarity {
       |  SELECT vec_a, vec_b,
       |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |    / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |    / sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS sim_raw
+      |    / nullif(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+      |    / nullif(sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0) AS sim_raw
       |  FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
       |             JOIN embeddings eb ON eb.vec_id = vec_b)
       |SELECT vec_a, vec_b, round(sim_raw + 1e-9, 4) AS sim
@@ -470,6 +510,22 @@ object Similarity {
 
   val cosineDedupLshSql: String =
     cosineDedupLshCoreSql + "\nORDER BY vec_a, vec_b"
+
+  /** Big-endian sign-bit fold of one 32-dim half into a BIGINT — the
+    * load-bearing packing contract of the binary-code family (two
+    * halves so no intermediate touches the BIGINT sign bit in either
+    * engine). ONE Scala and ONE SQL definition shared by hammingAnn
+    * and hammingRerank: editing a copy (threshold, slice bounds) would
+    * leave the two operators computing DIFFERENT codes while each
+    * still passes its own oracle. */
+  private def signHalf(off: Int): Column = expr(
+    s"""aggregate(slice(embedding, $off, 32), CAST(0 AS BIGINT),
+       |  (acc, x) -> acc * 2 + IF(x > 0, 1, 0))""".stripMargin)
+  private def signHalfSql(lo: Int, hi: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(embedding[$lo:$hi],
+       |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+       |      (a, b) -> a * 2 + b)""".stripMargin
 
   /** Binary-code (sign-bit) ANN — the fourth search geometry beside brute
     * cosine, hyperplane LSH, and IVF: each 64-dim float vector compresses
@@ -485,9 +541,7 @@ object Similarity {
     * neighbor_id — pure integer arithmetic throughout, so the oracle
     * replays exactly. */
   def hammingAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    def half(off: Int) = expr(
-      s"""aggregate(slice(embedding, $off, 32), CAST(0 AS BIGINT),
-         |  (acc, x) -> acc * 2 + IF(x > 0, 1, 0))""".stripMargin)
+    def half(off: Int) = signHalf(off)
     val codes = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), half(1).as("code_lo"), half(33).as("code_hi"))
     val queries = codes.filter(col("vec_id") < 10)
@@ -505,11 +559,7 @@ object Similarity {
   }
 
   val hammingAnnSql: String = {
-    def half(lo: Int, hi: Int): String =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(embedding[$lo:$hi],
-         |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
-         |      (a, b) -> a * 2 + b)""".stripMargin
+    def half(lo: Int, hi: Int): String = signHalfSql(lo, hi)
     s"""WITH codes AS (
        |  SELECT vec_id,
        |    ${half(1, 32)} AS code_lo,
@@ -539,9 +589,7 @@ object Similarity {
     * break by neighbor_id on integer Hamming, so stage-1's cutoff — and
     * therefore the final ranking — replays exactly in the oracle. */
   def hammingRerank(spark: SparkSession, sfDir: String): DataFrame = {
-    def half(off: Int) = expr(
-      s"""aggregate(slice(embedding, $off, 32), CAST(0 AS BIGINT),
-         |  (acc, x) -> acc * 2 + IF(x > 0, 1, 0))""".stripMargin)
+    def half(off: Int) = signHalf(off)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val codes = emb.select(col("vec_id"), half(1).as("code_lo"), half(33).as("code_hi"))
     val queries = codes.filter(col("vec_id") < 10)
@@ -570,11 +618,7 @@ object Similarity {
   }
 
   val hammingRerankSql: String = {
-    def half(lo: Int, hi: Int): String =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(embedding[$lo:$hi],
-         |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
-         |      (a, b) -> a * 2 + b)""".stripMargin
+    def half(lo: Int, hi: Int): String = signHalfSql(lo, hi)
     s"""WITH codes AS (
        |  SELECT vec_id,
        |    ${half(1, 32)} AS code_lo,
@@ -594,8 +638,8 @@ object Similarity {
        |  SELECT s.q_id, s.neighbor_id,
        |    round(list_sum(list_transform(list_zip(ne.embedding, qe.embedding),
        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |      / sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |      / sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / nullif(sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+       |      / nullif(sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
        |      + 1e-9, 4) AS sim
        |  FROM shortlist s JOIN embeddings ne ON ne.vec_id = s.neighbor_id
        |                   JOIN embeddings qe ON qe.vec_id = s.q_id)
@@ -643,7 +687,10 @@ object Similarity {
             * expr("""aggregate(zip_with(embedding, qe,
                      |  (v, q) -> IF(v > 0, 1D, -1D) * cast(q AS double)),
                      |  0D, (a, x) -> a + x)""".stripMargin)
-            / (col("qnrm") * col("abs_sum"))).as("est"))
+            // null-guarded like the cosine family: a zero vector makes
+            // the denominator 0, which ANSI division would THROW on
+            / when(col("qnrm") * col("abs_sum") =!= 0.0,
+                col("qnrm") * col("abs_sum"))).as("est"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("est"))
@@ -662,7 +709,7 @@ object Similarity {
       |    round(c.nrm
       |      * list_sum(list_transform(list_zip(c.embedding, q.embedding),
       |          p -> (CASE WHEN p[1] > 0 THEN 1.0 ELSE -1.0 END) * CAST(p[2] AS DOUBLE)))
-      |      / (q.nrm * c.abs_sum) + 1e-9, 4) AS est
+      |      / nullif(q.nrm * c.abs_sum, 0) + 1e-9, 4) AS est
       |  FROM s c JOIN s q ON q.vec_id < 10 AND c.vec_id != q.vec_id)
       |SELECT q_id, rank, neighbor_id, est FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
@@ -691,7 +738,11 @@ object Similarity {
     * quantizer CTEs — verdicts, counts, and shadow ids all replay. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val (assigned, _) = ivfQuantize(emb)
+    // the Lloyd assignment feeds BOTH self-join sides and the final
+    // left join — pin it once instead of re-running the quantizer scan
+    // three times
+    val (assignedRaw, _) = ivfQuantize(emb)
+    val assigned = assignedRaw.localCheckpoint(false)
     val a = assigned.select(col("cell"), col("vec_id"), col("embedding").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"))
@@ -715,8 +766,8 @@ object Similarity {
        |         min(b.vec_id) AS pruned_by
        |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND b.vec_id < a.vec_id
        |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-       |        / sqrt(list_sum(list_transform(a.v, x -> x * x)))
-       |        / sqrt(list_sum(list_transform(b.v, x -> x * x))) >= 0.35
+       |        / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x))), 0)
+       |        / nullif(sqrt(list_sum(list_transform(b.v, x -> x * x))), 0) >= 0.35
        |  GROUP BY a.vec_id)
        |SELECT a.vec_id, a.cell, coalesce(m.n_near, 0) AS n_near, m.pruned_by,
        |       m.n_near IS NULL AS kept
@@ -767,9 +818,15 @@ object Similarity {
   def clusterTopics(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val (assigned, _) = ivfQuantize(emb)
+    // FOUR aggregates below (cell×tok, cell, tok, grand total) read this
+    // frame under different grouping keys — no exchange reuse applies,
+    // so without the pin each one re-runs the Lloyd assignment scan, the
+    // documents join, and the token explode (the ivfPqIndex/pcaProject
+    // house pattern)
     val docToks = Tables.documents(spark, sfDir)
       .join(assigned.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
       .select(col("cell"), explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint(false)
     val cellTok = docToks.groupBy(col("cell"), col("tok"))
       .agg(count(lit(1)).as("n_ct"))
       .filter(col("n_ct") >= 3)
@@ -834,10 +891,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val base = emb.filter(col("vec_id") % 5 =!= 0)
     val (_, cents) = ivfQuantize(base)
-    def assignWith(df: DataFrame) = df
-      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
-      .withColumn("cell",
-        (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+    def assignWith(df: DataFrame) = withCoarseCell(cents)(df)
     val assignAll = assignWith(emb)
       .select(col("vec_id"), col("cell"), col("embedding"))
     val qcell = assignWith(emb.filter(col("vec_id") < 10))
@@ -882,8 +936,8 @@ object Similarity {
        |    round(
        |      list_sum(list_transform(list_zip(ea.embedding, eq.embedding),
        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |      / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / nullif(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+       |      / nullif(sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
        |      + 1e-9, 4) AS sim,
        |    CASE WHEN a.vec_id % 5 = 0 THEN 'new' ELSE 'base' END AS src
        |  FROM (SELECT vec_id AS q_id, cell FROM aq) q
@@ -1294,8 +1348,8 @@ object Similarity {
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.label,
       |    round(list_sum(list_transform(list_zip(c.embedding, q.embedding),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |      / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / nullif(sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+      |      / nullif(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
       |      + 1e-9, 4) AS sim
       |  FROM embeddings c JOIN embeddings q
       |    ON q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label != q.label)
@@ -1363,8 +1417,8 @@ object Similarity {
       |    round(
       |      list_sum(list_transform(list_zip(a.embedding, e.embedding),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |      / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |      / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / nullif(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+      |      / nullif(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
       |      + 1e-9, 4) AS nn_sim
       |  FROM b a JOIN b e ON a.bucket = e.bucket AND e.vec_id != a.vec_id),
       |best AS (
@@ -1603,9 +1657,7 @@ object Similarity {
   private[graft] def ivfPqEncode(batch: DataFrame, cents: Array[Array[Double]],
       cb: Array[Array[Array[Double]]]): DataFrame = {
     val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val resid = batch
-      .withColumn("darr", array(cents.map(ivfSqDist).toIndexedSeq: _*))
-      .withColumn("cell", (expr("array_position(darr, array_min(darr))") - 1).cast("int"))
+    val resid = withCoarseCell(cents)(batch)
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
           (x, c) => x.cast("double") - c).as("rv"))
@@ -1973,41 +2025,62 @@ object Similarity {
         var attempts = 0
         var done = false
         while (!done) {
-          var out: DataFrame = null
-          // composite (rebuild id, append rev): a rolled REBUILD re-lists
-          // codes and reloads the model (the memo is keyed on the rebuild
-          // id inside loadIvfPqModel); a moved append REV — StreamAnnIndex
-          // landing new vectors under the unchanged model — re-lists codes
-          // only, which is what lets a serve fleet absorb streamed adds
-          // without a restart (spec-asserted: an add between two serve
-          // batches is retrievable in the second).
-          var v = codesVersion(spark, prefix)
-          var settled = false
-          while (!settled) {
-            if (v != lastVersion) {
-              spark.catalog.refreshTable(s"${prefix}_codes")
-              lastVersion = v
+          // The WHOLE attempt — version fetch, model load, plan
+          // construction, settle, sink — sits inside the retry shield:
+          // a rebuild racing the RESOLVE phases surfaces as a missing
+          // table (the drop↔recreate catalog window) or a missing model
+          // file, not just as the sink's mid-read file loss, and any of
+          // those outside a try would terminate the StreamingQuery —
+          // forcing the checkpointed restart this entry point exists to
+          // avoid.
+          try {
+            var out: DataFrame = null
+            // composite (rebuild id, append rev): a rolled REBUILD
+            // re-lists codes and reloads the model (the memo is keyed on
+            // the rebuild id inside loadIvfPqModel); a moved append REV —
+            // StreamAnnIndex landing new vectors under the unchanged
+            // model — re-lists codes only, which is what lets a serve
+            // fleet absorb streamed adds without a restart
+            // (spec-asserted: an add between two serve batches is
+            // retrievable in the second).
+            var v = codesVersion(spark, prefix)
+            var settled = false
+            var settleTries = 0
+            while (!settled) {
+              settleTries += 1
+              // bounded: continuous version churn faster than plan
+              // construction must surface as an operational error, not
+              // spin this batch forever (contrast the sink retry, which
+              // was always bounded)
+              require(settleTries <= BlueGreenSettleRetries,
+                s"blue-green serve batch $batchId could not settle on an " +
+                  s"index version after $BlueGreenSettleRetries attempts " +
+                  "— the index is rolling faster than plans can be " +
+                  "built; pause the rebuild/add churn or serve pinned")
+              if (v != lastVersion) {
+                spark.catalog.refreshTable(s"${prefix}_codes")
+                lastVersion = v
+              }
+              val (cents, cb) = loadIvfPqModel(spark, prefix)
+              out = serveScore(batch, k, prefix, probes, cents, cb)
+              val v2 = codesVersion(spark, prefix)
+              settled = v2 == v
+              v = v2
             }
-            val (cents, cb) = loadIvfPqModel(spark, prefix)
-            out = serveScore(batch, k, prefix, probes, cents, cb)
-            val v2 = codesVersion(spark, prefix)
-            settled = v2 == v
-            v = v2
-          }
-          try { sink(out, batchId); done = true }
-          catch {
-            // ONLY the mid-execution rebuild race: the plan resolved
-            // version N, the rebuild deleted N's files before the
-            // sink's action finished reading them. Anything else —
-            // sink bugs, OOM, analysis errors — propagates and fails
-            // the query loudly, as it should.
+            sink(out, batchId); done = true
+          } catch {
+            // ONLY the rebuild race (resolve-phase missing table/model,
+            // or mid-execution file loss after the plan resolved version
+            // N and the rebuild deleted N's files). Anything else — sink
+            // bugs, OOM, analysis errors, the settle bound above —
+            // propagates and fails the query loudly, as it should.
             case e: Throwable
-                if attempts < BlueGreenRaceRetries && isMissingFileError(e) =>
+                if attempts < BlueGreenRaceRetries && isRebuildRaceError(e) =>
               attempts += 1
               log.warn(s"blue-green serve batch $batchId raced an index " +
-                s"rebuild mid-execution (attempt $attempts of " +
-                s"$BlueGreenRaceRetries): re-resolving against the new " +
-                s"version and re-running the sink — ${e.getMessage}")
+                s"rebuild (attempt $attempts of $BlueGreenRaceRetries): " +
+                "re-resolving against the new version and re-running — " +
+                s"${e.getMessage}")
               lastVersion = null // force codes refresh on re-resolve
           }
         }
@@ -2060,8 +2133,16 @@ object Similarity {
         .properties.get("graft.source.dir").contains(canonical)
     if (!current) {
       build
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('graft.source.dir' = '$canonical')")
+      // catalog API, not interpolated SQL: the canonical path is caller
+      // data (a quote is legal in a directory name), and a parse failure
+      // HERE lands after the build succeeded — the missing property then
+      // forces a full retrain on every subsequent ensure (the same
+      // hazard class TableOps.restoreGraftProps closes)
+      val cat = spark.sessionState.catalog
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+      val meta = cat.getTableMetadata(id)
+      cat.alterTable(meta.copy(
+        properties = meta.properties + ("graft.source.dir" -> canonical)))
     }
   }
 
@@ -2392,8 +2473,8 @@ object Similarity {
        |    round(
        |      list_sum(list_transform(list_zip(en.embedding, eq.embedding),
        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |      / sqrt(list_sum(list_transform(en.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |      / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / nullif(sqrt(list_sum(list_transform(en.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+       |      / nullif(sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
        |      + 1e-9, 4) AS sim
        |  FROM short s
        |  JOIN embeddings en ON en.vec_id = s.neighbor_id
@@ -2502,9 +2583,14 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(desc("coarse_sim"), asc("neighbor_id"))
+    // the coarse ranking window carries ONLY (q_id, neighbor_id,
+    // coarse_sim) — full vectors join back onto the ≤ 20·|Q| survivors
+    // (the hammingRerank/annPqRefine shortlist shape); shipping both
+    // 64-dim arrays through the per-query shuffle would move ~512 B of
+    // floats per (query, corpus) pair, defeating the truncate-then-
+    // refine byte cut the operator exists to demonstrate
     val cand = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("qe"),
         Num.r4(cosine(spark, "slice(embedding, 1, 32)", "slice(qe, 1, 32)"))
           .as("coarse_sim"))
       .withColumn("crank", row_number().over(wc))
@@ -2512,6 +2598,9 @@ object Similarity {
     val we = Window.partitionBy(col("q_id"))
       .orderBy(desc("sim"), asc("neighbor_id"))
     cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         Num.r4(cosine(spark, "embedding", "qe")).as("sim"))
       .withColumn("rank", row_number().over(we))
@@ -2543,8 +2632,8 @@ object Similarity {
       |         round(
       |           list_sum(list_transform(list_zip(ne, qe),
       |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |           / sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |           / sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           / nullif(sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+      |           / nullif(sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
       |           + 1e-9, 4) AS sim
       |  FROM cand)
       |SELECT q_id, rank, neighbor_id, sim FROM (

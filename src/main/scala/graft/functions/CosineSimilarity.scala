@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * is null, the aggregate fold then stays null), which previously
   * diverged: ArrayData.getFloat reads a null slot as 0.0f, silently
   * skewing the score instead of nulling it.
+  *
+  * A ZERO-NORM side also yields null — the family's canonical
+  * "similarity undefined" law: a bare division would THROW
+  * DIVIDE_BY_ZERO in ANSI Spark (floating-point included — verified
+  * empirically) and produce NaN in DuckDB, which sorts ABOVE every
+  * real value; null instead sorts last under DESC in both engines
+  * (zero vectors are near nothing) and is dropped by `>= threshold`
+  * filters. `Similarity.cosineHof` guards its divisors and the DuckDB
+  * twins `nullif` theirs so all three forms agree.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

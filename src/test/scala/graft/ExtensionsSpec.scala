@@ -619,6 +619,17 @@ class ExtensionsSpec extends SparkSpec {
         |       cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS nul""".stripMargin)
       .collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // the HOF reference takes the SAME zero-norm branch (guarded
+    // divisors -> NULL) instead of throwing ANSI DIVIDE_BY_ZERO — the
+    // family law all three forms (native, HOF, nullif'd DuckDB twins)
+    // share; an unguarded fold crashed here under ANSI
+    import spark.implicits._
+    val hof = Seq((Array(0f), Array(1f)))
+      .toDF("a", "b")
+      .select(graft.ext.Similarity.cosineHof("a", "b").as("s"))
+      .collect()(0)
+    assert(hof.isNullAt(0),
+      "HOF zero-norm reference must be NULL like the native form")
     // a null ELEMENT on either side propagates to null — the HOF form's
     // semantics (ArrayData.getFloat would otherwise read the slot as
     // 0.0f and silently skew the score); both eval modes checked
