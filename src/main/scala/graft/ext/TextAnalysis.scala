@@ -33,20 +33,25 @@ object TextAnalysis {
     * `coalesce`: a rollup row prints 'ALL' while a GENUINE NULL (or a
     * literal 'ALL' string) in the data stays itself — the two cannot be
     * conflated no matter what values the corpus carries. */
-  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    // rollup(source, lang) IS GROUPING SETS ((source,lang),(source),())
+    // — pure DataFrame form, no temp view: the earlier
+    // createOrReplaceTempView mutated session-global state, so two
+    // corpusStats frames over different sfDirs both resolved against
+    // whichever registration ran last
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(split(col("text"), " ")))
-      .createOrReplaceTempView("docs_card")
-    spark.sql(
-      """SELECT CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS source,
-        |       CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
-        |       count(*) AS n_docs,
-        |       sum(CAST(n_chars AS BIGINT)) AS total_chars,
-        |       sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
-        |       round(avg(n_tokens) + 1e-9, 4) AS avg_doc_tokens
-        |FROM docs_card
-        |GROUP BY GROUPING SETS ((source, lang), (source), ())""".stripMargin)
-  }
+      .rollup(col("source"), col("lang"))
+      .agg(grouping(col("source")).as("gs"), grouping(col("lang")).as("gl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(avg(col("n_tokens")) + lit(1e-9), 4).as("avg_doc_tokens"))
+      .select(
+        when(col("gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        when(col("gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        col("n_docs"), col("total_chars"), col("total_tokens"),
+        col("avg_doc_tokens"))
 
   val corpusStatsSql: String =
     """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
@@ -237,9 +242,13 @@ object TextAnalysis {
       .withColumn("z",
         lit(-2.0) + lit(3.0) * col("stop_ratio") + lit(0.2) * col("mean_len")
           + lit(1.5) * col("ttr") + lit(0.1) * log(col("n_tokens")))
-      .select(col("doc_id"),
-        Num.r4(lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"),
-        when(lit(1.0) / (lit(1.0) + exp(-col("z"))) >= 0.5, lit("keep"))
+      // the verdict compares the ROUNDED score (the repetitionFilter /
+      // lmQuality boundary-safety device): z carries a libm ln, so a raw
+      // sigmoid within an ulp of 0.5 could verdict differently across
+      // engines while the emitted score rounds identically
+      .withColumn("score", Num.r4(lit(1.0) / (lit(1.0) + exp(-col("z")))))
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= 0.5, lit("keep"))
           .otherwise(lit("drop")).as("verdict"))
   }
 
@@ -261,11 +270,11 @@ object TextAnalysis {
       |    -2.0 + 3.0 * stop_ratio + 0.2 * mean_len + 1.5 * ttr
       |      + 0.1 * ln(n_tokens) AS z
       |  FROM f)
-      |SELECT doc_id,
-      |       round(1.0 / (1.0 + exp(-z)) + 1e-9, 4) AS score,
-      |       CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5
-      |            THEN 'keep' ELSE 'drop' END AS verdict
-      |FROM z ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, score,
+      |       CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM (SELECT doc_id,
+      |        round(1.0 / (1.0 + exp(-z)) + 1e-9, 4) AS score
+      |      FROM z) ORDER BY doc_id""".stripMargin
 
   /** Document fingerprint: polynomial rolling hash over per-token codes
     * (token length and leading byte), mod a Mersenne prime. A pure
@@ -366,7 +375,12 @@ object TextAnalysis {
     * scoring agg, and the top-k is a TakeOrderedAndProject. Ranked by the
     * ROUNDED score then doc_id — same engine-determinism contract as
     * BM25. */
-  def tfidfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Postings (doc_id, term, tf) + idf relation — the stage BOTH tf-idf
+    * operators build from; one definition so a tokenizer or smoothing
+    * change cannot silently give retrieval and keyword extraction
+    * different weights. */
+  private def tfidfPostingsIdf(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val post = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -376,14 +390,35 @@ object TextAnalysis {
     val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"), log(col("n_docs") / col("df")).as("idf"))
+    (post, idf)
+  }
+
+  /** Term-sorted sequential fold of `valueExpr` over a doc's weight
+    * rows — the determinism device for tf-idf's float sums: a plain
+    * `sum()` accumulates in partial-agg order, which varies with
+    * partitioning (and differs from DuckDB's), so a score within the
+    * summation-order delta of a rounding boundary would flap. Folding
+    * the term-sorted list left-to-right is bit-reproducible across
+    * runs and engines (the lmQuality/pagerank family solves this by
+    * integer scaling; tf·idf weights span too many orders of magnitude
+    * for a single scale, so the fixed fold ORDER is the device here). */
+  private def termSortedSum(valueExpr: String): Column =
+    expr(s"""aggregate(
+            |  transform(array_sort(collect_list(struct(term, $valueExpr AS v))),
+            |            s -> s.v),
+            |  0D, (a, x) -> a + x)""".stripMargin)
+
+  def tfidfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (post, idf) = tfidfPostingsIdf(spark, sfDir)
     val w = post.join(broadcast(idf), Seq("term"))
       .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"),
         col("idf"))
-    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("norm_d"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(termSortedSum("w * w")).as("norm_d"))
     val qNorm = idf.filter(col("term").isin(Bm25Terms: _*))
-      .agg(sqrt(sum(col("idf") * col("idf"))).as("norm_q"))
+      .agg(sqrt(termSortedSum("idf * idf")).as("norm_q"))
     w.filter(col("term").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id")).agg(sum(col("w") * col("idf")).as("dot"))
+      .groupBy(col("doc_id")).agg(termSortedSum("w * idf").as("dot"))
       .join(norms, Seq("doc_id"))
       .crossJoin(broadcast(qNorm))
       .select(col("doc_id"),
@@ -409,12 +444,18 @@ object TextAnalysis {
        |  SELECT doc_id, tf.term, tf * idf AS w, idf
        |  FROM tf JOIN idf ON tf.term = idf.term),
        |norms AS (
-       |  SELECT doc_id, sqrt(sum(w * w)) AS norm_d FROM w GROUP BY doc_id),
+       |  SELECT doc_id, sqrt(list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE), list(w * w ORDER BY term)),
+       |    (a, b) -> a + b)) AS norm_d FROM w GROUP BY doc_id),
        |qn AS (
-       |  SELECT sqrt(sum(idf * idf)) AS norm_q FROM idf
+       |  SELECT sqrt(list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE), list(idf * idf ORDER BY term)),
+       |    (a, b) -> a + b)) AS norm_q FROM idf
        |  WHERE term IN ($inList)),
        |dots AS (
-       |  SELECT doc_id, sum(w * idf) AS dot FROM w
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE), list(w * idf ORDER BY term)),
+       |    (a, b) -> a + b) AS dot FROM w
        |  WHERE term IN ($inList) GROUP BY doc_id)
        |SELECT doc_id, score FROM (
        |  SELECT d.doc_id, round(dot / (norm_d * norm_q) + 1e-9, 4) AS score
@@ -431,15 +472,7 @@ object TextAnalysis {
     * term count, never the corpus). Ranked by the ROUNDED weight then
     * term, so rank cutoffs replay across engines. */
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
-    val post = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val nDocs = Tables.documents(spark, sfDir)
-      .agg(count(lit(1)).cast("double").as("n_docs"))
-    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("term"), log(col("n_docs") / col("df")).as("idf"))
+    val (post, idf) = tfidfPostingsIdf(spark, sfDir)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("weight"), asc("term"))
     post.join(broadcast(idf), Seq("term"))
@@ -1187,8 +1220,12 @@ object TextAnalysis {
     documents
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // integer `div`, not double `/`+cast: a double quotient loses ulps
+      // above 2^53 cumulative tokens per source and could mis-bucket a
+      // doc (the Tables.events precision note) — and the scaladoc's
+      // "pure integer arithmetic" claim should be true
       .withColumn("shard_raw",
-        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+        expr(s"(cum_tokens - n_tokens) div $budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (dense_rank().over(wd) - 1).cast("long").as("shard_id"))
   }
@@ -1626,7 +1663,14 @@ object TextAnalysis {
   }
 
   /** The shared WITH-ladder (v, s0, then (pᵣ, mᵣ, sᵣ) per round) both
-    * BPE oracles build on. */
+    * BPE oracles build on. When the merges EXHAUST before `rounds`
+    * (every word fully merged — m_r empty), each remaining s_r must be
+    * a NO-OP: the scalar search/replace subqueries then return NULL,
+    * and a bare replace(seg, NULL, NULL) would NULL-poison every later
+    * segmentation (the Spark loop instead stops and keeps the last
+    * seg). coalesce substitutes an unmatchable sentinel (chr(1) never
+    * appears in a segmentation) so the ladder carries s_{r-1} through
+    * unchanged. */
   private def bpeCtesFor(rounds: Int): String = {
     val head =
       """WITH v AS MATERIALIZED (
@@ -1649,8 +1693,11 @@ object TextAnalysis {
          |s$r AS MATERIALIZED (
          |  SELECT cnt, trim(regexp_replace(
          |    replace(' ' || replace(seg, ' ', '  ') || ' ',
-         |      (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r),
-         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r)),
+         |      coalesce(
+         |        (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r),
+         |        chr(1)),
+         |      coalesce(
+         |        (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r), '')),
          |    ' +', ' ', 'g')) AS seg
          |  FROM s${r - 1})""".stripMargin
     }
@@ -1733,7 +1780,7 @@ object TextAnalysis {
       |            - 1 AS BIGINT) AS shard_id
       |FROM (
       |  SELECT doc_id, source, n_tokens,
-      |         CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_raw
+      |         (cum_tokens - n_tokens) // 2000 AS shard_raw
       |  FROM (
       |    SELECT doc_id, source,
       |           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -2393,6 +2440,10 @@ object TextAnalysis {
   private[graft] val DsirBuckets = 512
   private[graft] val DsirK = 100
   private[graft] val DsirTargetSources = Seq("src0", "src1")
+  // interpolated into the oracle CTEs like DsirBuckets/DsirK, so
+  // re-targeting the constant cannot silently desynchronize the twins
+  private val dsirTargetsSql: String =
+    DsirTargetSources.map(s => s"'$s'").mkString(", ")
 
   /** Hashed (unigram ∪ bigram) features per doc: (doc_id, source, f)
     * with multiplicity, f = md5_prefix60(gram) mod B — the same
@@ -2550,8 +2601,8 @@ object TextAnalysis {
        |             substr(md5(g), CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
        |      (a, b) -> a * 16 + b) % $DsirBuckets AS f
        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-       |tgt AS (SELECT * FROM grams WHERE source IN ('src0', 'src1')),
-       |raw AS (SELECT * FROM grams WHERE source NOT IN ('src0', 'src1')),
+       |tgt AS (SELECT * FROM grams WHERE source IN ($dsirTargetsSql)),
+       |raw AS (SELECT * FROM grams WHERE source NOT IN ($dsirTargetsSql)),
        |ct AS (SELECT f, count(*) AS c_t FROM tgt GROUP BY 1),
        |cr AS (SELECT f, count(*) AS c_r FROM raw GROUP BY 1),
        |tot AS (SELECT (SELECT count(*) FROM tgt) AS ct_tot,

@@ -1640,6 +1640,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(dyn(from = false, to = true), "fixture produced no admission")
   }
 
+  test("bpe encode survives merge exhaustion before the round budget") {
+    import spark.implicits._
+    // 'ab' is fully merged after ONE round; rounds 2..6 must be no-ops
+    // keeping the last segmentation (the oracle's CTE ladder previously
+    // NULL-poisoned every post-exhaustion s_r via replace(seg, NULL,
+    // NULL) and returned zero rows — verified fixed against DuckDB)
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeOnDocs(spark, docs, rounds = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("ab", 3L)), s"got $out")
+  }
+
   test("dsir weights are exact integers over the raw pool; gumbel resample perturbs the tail") {
     import graft.ext.TextAnalysis
     val docs = Tables.documents(spark, sf001)
