@@ -69,7 +69,7 @@ object Tables {
     * (1e17 ns ≈ 1973, 1e17 µs ≈ year 5138). Falls back to a one-column
     * aggregate in the (never-written-by-Spark-or-DuckDB) case of a
     * stats-free footer. Driver-side cost: one footer read of one file. */
-  private def longTsIsNanos(spark: SparkSession, sfDir: String): Boolean = {
+  private[graft] def longTsIsNanos(spark: SparkSession, sfDir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p0 = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
     val fs = p0.getFileSystem(conf)

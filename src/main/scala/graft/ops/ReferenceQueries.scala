@@ -46,12 +46,18 @@ object ReferenceQueries {
     val raw = Tables.eventsRaw(spark, sfDir)
     val filtered = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // µs-domain window `floor(r/1000) ≥ b` is exactly `r ≥ 1000·b`
-        // in ns, so the literal bound matches the oracle bit-for-bit.
-        val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-        val boundNs = (maxNs / 1000L - 3600L * 1000000L) * 1000L
-        raw.filter(col("ts") >= lit(boundNs))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // the raw long's UNIT comes from the same footer decision
+        // Tables.events makes (ns-annotated vs plain-INT64-µs
+        // generations — longTsIsNanos), never assumed: hard-coding ns
+        // here mis-scaled the window 1000× against a µs generation
+        // while every other events query adapted. µs-domain window
+        // `floor(r/scale) ≥ b` is exactly `r ≥ scale·b`, so the
+        // literal bound matches the oracle bit-for-bit.
+        val scale = if (Tables.longTsIsNanos(spark, sfDir)) 1000L else 1L
+        val maxRaw = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+        val boundRaw = (maxRaw / scale - 3600L * 1000000L) * scale
+        raw.filter(col("ts") >= lit(boundRaw))
+          .withColumn("ts", timestamp_micros(expr(s"ts div $scale")))
       case _ =>
         // LocalDateTime keeps the footer's full µs precision (a
         // java.sql.Timestamp round-trip through getTime would floor to

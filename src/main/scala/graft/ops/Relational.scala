@@ -947,17 +947,19 @@ object Relational {
     spark.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders_corr o
-        |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
-        |                            FROM orders_corr i
-        |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+        |WHERE o_totalprice > 1.5 * round((SELECT avg(i.o_totalprice)
+        |                                   FROM orders_corr i
+        |                                   WHERE i.o_custkey = o.o_custkey)
+        |                                  + 1e-9, 4)""".stripMargin)
   }
 
   val correlatedSubquerySql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
-      |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice)
-      |                            FROM orders i
-      |                            WHERE i.o_custkey = o.o_custkey)
+      |WHERE o_totalprice > 1.5 * round((SELECT avg(i.o_totalprice)
+      |                                 FROM orders i
+      |                                 WHERE i.o_custkey = o.o_custkey)
+      |                                + 1e-9, 4)
       |ORDER BY o_orderkey""".stripMargin
 
   // ------------------------------------------------------- json / misc
@@ -1051,14 +1053,18 @@ object Relational {
   def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    // threshold compares the ROUNDED aggregate (the file's convention):
+    // Spark's partial-agg avg and DuckDB's sequential avg can differ in
+    // the last ulp, flipping a price sitting exactly on the boundary
     o.join(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("avg_price"))
+      .filter(col("o_totalprice") > round(col("avg_price") + lit(1e-9), 4))
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
   val scalarSubquerySql: String =
     """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |WHERE o_totalprice >
+      |      round((SELECT avg(o_totalprice) FROM orders) + 1e-9, 4)
       |ORDER BY o_orderkey""".stripMargin
 
   /** Batch analog of the streaming per-entity throttle (SURVEY.md ST5):
@@ -1350,19 +1356,19 @@ object Relational {
     val prio = Seq(
       ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
       ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("o_orderpriority", "prio_rank")
-    // Replicate the 5-row dim ×8 salts; fact rows pick a deterministic
-    // salt from their primary key so the hot key's rows spread across 8
-    // (key, salt) shuffle partitions instead of one.
-    val saltedDim = prio.crossJoin(
-      spark.range(SaltBuckets.toLong).select(col("id").cast("int").as("salt")))
+    // ONE salting implementation (SkewTools.saltedInnerJoin: fact rows
+    // pick a deterministic salt from their primary key, the 5-row dim
+    // replicates ×SaltBuckets) — a second hand-rolled copy here could
+    // silently drift from the shared helper's scheme. The aggregation
+    // after the salted join is a plain groupBy: Spark's hash aggregate
+    // already combines map-side per (key, salt)-spread partition, so the
+    // hot key's partials arrive pre-reduced.
     val fact = Tables.orders(spark, sfDir)
-      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(SaltBuckets)).cast("int"))
-    fact.join(saltedDim, Seq("o_orderpriority", "salt"))
-      .groupBy(col("o_orderpriority"), col("salt"), col("prio_rank"))
-      .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("ps"))
+    SkewTools.saltedInnerJoin(fact, prio, "o_orderpriority",
+        SaltBuckets, col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("prio_rank"))
-      .agg(sum(col("pn")).as("n_orders"),
-        round(sum(col("ps")) + lit(1e-9), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")) + lit(1e-9), 2).as("total_price"))
       .select(col("o_orderpriority"), col("prio_rank"),
         col("n_orders"), col("total_price"))
   }
@@ -1667,25 +1673,48 @@ object Relational {
     resampleInterpolate(spark, sfDir, maxGridPerUser = 100000)
 
   private[graft] def resampleInterpolate(spark: SparkSession, sfDir: String,
+      maxGridPerUser: Int): DataFrame =
+    resampleOnMicros(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value")),
+      maxGridPerUser)
+
+  /** The frame-based core over (user_id, t µs, value) rows — split out
+    * so specs can drive the grid edges (no-hour-boundary spans,
+    * pre-1970 epochs) without a fixture table. */
+  private[graft] def resampleOnMicros(readings: DataFrame,
       maxGridPerUser: Int): DataFrame = {
     val hourUs = 3600L * 1000000L
-    val r = Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+    val r = readings
       .groupBy(col("user_id"), col("t")).agg(avg(col("value")).as("value"))
     val grid = r.groupBy(col("user_id"))
       .agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
-      .withColumn("g0", expr(s"((tmin + ${hourUs - 1}) div $hourUs) * $hourUs"))
+      // ceil-to-multiple via pmod, not `div`: the truncating-div form
+      // ((tmin + h−1) div h)·h is wrong for NEGATIVE (pre-1970) epochs
+      // (trunc ≠ floor) and diverges from DuckDB's flooring `//`;
+      // tmin + pmod(h − pmod(tmin, h), h) is sign-safe and replayed
+      // identically by the twin's double-% pmod idiom
+      .withColumn("g0",
+        expr(s"tmin + pmod($hourUs - pmod(tmin, $hourUs), $hourUs)"))
       // grid points this user would generate — pure long arithmetic on
       // the per-user aggregate row, evaluated BEFORE any sequence() is
       // materialized for it
       .withColumn("npts", expr(s"(tmax - g0) div $hourUs + 1"))
       .select(col("user_id"), explode(
-        when(col("npts") > maxGridPerUser,
-          raise_error(format_string(
-            s"resample grid overflow: user_id=%s spans %s hourly grid " +
-              s"points (cap $maxGridPerUser) — a degenerate long-lived " +
-              "key; raise maxGridPerUser or pre-filter the span",
-            col("user_id"), col("npts"))).cast("array<bigint>"))
+        // a span containing NO hour boundary (g0 > tmax — e.g. a single
+        // reading, or all readings inside one hour) generates an EMPTY
+        // grid: sequence() with start > stop and a positive step THROWS,
+        // where the twin's generate_series returns empty. Branch on the
+        // BOUNDS, not npts: truncating div makes a negative (tmax − g0)
+        // round npts up to 1.
+        when(col("g0") > col("tmax"),
+          expr("CAST(array() AS array<bigint>)"))
+          .when(col("npts") > maxGridPerUser,
+            raise_error(format_string(
+              s"resample grid overflow: user_id=%s spans %s hourly grid " +
+                s"points (cap $maxGridPerUser) — a degenerate long-lived " +
+                "key; raise maxGridPerUser or pre-filter the span",
+              col("user_id"), col("npts"))).cast("array<bigint>"))
           .otherwise(sequence(col("g0"), col("tmax"), lit(hourUs)))).as("t"))
     val rows = r.select(col("user_id"), col("t"), col("value"), lit(0).as("is_grid"))
       .unionByName(grid.select(col("user_id"), col("t"),
@@ -1737,7 +1766,8 @@ object Relational {
       |s AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM r GROUP BY 1),
       |g AS (
       |  SELECT user_id, unnest(generate_series(
-      |    (tmin + 3599999999) // 3600000000 * 3600000000,
+      |    tmin + (3600000000 - ((tmin % 3600000000) + 3600000000)
+      |            % 3600000000) % 3600000000,
       |    tmax, 3600000000)) AS t
       |  FROM s),
       |u AS (
@@ -1808,14 +1838,6 @@ object Relational {
       |FROM pairs p JOIN tot t USING (prev_type)
       |ORDER BY p.prev_type, p.next_type""".stripMargin
 
-  /** Per-entity z-score anomaly flagging — the metric-monitoring screen
-    * (sensor glitches, metric spikes): each event's `value` scores
-    * against ITS USER's mean/σ and flags |z| > 2. Two-pass per-key
-    * shape: one groupBy computes the per-user moment pair (a |users|-row
-    * broadcast or key-join — never a window over the raw series), then
-    * the scoring is a map-side projection. Users with a degenerate σ=0
-    * (or a single event) cannot be scored and flag false. Sample stddev
-    * matches DuckDB's `stddev` default, so z replays bit-for-bit. */
   /** CUSUM changepoint detection — the classic mean-shift monitor
     * (Page 1954) beside the z-score and EWMA screens. The textbook form
     * is a sequential recurrence s ← max(0, s + x − μ − k), which windows
@@ -1842,7 +1864,7 @@ object Relational {
     val wCum = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.join(broadcast(stats), Seq("user_id"))
+    ev.join(stats, Seq("user_id"))
       .withColumn("ok", col("sigma").isNotNull && col("sigma") =!= 0)
       .withColumn("c",
         sum(when(col("ok"),
@@ -1922,11 +1944,21 @@ object Relational {
       |  FROM events WHERE value IS NOT NULL)
       |ORDER BY event_id""".stripMargin
 
+  /** Per-entity z-score anomaly flagging — the metric-monitoring screen
+    * (sensor glitches, metric spikes): each event's `value` scores
+    * against ITS USER's mean/σ and flags |z| > 2. Two-pass per-key
+    * shape: one groupBy computes the per-user moment pair (joined back
+    * on user_id — AQE picks broadcast vs shuffle-hash by the aggregate's
+    * actual size; a FORCED broadcast of a |users|-row table would OOM at
+    * billions of users), then the scoring is a map-side projection.
+    * Users with a degenerate σ=0 (or a single event) cannot be scored
+    * and flag false. Sample stddev matches DuckDB's `stddev` default,
+    * so z replays bit-for-bit. */
   def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val stats = ev.groupBy(col("user_id"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
-    ev.join(broadcast(stats), Seq("user_id"))
+    ev.join(stats, Seq("user_id"))
       .select(col("event_id"), col("user_id"),
         Num.r4(when(col("sigma").isNull || col("sigma") === 0, 0.0)
           .otherwise((col("value") - col("mu")) / col("sigma"))).as("z"),

@@ -356,4 +356,38 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
     assert(guarded.nonEmpty && guarded == unbounded)
   }
+
+  test("resample grid survives no-hour-boundary spans and floors pre-1970 epochs") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    // user 1: a single reading; user 2: readings inside ONE hour (no
+    // boundary in [tmin, tmax]) — both generate an EMPTY grid; an
+    // unguarded sequence(g0, tmax) with g0 > tmax THREW and killed the
+    // job where the oracle's generate_series returned empty. user 3
+    // spans a boundary normally; user 4 is PRE-1970 and hour-ALIGNED —
+    // the old truncating-div ceil put its g0 at 0, skipping the span.
+    val readings = Seq(
+      (1L, 10L * h + 15L * 60000000L, 1.0),
+      (2L, 10L * h + 15L * 60000000L, 1.0),
+      (2L, 10L * h + 45L * 60000000L, 2.0),
+      (3L, 10L * h + 30L * 60000000L, 1.0),
+      (3L, 11L * h + 30L * 60000000L, 3.0),
+      (4L, -2L * h, 1.0),
+      (4L, -1L * h, 5.0)
+    ).toDF("user_id", "t", "value")
+    val out = Relational.resampleOnMicros(readings, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+    val byUser = out.groupBy(_._1)
+    assert(!byUser.contains(1L) || byUser(1L).isEmpty,
+      "a single-reading user must contribute no grid rows")
+    assert(!byUser.contains(2L),
+      "a span inside one hour must contribute no grid rows")
+    assert(byUser(3L).map(_._2).toSet == Set(11L * h),
+      s"user 3 grid wrong: ${byUser.get(3L)}")
+    // pre-1970: the grid must cover BOTH aligned points, interpolated
+    val u4 = byUser(4L).map(t => (t._2, t._3)).toMap
+    assert(u4.keySet == Set(-2L * h, -1L * h), s"user 4 grid: ${u4.keySet}")
+    assert(u4(-2L * h) == 1.0 && u4(-1L * h) == 5.0,
+      s"user 4 values: $u4")
+  }
 }
