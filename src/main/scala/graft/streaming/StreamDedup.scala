@@ -189,17 +189,24 @@ object StreamDedup {
     // deterministic winner (smallest (source, text)) pins replay.
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("source"), col("text"))
+    // batch1 feeds the id collect, the replay join, and the fresh split;
+    // decided feeds the replay join and the fresh anti-join — both
+    // pinned ONCE (decidedSlice pins the under-cap ledger slice and
+    // stays lazy over the cap) instead of re-running the window / the
+    // ledger scan per consumer.
     val batch1 = batch
       .withColumn("rn", row_number().over(bw))
       .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
     val batchIds = batch1.select(col("doc_id")).distinct()
       .limit(MaxPruneKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
-    val decided = StreamStoreOps.keySlice(
-      spark.table(decisions(prefix)), "doc_id", batchIds)
-    // Freeze both sides of the already-decided split BEFORE any append:
-    // the appends below mutate the very tables these frames read, and a
-    // lazy evaluation after the decisions append would double-count the
-    // batch's own fresh docs as replayed.
+    val decided = StreamStoreOps.decidedSlice(
+      spark, spark.table(decisions(prefix)), batchIds)
+    // Both sides of the already-decided split are frozen BEFORE any
+    // append (decidedSlice pinned the ledger slice; the frames below
+    // checkpoint): the appends mutate the very tables these frames
+    // read, and a lazy evaluation after the decisions append would
+    // double-count the batch's own fresh docs as replayed.
     val replayed = decided
       .join(batch1.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("kept"),
@@ -228,8 +235,18 @@ object StreamDedup {
     // id set skips row groups (and whole buckets for toks/decisions).
     def storeIdSlice(table: String): DataFrame = StreamStoreOps.keySlice(
       spark.table(table).select(col("doc_id")), "doc_id", batchIds).distinct()
+    // the bands guard anti-joins on (doc_id, band_idx), NOT doc_id
+    // alone: a doc's 4 band rows land across multiple bucket FILES, and
+    // a crash mid job-commit can persist some files without the rest —
+    // a doc-granular guard would then see the doc "present" on replay
+    // and permanently drop its missing bands (future near-duplicates
+    // colliding only on those bands would be kept). toks/decisions are
+    // one row per doc and keep the doc-granular guard.
+    val bandSlice = StreamStoreOps.keySlice(
+      spark.table(bands(prefix)).select(col("doc_id"), col("band_idx")),
+      "doc_id", batchIds).distinct()
     val newBands = keptBands
-      .join(storeIdSlice(bands(prefix)), Seq("doc_id"), "left_anti")
+      .join(bandSlice, Seq("doc_id", "band_idx"), "left_anti")
       .select(col("doc_id"), col("band_idx"), col("band"))
       .localCheckpoint(true)
     // each append follows its table's LIVE bucket layout (the counts
@@ -247,14 +264,13 @@ object StreamDedup {
       .select(col("doc_id"), col("source"), col("kept"),
         col("matched_old"), col("batch_id"))
       .localCheckpoint(true)
-    // same pruning as the decide split: freshDecisions only carries batch
-    // docs, so the guard anti-join needs only the ledger's batch-id slice
-    appendToStore(spark, decisions(prefix),
-      freshDecisions
-        .join(decided.select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        .localCheckpoint(true),
-      Seq("doc_id"))
+    // No guard anti-join here — it is provably redundant: freshDecisions
+    // derives from `fresh` = batch1 ∖ decided, with `decided` PINNED
+    // before any append and only this batch writing the ledger, so a
+    // second anti-join against the same pinned set removes nothing in
+    // any crash window (partial-append residue lands in `decided` on
+    // the NEXT replay, where those docs take the replayed path).
+    appendToStore(spark, decisions(prefix), freshDecisions, Seq("doc_id"))
     freshDecisions.union(replayed)
     }
   }

@@ -107,10 +107,18 @@ object StreamIngest {
             // nondeterministic, breaking exactly-once re-emission (the
             // same pin every other stateful op here applies via
             // event_id/stage keys).
+            // `t == lastKept` also passes: the reference throttles per
+            // ENTITY and puts the WHOLE update (every attribute) when
+            // the gap clears (subscriber.py:112-118), so every sibling
+            // sensor row stamped at the kept instant belongs to the
+            // kept update — a strict `>= gap` alone kept only the
+            // sort-first sensor and silently dropped the rest of the
+            // notification.
             val kept = rows.toSeq
               .sortBy(r => (r.event_ts.getTime, r.sensor)).filter { r =>
               val t = r.event_ts.getTime
-              val keep = lastKept == Long.MinValue || t - lastKept >= minGapMs
+              val keep = lastKept == Long.MinValue || t == lastKept ||
+                t - lastKept >= minGapMs
               if (keep) lastKept = t
               keep
             }
@@ -190,17 +198,20 @@ object StreamIngest {
     * global stateful agg whose state grows with the corpus — exactly
     * what a screen-on-ingest must avoid; run the batch `contamination`
     * operator offline when per-bench attribution is needed.)
-    * Input stream schema: (doc_id LONG, text STRING, …); passes rows
-    * through with `n_shared_shingles`, keeping only contaminated ones. */
+    * Input stream schema: (doc_id LONG, text STRING, …); emits
+    * (doc_id, n_shared_shingles), keeping only contaminated rows —
+    * join back on doc_id when the full row is needed downstream. */
   def contaminationStream(docs: DataFrame, benchDocs: DataFrame,
       k: Int = 4): DataFrame = {
     def shingleArr = expr(
       s"""array_distinct(transform(sequence(0, size(tokens) - $k),
          |  i -> concat_ws(' ', slice(tokens, i + 1, $k))))""".stripMargin)
-    val benchShingles: Array[String] = benchDocs
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= k)
-      .select(explode(shingleArr).as("shingle")).distinct()
+    // bench side through the family-shared shingler (Dedup.shinglesOf);
+    // the streaming side keeps the ARRAY form locally (the probe runs
+    // inside one projection, not over an exploded relation)
+    val benchShingles: Array[String] = graft.ext.Dedup
+      .shinglesOf(benchDocs, "bench_id", k)
+      .select(col("shingle")).distinct()
       .collect().map(_.getString(0))
     docs
       .withColumn("tokens", split(col("text"), " "))
@@ -298,7 +309,13 @@ object StreamIngest {
                 val d = v - mean
                 mean += d / n
                 m2 += d * (v - mean)
-                (uid, eid, math.rint(z * 1e4) / 1e4, math.abs(z) > 2)
+                // Num.r4's exact convention (+1e-9 nudge, HALF_UP) —
+                // math.rint was HALF_EVEN with no nudge, so a z with a
+                // trailing 5 at the 5th decimal rounded differently
+                // from the batch twin and every sibling streaming op
+                (uid, eid, java.math.BigDecimal.valueOf(z + 1e-9)
+                  .setScale(4, java.math.RoundingMode.HALF_UP)
+                  .doubleValue(), math.abs(z) > 2)
             }
             state.update((n, mean, m2))
             out.iterator
@@ -525,6 +542,17 @@ object StreamIngest {
             val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Boolean)]
             rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, ts) =>
               stOpt match {
+                // CROSS-BATCH late-data guard (the funnelStream
+                // `ts >= tEntry` posture): an event older than the
+                // standing version's valid_from cannot supersede it —
+                // emitting would close the current version with
+                // valid_to < valid_from (an inverted interval) and
+                // promote a STALE row to is_current, diverging from the
+                // batch SCD2 build's global ts order. Within a batch the
+                // sort handles ordering; across batches late events are
+                // conclusively dropped, the standard streaming SCD2
+                // policy.
+                case Some((_, prevFrom, _)) if ts < prevFrom => ()
                 case Some((prevEid, prevFrom, ver)) =>
                   // close the predecessor, open the new version
                   out += ((uid, prevEid, ver + 1, prevFrom, ts, false))

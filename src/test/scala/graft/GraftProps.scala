@@ -32,8 +32,12 @@ object GraftProps extends Properties("graft") {
     events.groupBy(_._1).toSeq.flatMap { case (e, evs) =>
       var last = Long.MinValue
       evs.map(_._2).sorted.flatMap { t =>
-        if (last == Long.MinValue || t - last >= gap) { last = t; Some(e -> t) }
-        else None
+        // t == last passes too: sibling rows stamped at the kept
+        // instant belong to the kept (whole-entity) update — the
+        // reference's per-entity PUT semantics
+        if (last == Long.MinValue || t == last || t - last >= gap) {
+          last = t; Some(e -> t)
+        } else None
       }
     }.toSet
 

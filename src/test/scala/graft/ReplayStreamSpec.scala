@@ -75,7 +75,8 @@ class ReplayStreamSpec extends SparkSpec {
       var lastKeptMs = Long.MinValue
       rs.sortBy(_._3).filter { r =>
         val tMs = r._3 * 1000
-        val keep = lastKeptMs == Long.MinValue || tMs - lastKeptMs >= GapMs
+        val keep = lastKeptMs == Long.MinValue || tMs == lastKeptMs ||
+          tMs - lastKeptMs >= GapMs
         if (keep) lastKeptMs = tMs
         keep
       }
@@ -154,13 +155,15 @@ class ReplayStreamSpec extends SparkSpec {
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     }
 
-    // sequential per-room model over the chronological merge (ties at one
-    // second collapse to a single kept ts either way — see scaladoc note)
+    // sequential per-room model over the chronological merge; rows
+    // stamped at the KEPT instant all pass (the whole-entity-update
+    // law — sibling sensors of one notification share observedAt)
     val expected = readings.groupBy(_._1).map { case (room, rs) =>
       var lastKeptMs = Long.MinValue
       room -> rs.sortBy(_._3).filter { r =>
         val tMs = r._3 * 1000
-        val keep = lastKeptMs == Long.MinValue || tMs - lastKeptMs >= GapMs
+        val keep = lastKeptMs == Long.MinValue || tMs == lastKeptMs ||
+          tMs - lastKeptMs >= GapMs
         if (keep) lastKeptMs = tMs
         keep
       }.map(_._3).sorted.toSeq

@@ -61,6 +61,17 @@ class StreamIngestSpec extends SparkSpec {
     val kept = StreamIngest.throttle(in, minGapMs = 50).collect()
       .map(x => (x.entityid, x.event_ts.getTime)).sorted.toSeq
     assert(kept == Seq(("A", 0L), ("A", 60L), ("B", 5L)))
+    // sibling sensors stamped at the KEPT instant all pass — one parsed
+    // notification explodes into one row per sensor sharing observedAt,
+    // and the reference throttles the whole-entity PUT, not one
+    // attribute of it; the next in-gap instant still drops
+    def s(sensor: String, ms: Long) =
+      SensorReading("C", "C", sensor, 1.0, new Timestamp(ms))
+    val multi = Seq(s("brightness", 0), s("humidity", 0),
+      s("temperature", 0), s("temperature", 10)).toDS()
+    val keptM = StreamIngest.throttle(multi, minGapMs = 50).collect()
+    assert(keptM.length == 3 && keptM.forall(_.event_ts.getTime == 0L),
+      s"sibling sensors of the kept update must all pass: ${keptM.toSeq}")
   }
 
   test("throttle over a memory stream honors state across batches") {
@@ -613,6 +624,40 @@ class StreamIngestSpec extends SparkSpec {
     q.stop()
     assert(got == want,
       s"only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
+  test("streaming scd2 drops cross-batch late events instead of inverting intervals") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = StreamIngest.scd2Stream(
+      mem.toDS().toDF("user_id", "event_id", "ts"))
+    val q = out.toDF("user_id", "event_id", "version", "valid_from",
+        "valid_to", "is_current")
+      .writeStream.format("memory").queryName("scd2_late")
+      .outputMode("append").start()
+    mem.addData((1L, 10L, 100L)); q.processAllAvailable()
+    // a LATE event (ts 50 < the standing version's valid_from 100) must
+    // be conclusively dropped: emitting would close v1 with
+    // valid_to=50 < valid_from=100 and promote the stale row
+    mem.addData((1L, 11L, 50L)); q.processAllAvailable()
+    // an in-order successor still versions normally
+    mem.addData((1L, 12L, 200L)); q.processAllAvailable()
+    // readers keep the max-version row per event (the sibling test's
+    // contract); the raw emission is an append-only event log
+    val rows = spark.sql(
+      """SELECT event_id, valid_from, valid_to, is_current FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |                               ORDER BY version DESC) AS rn
+        |  FROM scd2_late) WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    q.stop()
+    assert(!rows.exists(_._1 == 11L), s"late event emitted: $rows")
+    assert(rows.filter(r => r._3 >= 0).forall(r => r._3 >= r._2),
+      s"inverted validity interval: $rows")
+    assert(rows == Set((10L, 100L, 200L, false), (12L, 200L, -1L, true)),
+      s"snapshot wrong: $rows")
   }
 
   test("pii scrub at ingest equals the batch cascade row for row") {
