@@ -686,7 +686,8 @@ object ScaleUpBench {
     /** (model+store build sec, per-batch serve sec median, last delta
       * rows, last evictions) for the streaming-DSIR probe — see
       * [[dsirServeProbe]]. */
-    def dsirServe(dir: String, pfx: String): (Double, Double, Long, Long) = {
+    def dsirServe(dir: String, pfx: String)
+        : (Double, Double, Long, Long, Double, Long) = {
       import graft.streaming.StreamDsir
       import graft.ext.TextAnalysis
       Seq("model", "scores", "thr", "ledger").foreach(t =>
@@ -755,7 +756,44 @@ object ScaleUpBench {
       require(got == expect,
         s"dsir-serve probe: selected set (${got.size}) != independent " +
           s"top-k re-rank (${expect.size})")
-      (build, serve, lastTotal, lastTotal - lastFresh)
+      // EVICTION-STORM datum (round-18, the mix mass-flip analog —
+      // closing the 0-evictions blind spot of the steady batches):
+      // TARGET-DOMAIN text re-labeled as a fresh pool source scores
+      // near the model's maximum, so one batch displaces most of the
+      // standing top-k at once. Evictions are capped by k (only
+      // selected docs can be evicted), so this is the worst case the
+      // monotone threshold ever pays in one batch — the datum pins the
+      // O(batch + k) emission bound: storm cost must stay flat across
+      // replica factors while the store grows xK.
+      val storm = docs
+        .filter(col("source").isin(TextAnalysis.DsirTargetSources: _*))
+        .orderBy(col("doc_id")).limit(3 * TextAnalysis.DsirK)
+        .select((col("doc_id") + lit(3000000000000L)).as("doc_id"),
+          lit("src999997").as("source"), col("text"))
+        .localCheckpoint(true)
+      val st0 = System.nanoTime()
+      val sd = StreamDsir.processBatch(spark, pfx, storm, nextB, "dsrv42")
+      val stormTotal = sd.count()
+      val stormSec = (System.nanoTime() - st0) / 1e9
+      val stormEvict =
+        stormTotal - sd.filter(col("doc_id") >= 3000000000000L).count()
+      require(stormEvict >= TextAnalysis.DsirK / 2,
+        s"dsir eviction-storm probe displaced only $stormEvict of the " +
+          s"standing top-${TextAnalysis.DsirK} — fixture inert")
+      // law gate AFTER the storm: the collapsed selection still equals
+      // an independent top-k re-rank of the whole store
+      val stored2 = spark.table(s"${pfx}_scores")
+        .select(col("doc_id"), col("gkey"))
+      val expect2 = stored2.orderBy(col("gkey").desc, col("doc_id"))
+        .limit(TextAnalysis.DsirK)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val got2 = StreamDsir.currentSelected(spark, pfx)
+        .filter(col("selected")).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      require(got2 == expect2,
+        s"dsir-serve probe: selected set diverges from the top-k " +
+          "re-rank after the eviction storm")
+      (build, serve, lastTotal, lastTotal - lastFresh, stormSec, stormEvict)
     }
     lazy val dsirX1 = dsirServe(s"$out/x1", "scup_ds_x1")
 
@@ -860,9 +898,9 @@ object ScaleUpBench {
         f""","ann_add":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_add_sec":$s1%.4f,"x${k}_add_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"add_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"replay_same":${r1 && rk}}"""
       }
       val dsirJson = if (!dsirServeProbe) "" else {
-        val (b1, s1, t1, e1) = dsirX1
-        val (bk, sk, tk, ek) = dsirServe(s"$out/x$k", s"scup_ds_x$k")
-        f""","dsir_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_evictions":$e1,"x${k}_evictions":$ek}"""
+        val (b1, s1, t1, e1, ss1, se1) = dsirX1
+        val (bk, sk, tk, ek, ssk, sek) = dsirServe(s"$out/x$k", s"scup_ds_x$k")
+        f""","dsir_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_evictions":$e1,"x${k}_evictions":$ek,"x1_storm_sec":$ss1%.4f,"x${k}_storm_sec":$ssk%.4f,"x1_storm_evictions":$se1,"x${k}_storm_evictions":$sek}"""
       }
       f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson}"""
     }

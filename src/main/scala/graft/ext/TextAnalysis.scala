@@ -2424,12 +2424,17 @@ object TextAnalysis {
   // and keep the top-k (deterministic heuristic) or Gumbel-top-k
   // (seeded importance resample) docs.
   //
-  // Engine-exactness device: the per-bucket log-ratio is quantized to
-  // INTEGER micro-nats (floor(ln·1e6 + 0.5)) before the per-doc sum, so
-  // the doc weight is exact BIGINT arithmetic — no float-summation-
-  // order divergence between partial-agg schedules or between Spark
-  // and the DuckDB twin. ln itself enters only through B scalar bucket
-  // values, each rounded once.
+  // Engine-exactness device (hardened in r18): EVERY logarithm in the
+  // family — the per-bucket log-ratios AND the per-doc Gumbel term —
+  // goes through [[graft.functions.IlogMicro]], an integer fixed-point
+  // ln in micro-nats computed with integer ops only; the DuckDB twins
+  // replay the identical recurrence ([[IlogMicro.duckDbSql]]) on the
+  // same interpolated constants. Both engines therefore evaluate ONLY
+  // integer arithmetic: no libm enters the law anywhere, closing the
+  // r17 driver-red cross-libm quantization fragility (a one-ulp ln
+  // difference flipping floor(ln·1e6 + 0.5) on a bucket). Per-doc
+  // weights stay exact BIGINT sums of the quantized bucket values — no
+  // float-summation-order divergence between partial-agg schedules.
   //
   // 100 TB dataflow: two map-side explodes (unigrams + bigrams) feeding
   // bounded-key aggregates (B = 512 buckets), the B-row log-ratio
@@ -2447,8 +2452,12 @@ object TextAnalysis {
 
   /** Hashed (unigram ∪ bigram) features per doc: (doc_id, source, f)
     * with multiplicity, f = md5_prefix60(gram) mod B — the same
-    * portable 60-bit hash the mixers key on. Zero-gram docs (NULL
-    * text) carry no evidence and drop out of the pool by law.
+    * portable 60-bit hash the mixers key on. Empty grams are filtered
+    * (`length(g) > 0`, same predicate in the twins): `split` yields
+    * [""] on an empty string in both engines, so without the filter an
+    * empty-text doc would smuggle one empty-string unigram into the
+    * pool — with it, zero-gram docs (NULL OR empty text) carry no
+    * evidence and drop out of the pool by law.
     * NULL-source docs are defined OUT of the family entirely (neither
     * model evidence nor candidates): a three-valued `isin` would
     * exclude them from the pool while `otherwise`-counting them into
@@ -2465,29 +2474,37 @@ object TextAnalysis {
           |       THEN transform(sequence(0, size(tokens) - 2),
           |                      i -> concat(tokens[i], ' ', tokens[i + 1]))
           |       ELSE CAST(array() AS array<string>) END)""".stripMargin)).as("g"))
+      .filter(length(col("g")) > 0)
       .select(col("doc_id"), col("source"),
         expr(s"md5_prefix60(g) % $DsirBuckets").as("f"))
   }
 
+  /** The one logarithm of the family — [[graft.functions.IlogMicro]]
+    * as a Column (registered per session by the callers). */
+  private def ilogC(c: Column): Column = call_function("ilog_micro", c)
+
   /** (f, lr_u) for every bucket 0..B-1: the Laplace-smoothed log-ratio
-    * ln((c_t+1)/(CT+B)) − ln((c_r+1)/(CR+B)) in integer micro-nats.
-    * B rows — pinned and broadcast to the per-doc join. */
+    * ln((c_t+1)/(CT+B)) − ln((c_r+1)/(CR+B)) in integer micro-nats —
+    * evaluated as ilog(c_t+1) − ilog(CT+B) − ilog(c_r+1) + ilog(CR+B)
+    * with [[graft.functions.IlogMicro]]'s integer recurrence, so the
+    * law never touches libm. B rows — pinned and broadcast to the
+    * per-doc join. */
   private def dsirLogRatios(grams: DataFrame): DataFrame = {
     val spark = grams.sparkSession
+    graft.functions.IlogMicro.register(spark)
     val isTgt = col("source").isin(DsirTargetSources: _*)
     val byF = grams.groupBy(col("f")).agg(
       sum(when(isTgt, 1L).otherwise(0L)).as("c_t"),
       sum(when(isTgt, 0L).otherwise(1L)).as("c_r"))
     val tot = byF.agg(sum(col("c_t")).as("ct_tot"), sum(col("c_r")).as("cr_tot"))
-    val b = lit(DsirBuckets.toDouble)
+    val b = lit(DsirBuckets.toLong)
     spark.range(DsirBuckets).toDF("f")
       .join(byF, Seq("f"), "left")
       .na.fill(0L, Seq("c_t", "c_r"))
       .crossJoin(broadcast(tot))
       .select(col("f"),
-        floor((log((col("c_t") + lit(1L)).cast("double") / (col("ct_tot").cast("double") + b))
-          - log((col("c_r") + lit(1L)).cast("double") / (col("cr_tot").cast("double") + b)))
-          * lit(1e6) + lit(0.5)).cast("long").as("lr_u"))
+        (ilogC(col("c_t") + lit(1L)) - ilogC(col("ct_tot") + b)
+          - ilogC(col("c_r") + lit(1L)) + ilogC(col("cr_tot") + b)).as("lr_u"))
       .localCheckpoint(true)
   }
 
@@ -2510,29 +2527,31 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("lr_u")).as("w_micro"))
 
-  /** Seeded Gumbel key on the micro-nat grid: w_micro + ⌊−ln(−ln u)·1e6⌉
-    * with u from the md5-keyed 60-bit stream — the one scoring law both
-    * [[dsirResampleOn]] and the streaming selector derive keys from.
-    * u is clamped to < 1: keys within 128 of 2^60 round to exactly 1.0
-    * under the double cast, and −ln(−ln 1) is +Infinity — a silent
-    * Long.MaxValue under non-ANSI casts, a thrown CAST_OVERFLOW under
-    * ANSI, and an oracle-run abort in DuckDB. (Unlike the weights,
-    * whose per-bucket quantization makes the per-doc sum exact integer
-    * arithmetic, the Gumbel term evaluates one libm ln pair per doc:
-    * a cross-engine ulp landing within ~1e-10 of a micro-nat .5
-    * boundary could flip g_micro — an accepted, astronomically-thin
-    * risk, NOT covered by the weights' exactness device.) */
-  private[graft] def dsirGumbelKey(weights: DataFrame, seed: String): DataFrame =
+  /** Seeded Gumbel key on the micro-nat grid: w_micro + g_micro with
+    * g_micro ≈ ⌊−ln(−ln u)·1e6⌉ and u = (h+½)/2⁶⁰ from the md5-keyed
+    * 60-bit stream — the one scoring law both [[dsirResampleOn]] and
+    * the streaming selector derive keys from. Evaluated entirely on
+    * the integer log ([[graft.functions.IlogMicro]] — no libm, so the
+    * r17 ulp-near-a-.5-boundary fragility is gone by construction):
+    *   −ln u  = ln 2⁶¹ − ln(2h+1)      ⇒ a = max(1, C₆₁ − ilog(2h+1))
+    *   −ln(−ln u) = ln 10⁶ − ln(a)     ⇒ g_micro = C₁ₘ − ilog(a)
+    * (a is −ln u in micro-nats; the max-1 clamp is the integer analog
+    * of the old u < 1 clamp — h within rounding of 2⁶⁰ would otherwise
+    * send ilog to −∞'s doorstep at a = 0, outside its domain). */
+  private[graft] def dsirGumbelKey(weights: DataFrame, seed: String): DataFrame = {
+    graft.functions.IlogMicro.register(weights.sparkSession)
+    graft.functions.Md5Prefix60.register(weights.sparkSession)
     weights
-      .withColumn("u", least(
-        (call_function("md5_prefix60",
-          concat(lit(seed), lit(":"), col("doc_id").cast("string")))
-          .cast("double") + lit(0.5)) / lit((1L << 60).toDouble),
-        lit(0.9999999999999999)))
+      .withColumn("a_u", greatest(lit(1L),
+        lit(graft.functions.IlogMicro.Ilog2Pow61) - ilogC(
+          call_function("md5_prefix60",
+            concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+            * lit(2L) + lit(1L))))
       .withColumn("g_micro",
-        floor(-log(-log(col("u"))) * lit(1e6) + lit(0.5)).cast("long"))
+        lit(graft.functions.IlogMicro.Ilog1e6) - ilogC(col("a_u")))
       .select(col("doc_id"), col("w_micro"),
         (col("w_micro") + col("g_micro")).as("gkey"))
+  }
 
   /** Hashed gram frame + frozen-model scoring entry for the streaming
     * selector: (doc_id, gkey) for every doc in `pool` that carries at
@@ -2553,9 +2572,13 @@ object TextAnalysis {
   /** `d_dsir_weights`: (doc_id, w_micro, selected) over the raw pool —
     * selected ⟺ top-[[DsirK]] by (w_micro desc, doc_id asc), computed
     * as a TakeOrderedAndProject + broadcast semi-join, never a global
-    * window. */
+    * window. The weight frame is checkpointed ONCE (one row per doc —
+    * tiny next to its scan→explode→aggregate input) so the top-k probe
+    * and the final join both read the materialized frame instead of
+    * re-running the dominant subtree twice (the r17 doubled-plan
+    * finding). */
   def dsirWeightsOn(documents: DataFrame): DataFrame = {
-    val w = dsirWeightFrame(documents)
+    val w = dsirWeightFrame(documents).localCheckpoint(true)
     val topk = w.orderBy(col("w_micro").desc, col("doc_id"))
       .limit(DsirK).select(col("doc_id"), lit(true).as("selected"))
     w.join(broadcast(topk), Seq("doc_id"), "left")
@@ -2572,10 +2595,13 @@ object TextAnalysis {
     * same micro-nat grid as the weights, key = w_micro + g_micro,
     * selected ⟺ top-k by (key desc, doc_id asc). Equivalent to
     * sampling k docs without replacement ∝ exp(w) at temperature 1,
-    * yet bit-reproducible across engines and runs. */
+    * yet bit-reproducible across engines and runs. Keyed frame
+    * checkpointed once (per-doc rows) so top-k probe and final join
+    * share one run of the dominant scan→explode→aggregate subtree. */
   def dsirResampleOn(documents: DataFrame, seed: String): DataFrame = {
     graft.functions.Md5Prefix60.register(documents.sparkSession)
     val w = dsirGumbelKey(dsirWeightFrame(documents), seed)
+      .localCheckpoint(true)
     val topk = w.orderBy(col("gkey").desc, col("doc_id"))
       .limit(DsirK).select(col("doc_id"), lit(true).as("selected"))
     w.join(broadcast(topk), Seq("doc_id"), "left")
@@ -2583,9 +2609,13 @@ object TextAnalysis {
         coalesce(col("selected"), lit(false)).as("selected"))
   }
 
-  /** Shared oracle CTEs: hashed grams (md5 60-bit idiom), per-bucket
-    * smoothed log-ratios in micro-nats, exact per-doc BIGINT weights. */
-  private val dsirWeightCtes: String =
+  /** Shared oracle CTEs: hashed grams (md5 60-bit idiom, empty grams
+    * filtered like the Spark side), per-bucket smoothed log-ratios via
+    * the [[graft.functions.IlogMicro]] integer recurrence (the oracle
+    * evaluates only integer ops — no libm anywhere in the law), exact
+    * per-doc BIGINT weights. */
+  private val dsirWeightCtes: String = {
+    import graft.functions.IlogMicro.duckDbSql
     s"""tl AS (SELECT doc_id, source, string_split(text, ' ') AS tokens
        |       FROM documents),
        |uni AS (SELECT doc_id, source, unnest(tokens) AS g FROM tl),
@@ -2600,7 +2630,8 @@ object TextAnalysis {
        |      p -> CAST(strpos('0123456789abcdef',
        |             substr(md5(g), CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
        |      (a, b) -> a * 16 + b) % $DsirBuckets AS f
-       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |  WHERE len(g) > 0),
        |tgt AS (SELECT * FROM grams WHERE source IN ($dsirTargetsSql)),
        |raw AS (SELECT * FROM grams WHERE source NOT IN ($dsirTargetsSql)),
        |ct AS (SELECT f, count(*) AS c_t FROM tgt GROUP BY 1),
@@ -2610,16 +2641,38 @@ object TextAnalysis {
        |spine AS (SELECT CAST(range AS BIGINT) AS f FROM range(0, $DsirBuckets)),
        |lr AS (
        |  SELECT spine.f,
-       |    CAST(floor((ln((COALESCE(c_t, 0) + 1)
-       |                   / (ct_tot + $DsirBuckets.0))
-       |              - ln((COALESCE(c_r, 0) + 1)
-       |                   / (cr_tot + $DsirBuckets.0))) * 1e6 + 0.5)
-       |         AS BIGINT) AS lr_u
+       |    ${duckDbSql("COALESCE(c_t, 0) + 1")}
+       |    - ${duckDbSql(s"ct_tot + $DsirBuckets")}
+       |    - ${duckDbSql("COALESCE(c_r, 0) + 1")}
+       |    + ${duckDbSql(s"cr_tot + $DsirBuckets")} AS lr_u
        |  FROM spine LEFT JOIN ct ON spine.f = ct.f
        |             LEFT JOIN cr ON spine.f = cr.f, tot),
        |docf AS (SELECT doc_id, f, count(*) AS c FROM raw GROUP BY 1, 2),
        |w AS (SELECT doc_id, sum(c * lr_u) AS w_micro
        |      FROM docf JOIN lr ON docf.f = lr.f GROUP BY 1)""".stripMargin
+  }
+
+  /** Shared Gumbel-key CTEs over `w` — [[dsirGumbelKey]]'s integer law
+    * verbatim: h from the md5 60-bit fold, a = max(1, C₆₁ − ilog(2h+1)),
+    * gkey = w_micro + C₁ₘ − ilog(a). */
+  private def dsirGumbelCtes(seed: String): String = {
+    import graft.functions.{IlogMicro => I}
+    s"""gh AS (
+       |  SELECT doc_id, w_micro,
+       |    list_reduce(list_transform(range(0, 15),
+       |      p -> CAST(strpos('0123456789abcdef',
+       |             substr(md5('$seed:' || CAST(doc_id AS VARCHAR)),
+       |                    CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS h
+       |  FROM w),
+       |ga AS (SELECT doc_id, w_micro,
+       |         GREATEST(CAST(1 AS BIGINT),
+       |                  ${I.Ilog2Pow61} - ${I.duckDbSql("2 * h + 1")}) AS a_u
+       |       FROM gh),
+       |gk AS (SELECT doc_id, w_micro,
+       |         w_micro + (${I.Ilog1e6} - ${I.duckDbSql("a_u")}) AS gkey
+       |       FROM ga)""".stripMargin
+  }
 
   val dsirWeightsSql: String =
     s"""WITH $dsirWeightCtes,
@@ -2645,17 +2698,7 @@ object TextAnalysis {
          |        ORDER BY gkey DESC, doc_id LIMIT $DsirK)""".stripMargin)
       .mkString(",\n")
     s"""WITH $dsirWeightCtes,
-       |gk AS (
-       |  SELECT doc_id, w_micro,
-       |    w_micro + CAST(floor(-ln(-ln(least(
-       |        (list_reduce(list_transform(range(0, 15),
-       |           p -> CAST(strpos('0123456789abcdef',
-       |                  substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)),
-       |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
-       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0,
-       |        0.9999999999999999)))
-       |        * 1e6 + 0.5) AS BIGINT) AS gkey
-       |  FROM w),
+       |${dsirGumbelCtes("dsir42")},
        |gw AS (SELECT doc_id, gkey,
        |         CAST((doc_id // 20) % 4 AS INT) AS wave FROM gk),
        |$selCtes
@@ -2671,17 +2714,7 @@ object TextAnalysis {
 
   val dsirResampleSql: String =
     s"""WITH $dsirWeightCtes,
-       |gk AS (
-       |  SELECT doc_id, w_micro,
-       |    w_micro + CAST(floor(-ln(-ln(least(
-       |        (list_reduce(list_transform(range(0, 15),
-       |           p -> CAST(strpos('0123456789abcdef',
-       |                  substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)),
-       |                         CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
-       |           (a, b) -> a * 16 + b) + 0.5) / 1152921504606846976.0,
-       |        0.9999999999999999)))
-       |        * 1e6 + 0.5) AS BIGINT) AS gkey
-       |  FROM w),
+       |${dsirGumbelCtes("dsir42")},
        |sel AS (SELECT doc_id FROM gk
        |        ORDER BY gkey DESC, doc_id LIMIT $DsirK)
        |SELECT gk.doc_id, w_micro, gkey,

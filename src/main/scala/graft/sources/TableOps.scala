@@ -33,6 +33,24 @@ object TableOps {
     if (fs.exists(path)) fs.delete(path, true): Unit
   }
 
+  /** Pre-CREATE residue guard for the streaming stores' `CREATE TABLE
+    * IF NOT EXISTS`: with the in-memory catalog a fresh JVM has no
+    * entry for a table whose managed warehouse directory survived a
+    * previous JVM, so the create would silently ADOPT the stale data
+    * files as live rows (the r17 suite flake — StreamDedupSpec's
+    * compaction test read a snapshot-time `sd_cpa_bands` residue). If
+    * the catalog does not know the table but its managed location
+    * exists on disk, delete the location BEFORE creating. No-op when
+    * the table is cataloged (same-JVM reuse, or a persistent metastore
+    * that legitimately remembers the data). */
+  private[graft] def ensureFreshLocation(spark: SparkSession, name: String): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      val path = warehousePath(spark, name)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true): Unit
+    }
+  }
+
   /** Idempotent reset: drop-if-exists then recreate from a DataFrame,
     * partitioned by the given columns (the reference's six per-room
     * tables become one partitioned table, SURVEY.md §1.3). */

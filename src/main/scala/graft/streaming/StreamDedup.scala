@@ -136,6 +136,11 @@ object StreamDedup {
     * rounds <= 16) keeps working — appends and compaction follow the
     * catalog's actual spec. */
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
+    // residue-proof across JVMs: an uncataloged table whose warehouse
+    // directory survived a previous JVM must not adopt the stale files
+    // (TableOps.ensureFreshLocation — the r17 sd_cpa_bands flake)
+    Seq(bands(prefix), toks(prefix), decisions(prefix))
+      .foreach(graft.sources.TableOps.ensureFreshLocation(spark, _))
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${bands(prefix)} " +
       "(doc_id BIGINT, band_idx INT, band STRING) USING parquet " +
       "CLUSTERED BY (band_idx, band) SORTED BY (band_idx, band) " +

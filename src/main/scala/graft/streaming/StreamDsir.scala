@@ -55,9 +55,13 @@ import graft.ext.TextAnalysis
   * collapse to one deterministic winner (smallest (source, text)) —
   * the siblings' replay device.
   *
-  * Zero-gram docs (NULL/empty text) carry no model evidence, score no
-  * key, and by law never enter the pool — the batch twins drop them
-  * identically. Target-domain arrivals (the sources the model's p side
+  * Zero-gram docs (NULL or empty text — `TextAnalysis.dsirGrams`
+  * filters empty grams, so the empty string's [""] split yields no
+  * evidence either) score no key and by law never enter the pool — the
+  * batch twins drop them identically. Since r18 the whole scoring law
+  * (log-ratios AND the Gumbel term) runs on `IlogMicro`'s integer
+  * fixed-point log: no libm in either engine, keys bit-identical by
+  * construction. Target-domain arrivals (the sources the model's p side
   * was fitted on) are not candidates and are filtered out. */
 object StreamDsir {
   import StreamStoreOps.MaxPruneKeys
@@ -78,6 +82,9 @@ object StreamDsir {
       (col("gkey") === lit(tKey) && col("doc_id") <= lit(tDoc))
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
+    // residue-proof across JVMs (TableOps.ensureFreshLocation contract)
+    Seq(scoresT(prefix), thrT(prefix), ledgerT(prefix))
+      .foreach(graft.sources.TableOps.ensureFreshLocation(spark, _))
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${scoresT(prefix)} " +
       "(doc_id BIGINT, gkey BIGINT, batch_id BIGINT) USING parquet")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${thrT(prefix)} " +
@@ -349,8 +356,10 @@ object StreamDsir {
       .foreach(graft.sources.TableOps.dropWithLocation(spark, _))
     val docs = graft.Tables.documents(spark, sfDir)
     modelWrite(spark, prefix, docs)
+    // integer div, never double/floor: above 2^53 a double quotient
+    // loses ulps and could mis-wave a doc vs the twin's integer `//`
     val waved = docs
-      .withColumn("wave", pmod(floor(col("doc_id") / 20), lit(4L)).cast("int"))
+      .withColumn("wave", expr("CAST(pmod(doc_id DIV 20, 4) AS INT)"))
       .select(col("doc_id"), col("source"), col("text"), col("wave"))
       .localCheckpoint(true)
     (0 until 4).foreach { w =>
@@ -371,7 +380,7 @@ object StreamDsir {
         max(when(col("rnLast") === 1, col("kept"))).as("kept"))
     spark.table(scoresT(prefix))
       .select(col("doc_id"), col("gkey"),
-        pmod(floor(col("doc_id") / 20), lit(4L)).cast("int").as("wave"))
+        expr("CAST(pmod(doc_id DIV 20, 4) AS INT)").as("wave"))
       .join(verdicts, Seq("doc_id"))
       .select(col("doc_id"), col("gkey"), col("wave"),
         col("admitted"), col("kept"))

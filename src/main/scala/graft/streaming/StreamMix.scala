@@ -147,6 +147,9 @@ object StreamMix {
   }
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
+    // residue-proof across JVMs (TableOps.ensureFreshLocation contract)
+    Seq(docsT(prefix), ledgerT(prefix), thrT(prefix))
+      .foreach(graft.sources.TableOps.ensureFreshLocation(spark, _))
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${docsT(prefix)} " +
       "(doc_id BIGINT, source STRING, skey BIGINT) USING parquet")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${ledgerT(prefix)} " +

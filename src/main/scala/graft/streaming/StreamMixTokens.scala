@@ -97,6 +97,9 @@ object StreamMixTokens {
       fullEpochs: Long, rem: Long, tSkey: Long, tDoc: Long, cumT: Long)
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
+    // residue-proof across JVMs (TableOps.ensureFreshLocation contract)
+    Seq(docsT(prefix), ledgerT(prefix), thrT(prefix))
+      .foreach(graft.sources.TableOps.ensureFreshLocation(spark, _))
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${docsT(prefix)} " +
       "(doc_id BIGINT, source STRING, skey BIGINT, tok BIGINT) USING parquet")
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${ledgerT(prefix)} " +
