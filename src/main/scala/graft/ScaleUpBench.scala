@@ -758,18 +758,50 @@ object ScaleUpBench {
           s"top-k re-rank (${expect.size})")
       // EVICTION-STORM datum (round-18, the mix mass-flip analog —
       // closing the 0-evictions blind spot of the steady batches):
-      // TARGET-DOMAIN text re-labeled as a fresh pool source scores
-      // near the model's maximum, so one batch displaces most of the
-      // standing top-k at once. Evictions are capped by k (only
-      // selected docs can be evicted), so this is the worst case the
-      // monotone threshold ever pays in one batch — the datum pins the
-      // O(batch + k) emission bound: storm cost must stay flat across
-      // replica factors while the store grows xK.
-      val storm = docs
-        .filter(col("source").isin(TextAnalysis.DsirTargetSources: _*))
-        .orderBy(col("doc_id")).limit(3 * TextAnalysis.DsirK)
+      // TARGET-DOMAIN text, m×-repeated and ranked by its own
+      // frozen-model weight, scores above the standing threshold, so
+      // one batch displaces most of the standing top-k at once. The
+      // repeat factor is ADAPTIVE because the replica fixture dilutes
+      // the model as K grows (materializeReplica prefixes each copy's
+      // tokens, so 100 disjoint vocabularies saturate the 512 hash
+      // buckets and every lr_u shrinks toward 0 — a fixed 4× storm
+      // that displaces 81 docs at x1 displaces none at x100): double m
+      // until the 2k-th ranked amplified weight clears the standing
+      // t_key even under the worst Gumbel draw (g ≥ ilog 10⁶ −
+      // ilog(ilog 2⁶¹) ≈ −3.75e6 micro-nats). Weights scale linearly
+      // in m, so the loop is bounded and deterministic. Evictions are
+      // capped by k (only selected docs can be evicted), so this is
+      // the worst case the monotone threshold ever pays in one batch —
+      // the datum pins the O(batch + k) emission bound: storm cost
+      // must stay flat across replica factors while the store grows xK.
+      val tKey = spark.table(s"${pfx}_thr")
+        .orderBy(col("batch_id").desc).limit(1)
+        .select(col("t_key")).head().getLong(0)
+      val model = spark.table(s"${pfx}_model")
+      def stormAt(rep: Int): (DataFrame, Long) = {
+        val t = docs
+          .filter(col("source").isin(TextAnalysis.DsirTargetSources: _*))
+          .select(col("doc_id"), lit("src999997").as("source"),
+            array_join(array_repeat(col("text"), rep), " ").as("text"))
+          .localCheckpoint(true)
+        val top = TextAnalysis.dsirWeightsAgainst(
+            TextAnalysis.dsirGrams(t), model)
+          .orderBy(col("w_micro").desc, col("doc_id"))
+          .limit(2 * TextAnalysis.DsirK).localCheckpoint(true)
+        val mnW = top.agg(min(col("w_micro"))).head().getLong(0)
+        (t.join(broadcast(top.select(col("doc_id"))), Seq("doc_id")), mnW)
+      }
+      var rep = 4
+      var (stormSel, stormMinW) = stormAt(rep)
+      while (stormMinW <= tKey + 4000000L && rep < 512) {
+        rep *= 2
+        val r = stormAt(rep); stormSel = r._1; stormMinW = r._2
+      }
+      System.err.println(
+        s"[scaleup] dsir storm: repeat=$rep minW=$stormMinW tKey=$tKey")
+      val storm = stormSel
         .select((col("doc_id") + lit(3000000000000L)).as("doc_id"),
-          lit("src999997").as("source"), col("text"))
+          col("source"), col("text"))
         .localCheckpoint(true)
       val st0 = System.nanoTime()
       val sd = StreamDsir.processBatch(spark, pfx, storm, nextB, "dsrv42")

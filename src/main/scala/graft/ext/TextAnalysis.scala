@@ -2463,7 +2463,7 @@ object TextAnalysis {
     * exclude them from the pool while `otherwise`-counting them into
     * the raw model q — silently diverging from the oracle twins, whose
     * `IN`/`NOT IN` predicates both drop NULL. */
-  private def dsirGrams(documents: DataFrame): DataFrame = {
+  private[graft] def dsirGrams(documents: DataFrame): DataFrame = {
     graft.functions.Md5Prefix60.register(documents.sparkSession)
     documents
       .filter(col("source").isNotNull)
@@ -2609,15 +2609,13 @@ object TextAnalysis {
         coalesce(col("selected"), lit(false)).as("selected"))
   }
 
-  /** Shared oracle CTEs: hashed grams (md5 60-bit idiom, empty grams
-    * filtered like the Spark side), per-bucket smoothed log-ratios via
-    * the [[graft.functions.IlogMicro]] integer recurrence (the oracle
-    * evaluates only integer ops — no libm anywhere in the law), exact
-    * per-doc BIGINT weights. */
-  private val dsirWeightCtes: String = {
-    import graft.functions.IlogMicro.duckDbSql
+  /** Hashed-gram oracle CTEs (`grams`: doc_id, source, f) — the DuckDB
+    * replay of [[dsirGrams]]: md5 60-bit idiom, NULL sources and empty
+    * grams filtered like the Spark side. Shared by the weight CTEs and
+    * the KL diagnostic. */
+  private val dsirGramCtes: String =
     s"""tl AS (SELECT doc_id, source, string_split(text, ' ') AS tokens
-       |       FROM documents),
+       |       FROM documents WHERE source IS NOT NULL),
        |uni AS (SELECT doc_id, source, unnest(tokens) AS g FROM tl),
        |bi AS (SELECT doc_id, source,
        |         unnest(list_transform(range(0, len(tokens) - 1),
@@ -2631,7 +2629,15 @@ object TextAnalysis {
        |             substr(md5(g), CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
        |      (a, b) -> a * 16 + b) % $DsirBuckets AS f
        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-       |  WHERE len(g) > 0),
+       |  WHERE len(g) > 0)""".stripMargin
+
+  /** Shared oracle CTEs: hashed grams, per-bucket smoothed log-ratios
+    * via the [[graft.functions.IlogMicro]] integer recurrence (the
+    * oracle evaluates only integer ops — no libm anywhere in the law),
+    * exact per-doc BIGINT weights. */
+  private val dsirWeightCtes: String = {
+    import graft.functions.IlogMicro.duckDbSql
+    s"""$dsirGramCtes,
        |tgt AS (SELECT * FROM grams WHERE source IN ($dsirTargetsSql)),
        |raw AS (SELECT * FROM grams WHERE source NOT IN ($dsirTargetsSql)),
        |ct AS (SELECT f, count(*) AS c_t FROM tgt GROUP BY 1),
@@ -2721,4 +2727,95 @@ object TextAnalysis {
        |       (sel.doc_id IS NOT NULL) AS selected
        |FROM gk LEFT JOIN sel ON gk.doc_id = sel.doc_id
        |ORDER BY gk.doc_id""".stripMargin
+
+  def dsirKl(spark: SparkSession, sfDir: String): DataFrame =
+    dsirKlOn(Tables.documents(spark, sfDir))
+
+  /** `d_dsir_kl`: per-source domain-drift diagnostic — the
+    * Laplace-smoothed KL divergence KL(p̂_s ‖ q̂) in integer micro-nats
+    * between each source's hashed-gram distribution and the raw pool's
+    * (the DSIR q — the model the weight family scores against), every
+    * logarithm through [[graft.functions.IlogMicro]]:
+    *   kl_micro = max(0, Σ_f (c_sf+1)·lr_u(s,f)) div (cs_tot+B)
+    *   lr_u(s,f) = ilog(c_sf+1) − ilog(cs_tot+B)
+    *             − ilog(c_qf+1) + ilog(cq_tot+B)
+    * Target sources read HIGH (they differ most from the pool — the
+    * signal DSIR exploits); a pool source drifting upward is the
+    * pipeline alarm this exists for. The max-0 clamp keeps the
+    * integer division portable (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — they disagree only below zero, and smoothing
+    * quantization can push a true-zero KL a few micro-nats negative);
+    * Gibbs' inequality guarantees the true value is never negative.
+    *
+    * Exactness & scale: the per-bucket term is (c+1)·lr with the count
+    * cast to DECIMAL(38,0) BEFORE the multiply (the BIGINT product
+    * wraps around 2.2·10¹¹ grams-per-bucket — reachable at 100 TB) and
+    * the per-source sum runs in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) — both exact, both agreeing bit-for-bit. Dataflow: one
+    * corpus-proportional (source, f) partial-agg shuffle over ≤
+    * |sources|·B keys, the q side broadcast back, a |sources|·B-row
+    * dense spine — the [[dsirLogRatios]] posture, no per-doc state. */
+  def dsirKlOn(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    graft.functions.IlogMicro.register(spark)
+    val isTgt = col("source").isin(DsirTargetSources: _*)
+    val b = lit(DsirBuckets.toLong)
+    // ONE corpus pass: the (source, f) partial-agg shuffle (≤
+    // |sources|·B keys, map-side combined); the q side, both totals
+    // and the spine all derive from this tiny checkpointed frame —
+    // never re-scan or materialize the exploded gram stream.
+    val sByF = dsirGrams(documents)
+      .groupBy(col("source"), col("f")).agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
+    val qByF = sByF.filter(!isTgt).groupBy(col("f"))
+      .agg(sum(col("c_s")).as("c_q"))
+    val qTot = sByF.filter(!isTgt).agg(sum(col("c_s")).as("cq_tot"))
+    val sTot = sByF.groupBy(col("source")).agg(sum(col("c_s")).as("cs_tot"))
+    val spine = sTot.crossJoin(spark.range(DsirBuckets).toDF("f"))
+    spine
+      .join(sByF, Seq("source", "f"), "left").na.fill(0L, Seq("c_s"))
+      .join(broadcast(qByF), Seq("f"), "left").na.fill(0L, Seq("c_q"))
+      .crossJoin(broadcast(qTot))
+      .select(col("source"), col("cs_tot"),
+        ((col("c_s") + lit(1L)).cast("decimal(38,0)") *
+          (ilogC(col("c_s") + lit(1L)) - ilogC(col("cs_tot") + b)
+            - ilogC(col("c_q") + lit(1L)) + ilogC(col("cq_tot") + b)))
+          .as("term"))
+      .groupBy(col("source"), col("cs_tot"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("source"), col("cs_tot").as("n_grams"),
+        expr(s"CAST(greatest(num, CAST(0 AS DECIMAL(38,0))) DIV " +
+          s"(cs_tot + $DsirBuckets) AS BIGINT)").as("kl_micro"))
+  }
+
+  /** DuckDB twin of [[dsirKlOn]] — same integer recurrence, HUGEINT
+    * sums (exact, like the Spark side's DECIMAL(38,0)). */
+  val dsirKlSql: String = {
+    import graft.functions.IlogMicro.duckDbSql
+    s"""WITH $dsirGramCtes,
+       |q AS (SELECT f, count(*) AS c_q FROM grams
+       |      WHERE source NOT IN ($dsirTargetsSql) GROUP BY 1),
+       |qt AS (SELECT count(*) AS cq_tot FROM grams
+       |       WHERE source NOT IN ($dsirTargetsSql)),
+       |st AS (SELECT source, count(*) AS cs_tot FROM grams GROUP BY 1),
+       |sf AS (SELECT source, f, count(*) AS c_s FROM grams GROUP BY 1, 2),
+       |spine AS (SELECT st.source, st.cs_tot, CAST(range AS BIGINT) AS f
+       |          FROM st, range(0, $DsirBuckets)),
+       |terms AS (
+       |  SELECT spine.source, spine.cs_tot,
+       |    CAST(COALESCE(c_s, 0) + 1 AS HUGEINT) *
+       |      (${duckDbSql("COALESCE(c_s, 0) + 1")}
+       |       - ${duckDbSql(s"cs_tot + $DsirBuckets")}
+       |       - ${duckDbSql("COALESCE(c_q, 0) + 1")}
+       |       + ${duckDbSql(s"cq_tot + $DsirBuckets")}) AS term
+       |  FROM spine LEFT JOIN sf ON spine.source = sf.source
+       |                         AND spine.f = sf.f
+       |             LEFT JOIN q ON spine.f = q.f, qt),
+       |agg AS (SELECT source, cs_tot AS n_grams, sum(term) AS num
+       |        FROM terms GROUP BY 1, 2)
+       |SELECT source, n_grams,
+       |  CAST(GREATEST(num, 0) // (n_grams + $DsirBuckets) AS BIGINT)
+       |    AS kl_micro
+       |FROM agg ORDER BY source""".stripMargin
+  }
 }

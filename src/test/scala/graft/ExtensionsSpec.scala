@@ -1687,4 +1687,45 @@ class ExtensionsSpec extends SparkSpec {
       .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
     assert(gum2 != gum, "seed must move the resample")
   }
+
+  test("dsir KL diagnostic: non-negative, drift-ordered, bit-stable") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf001)
+    val kl = TextAnalysis.dsirKlOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every source with grams appears exactly once, KL >= 0 (Gibbs +
+    // the portable clamp), evidence counts populated
+    assert(kl.map(_._1).distinct.length == kl.length)
+    assert(kl.forall(_._3 >= 0L), s"negative KL: ${kl.filter(_._3 < 0).toSeq}")
+    assert(kl.forall(_._2 > 0L), "a zero-gram source leaked into the output")
+    // on the shared-vocabulary driver corpus every source sits at the
+    // smoothing noise floor (~B/2N nats) — well under 1 nat; the
+    // ORDERING law needs real drift and is pinned on the synthetic
+    // corpus below
+    assert(kl.forall(_._3 < 1000000L),
+      s"KL above 1 nat on a same-distribution corpus: ${kl.toSeq}")
+    // integer law: bit-stable across independent plans
+    val again = TextAnalysis.dsirKlOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(kl.forall(t => again(t._1) == t._3),
+      "kl_micro differed across runs — the integer law leaked floats")
+    // drift detection law: a pool source with DISJOINT vocabulary
+    // reads far above same-distribution sources (common text for
+    // src0..src3 — targets and pool alike — vs 30 unseen words for
+    // srcdrift; texts long enough that data, not the +1 smoothing,
+    // carries the distributions)
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val drift = (1 to 30).map(i => s"z$i").mkString(" ")
+    def rep4(s: String) = Seq.fill(4)(s).mkString(" ")
+    val synth = (
+      (1L to 40L).map(i => (i, s"src${i % 4}", rep4(common))) ++
+        (41L to 50L).map(i => (i, "srcdrift", rep4(drift)))
+      ).toDF("doc_id", "source", "text")
+    val sk = TextAnalysis.dsirKlOn(synth).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val others = (sk - "srcdrift").values
+    assert(sk("srcdrift") > 2 * others.max,
+      s"disjoint-vocabulary source must dominate: $sk")
+  }
 }
