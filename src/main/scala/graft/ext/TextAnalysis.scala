@@ -2769,7 +2769,10 @@ object TextAnalysis {
       .localCheckpoint(true)
     val qByF = sByF.filter(!isTgt).groupBy(col("f"))
       .agg(sum(col("c_s")).as("c_q"))
-    val qTot = sByF.filter(!isTgt).agg(sum(col("c_s")).as("cq_tot"))
+    // coalesce: sum over an EMPTY pool (all-target corpus) is NULL in
+    // Spark but the twin's count(*) is 0 — pin the degenerate case
+    val qTot = sByF.filter(!isTgt)
+      .agg(coalesce(sum(col("c_s")), lit(0L)).as("cq_tot"))
     val sTot = sByF.groupBy(col("source")).agg(sum(col("c_s")).as("cs_tot"))
     val spine = sTot.crossJoin(spark.range(DsirBuckets).toDF("f"))
     spine

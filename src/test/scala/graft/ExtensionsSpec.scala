@@ -1727,5 +1727,14 @@ class ExtensionsSpec extends SparkSpec {
     val others = (sk - "srcdrift").values
     assert(sk("srcdrift") > 2 * others.max,
       s"disjoint-vocabulary source must dominate: $sk")
+    // degenerate all-target corpus: the pool is EMPTY, q̂ is pure
+    // smoothing — the Spark side must coalesce the NULL sum to the
+    // twin's count(*) = 0, never emit NULL KLs
+    val allTgt = (1L to 10L).map(i => (i, s"src${i % 2}", rep4(common)))
+      .toDF("doc_id", "source", "text")
+    val dk = TextAnalysis.dsirKlOn(allTgt).collect()
+      .map(r => (r.getString(0), r.isNullAt(2), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    assert(dk.length == 2 && dk.forall(t => !t._2 && t._3 >= 0L),
+      s"empty-pool KL must be non-null and non-negative: ${dk.toSeq}")
   }
 }
