@@ -2756,23 +2756,33 @@ object TextAnalysis {
     * |sources|·B keys, the q side broadcast back, a |sources|·B-row
     * dense spine — the [[dsirLogRatios]] posture, no per-doc state. */
   def dsirKlOn(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    graft.functions.IlogMicro.register(spark)
     val isTgt = col("source").isin(DsirTargetSources: _*)
-    val b = lit(DsirBuckets.toLong)
     // ONE corpus pass: the (source, f) partial-agg shuffle (≤
     // |sources|·B keys, map-side combined); the q side, both totals
     // and the spine all derive from this tiny checkpointed frame —
     // never re-scan or materialize the exploded gram stream.
-    val sByF = dsirGrams(documents)
-      .groupBy(col("source"), col("f")).agg(count(lit(1)).as("c_s"))
-      .localCheckpoint(true)
+    val sByF = dsirSourceCounts(documents).localCheckpoint(true)
     val qByF = sByF.filter(!isTgt).groupBy(col("f"))
       .agg(sum(col("c_s")).as("c_q"))
     // coalesce: sum over an EMPTY pool (all-target corpus) is NULL in
     // Spark but the twin's count(*) is 0 — pin the degenerate case
     val qTot = sByF.filter(!isTgt)
       .agg(coalesce(sum(col("c_s")), lit(0L)).as("cq_tot"))
+    dsirKlAgainst(sByF, qByF, qTot)
+  }
+
+  /** The KL law proper, over PRECOMPUTED (source, f) counts and a q
+    * model — ONE implementation for the batch diagnostic (q derived
+    * from the same corpus's pool) and the streaming drift monitor
+    * ([[graft.streaming.StreamDrift]]: q frozen at fit time), so the
+    * two can never diverge. `sByF` (source, f, c_s) must carry only
+    * sources with evidence; `qByF` (f, c_q) may be sparse (absent
+    * buckets smooth as 0); `qTot` is one non-null (cq_tot) row. */
+  private[graft] def dsirKlAgainst(sByF: DataFrame, qByF: DataFrame,
+      qTot: DataFrame): DataFrame = {
+    val spark = sByF.sparkSession
+    graft.functions.IlogMicro.register(spark)
+    val b = lit(DsirBuckets.toLong)
     val sTot = sByF.groupBy(col("source")).agg(sum(col("c_s")).as("cs_tot"))
     val spine = sTot.crossJoin(spark.range(DsirBuckets).toDF("f"))
     spine
@@ -2789,6 +2799,53 @@ object TextAnalysis {
       .select(col("source"), col("cs_tot").as("n_grams"),
         expr(s"CAST(greatest(num, CAST(0 AS DECIMAL(38,0))) DIV " +
           s"(cs_tot + $DsirBuckets) AS BIGINT)").as("kl_micro"))
+  }
+
+  /** Per-(source, f) gram counts — the streaming drift monitor's
+    * per-batch delta and the frozen-model fit both reduce to this. */
+  private[graft] def dsirSourceCounts(documents: DataFrame): DataFrame =
+    dsirGrams(documents)
+      .groupBy(col("source"), col("f")).agg(count(lit(1)).as("c_s"))
+
+  /** DuckDB twin of `StreamDrift.dsirKlStreamed` (registry
+    * `d_dsir_kl_streamed`): each wave's running KL re-derived from
+    * CUMULATIVE wave-prefix counts against the frozen full-corpus
+    * pool q — pins the streaming count accumulation to the batch law
+    * wave for wave. */
+  val dsirKlStreamedSql: String = {
+    import graft.functions.IlogMicro.duckDbSql
+    s"""WITH $dsirGramCtes,
+       |gw AS (SELECT source, f, CAST((doc_id // 20) % 4 AS INT) AS wave
+       |       FROM grams),
+       |q AS (SELECT f, count(*) AS c_q FROM grams
+       |      WHERE source NOT IN ($dsirTargetsSql) GROUP BY 1),
+       |qt AS (SELECT count(*) AS cq_tot FROM grams
+       |       WHERE source NOT IN ($dsirTargetsSql)),
+       |wv AS (SELECT CAST(range AS INT) AS wave FROM range(0, 4)),
+       |cum AS (SELECT wv.wave, g.source, g.f, count(*) AS c_s
+       |        FROM gw g JOIN wv ON g.wave <= wv.wave GROUP BY 1, 2, 3),
+       |st AS (SELECT wave, source, CAST(sum(c_s) AS BIGINT) AS cs_tot
+       |       FROM cum GROUP BY 1, 2),
+       |spine AS (SELECT st.wave, st.source, st.cs_tot,
+       |                 CAST(range AS BIGINT) AS f
+       |          FROM st, range(0, $DsirBuckets)),
+       |terms AS (
+       |  SELECT spine.wave, spine.source, spine.cs_tot,
+       |    CAST(COALESCE(c_s, 0) + 1 AS HUGEINT) *
+       |      (${duckDbSql("COALESCE(c_s, 0) + 1")}
+       |       - ${duckDbSql(s"cs_tot + $DsirBuckets")}
+       |       - ${duckDbSql("COALESCE(c_q, 0) + 1")}
+       |       + ${duckDbSql(s"cq_tot + $DsirBuckets")}) AS term
+       |  FROM spine LEFT JOIN cum ON spine.wave = cum.wave
+       |                          AND spine.source = cum.source
+       |                          AND spine.f = cum.f
+       |             LEFT JOIN q ON spine.f = q.f, qt),
+       |agg AS (SELECT wave, source, cs_tot AS n_grams, sum(term) AS num
+       |        FROM terms GROUP BY 1, 2, 3)
+       |SELECT wave, source, n_grams,
+       |  CAST(GREATEST(num, 0) // (n_grams + $DsirBuckets) AS BIGINT)
+       |    AS kl_micro
+       |FROM agg ORDER BY wave, source""".stripMargin
   }
 
   /** DuckDB twin of [[dsirKlOn]] — same integer recurrence, HUGEINT
