@@ -168,11 +168,19 @@ object ScaleUpBench {
     * claim in StreamDsir's scaladoc, gated by a full recomputed-key
     * equality + independent top-k re-rank of the final store. */
   private val dsirServeProbe: Boolean = queries.contains("d_dsir_serve")
+
+  /** `d_drift_serve` measures `StreamDrift`: untimed model fit +
+    * whole-xK corpus fed as batch 0 + fold compaction, then the median
+    * per-batch latency of a FIXED 250-doc batch against the K×-grown
+    * accumulated counts — the O(batch + |sources|·B) claim in
+    * StreamDrift's scaladoc, gated by snapshot equality against the
+    * batch KL law over the independently reconstructed corpus. */
+  private val driftServeProbe: Boolean = queries.contains("d_drift_serve")
   private val probeQueries: Seq[String] =
     queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
       q == "d_dedup_serve_pruned" || q == "d_mix_serve" ||
       q == "d_dedup_serve_full" || q == "d_mix_tokens_serve" ||
-      q == "e_ann_add" || q == "d_dsir_serve")
+      q == "e_ann_add" || q == "d_dsir_serve" || q == "d_drift_serve")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -829,6 +837,54 @@ object ScaleUpBench {
     }
     lazy val dsirX1 = dsirServe(s"$out/x1", "scup_ds_x1")
 
+    /** (store build sec, per-batch serve sec median, snapshot rows of
+      * the final timed batch) for the drift-monitor probe — see
+      * [[driftServeProbe]]. */
+    def driftServe(dir: String, pfx: String): (Double, Double, Long) = {
+      import graft.streaming.StreamDrift
+      import graft.ext.TextAnalysis
+      Seq("model", "counts", "applied").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val t0 = System.nanoTime()
+      StreamDrift.modelWrite(spark, pfx, docs)
+      StreamDrift.processBatch(spark, pfx, docs, 0L).count(): Unit
+      StreamDrift.compactStore(spark, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val base = docs.filter(col("doc_id") < 250).localCheckpoint(true)
+      def probeBatch(b: Long): DataFrame = base.select(
+        (col("doc_id") + lit(1000000000000L + b * 1000000L)).as("doc_id"),
+        col("source"), col("text"))
+      var nextB = 1L
+      var lastRows = 0L
+      val serve = Bench.timeQuery((s, _) => {
+        val b = nextB; nextB += 1
+        val d = StreamDrift.processBatch(s, pfx, probeBatch(b), b)
+        lastRows = d.count()
+        d
+      }, spark, dir, runs).median
+      // law gate (untimed): the running snapshot equals the batch KL
+      // law over the INDEPENDENTLY reconstructed corpus (replica +
+      // every probe batch) against the frozen q — count-preserving,
+      // so lost or doubled deltas cannot pass
+      val lawDocs = (1L until nextB).map(probeBatch)
+        .foldLeft(docs)(_ unionByName _)
+      val m = spark.table(s"${pfx}_model")
+      val law = TextAnalysis.dsirKlAgainst(
+        TextAnalysis.dsirSourceCounts(lawDocs).localCheckpoint(true),
+        m.select(col("f"), col("c_q")),
+        m.agg(coalesce(sum(col("c_q")), lit(0L)).as("cq_tot")))
+      val got = StreamDrift.currentDrift(spark, pfx)
+      val diff = got.exceptAll(law).unionByName(law.exceptAll(got))
+        .limit(1).count()
+      require(diff == 0L,
+        s"drift-serve probe: running snapshot diverges from the batch " +
+          "KL law over the reconstructed corpus")
+      (build, serve, lastRows)
+    }
+    lazy val driftX1 = driftServe(s"$out/x1", "scup_dr_x1")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -934,7 +990,12 @@ object ScaleUpBench {
         val (bk, sk, tk, ek, ssk, sek) = dsirServe(s"$out/x$k", s"scup_ds_x$k")
         f""","dsir_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_changes":$t1,"x${k}_changes":$tk,"x1_evictions":$e1,"x${k}_evictions":$ek,"x1_storm_sec":$ss1%.4f,"x${k}_storm_sec":$ssk%.4f,"x1_storm_evictions":$se1,"x${k}_storm_evictions":$sek}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson}"""
+      val driftJson = if (!driftServeProbe) "" else {
+        val (b1, s1, r1) = driftX1
+        val (bk, sk, rk) = driftServe(s"$out/x$k", s"scup_dr_x$k")
+        f""","drift_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_rows":$r1,"x${k}_rows":$rk}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson$driftJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
