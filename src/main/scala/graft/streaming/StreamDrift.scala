@@ -55,7 +55,18 @@ object StreamDrift {
   private[graft] def countsT(prefix: String) = s"${prefix}_counts"
   private[graft] def appliedT(prefix: String) = s"${prefix}_applied"
 
+  private def stageT(prefix: String) = s"${countsT(prefix)}_compact_stage"
+
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
+    // half-swap recovery FIRST (the TableOps.compactTable drop+RENAME
+    // caveat, closed here rather than documented away: a death between
+    // the fold's drop and rename leaves the staging table holding the
+    // ONLY copy, and without this re-point the CREATE below would
+    // materialize an empty counts table that the next compactStore
+    // folds — discarding the staged copy it starts by dropping)
+    if (!spark.catalog.tableExists(countsT(prefix)) &&
+        spark.catalog.tableExists(stageT(prefix)))
+      spark.sql(s"ALTER TABLE ${stageT(prefix)} RENAME TO ${countsT(prefix)}")
     // residue-proof across JVMs (TableOps.ensureFreshLocation contract)
     Seq(countsT(prefix), appliedT(prefix))
       .foreach(graft.sources.TableOps.ensureFreshLocation(spark, _))
@@ -198,7 +209,7 @@ object StreamDrift {
       .groupBy(col("source"), col("f")).agg(sum(col("c_s")).as("c_s"))
       .withColumn("batch_id", lit(maxApplied.getLong(0)))
       .select(col("source"), col("f"), col("c_s"), col("batch_id"))
-    val staging = s"${countsT(prefix)}_compact_stage"
+    val staging = stageT(prefix)
     graft.sources.TableOps.dropWithLocation(spark, staging)
     folded.coalesce(1).sortWithinPartitions("source", "f")
       .write.saveAsTable(staging)

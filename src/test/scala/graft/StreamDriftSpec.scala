@@ -151,6 +151,24 @@ class StreamDriftSpec extends SparkSpec {
     dropStore("drf_cp")
   }
 
+  test("a half-swapped fold (counts dropped, stage not renamed) recovers on ensureStore") {
+    dropStore("drf_hs")
+    StreamDrift.modelWrite(spark, "drf_hs", Tables.documents(spark, sf001))
+    val w0 = wavedDocs.filter(col("wave") === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    rowsOf(StreamDrift.processBatch(spark, "drf_hs", w0, 0L)): Unit
+    val before = rowsOf(StreamDrift.currentDrift(spark, "drf_hs"))
+    // simulate a death between compactStore's drop and rename: the
+    // staged copy is the ONLY copy
+    spark.table("drf_hs_counts").write.saveAsTable("drf_hs_counts_compact_stage")
+    graft.sources.TableOps.dropWithLocation(spark, "drf_hs_counts")
+    StreamDrift.ensureStore(spark, "drf_hs")
+    assert(rowsOf(StreamDrift.currentDrift(spark, "drf_hs")) == before,
+      "half-swap recovery lost the counts store")
+    assert(!spark.catalog.tableExists("drf_hs_counts_compact_stage"))
+    dropStore("drf_hs")
+  }
+
   test("refusals: missing model, ledger ahead of the batch; zero-gram batches are no-ops") {
     dropStore("drf_rf")
     import spark.implicits._
