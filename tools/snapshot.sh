@@ -50,7 +50,8 @@ SPARK_GRAFT_CPUS=16 sbt -batch \
   python3 tools/check.py /tmp/snap_v01 /root/testdata/sf0.01
 } > "CHECK_SF0.01_r${round}.txt"
 
-echo "[snapshot] 4/5 close-out gate"
+echo "[snapshot] 4/5 close-out gate (+ third-engine ilog law check)"
+python3 tools/ilog_check.py /tmp/snap_v01
 python3 tools/closeout.py "${round}"
 
 echo "[snapshot] 5/5 committing the attested tree"
