@@ -176,11 +176,37 @@ object ScaleUpBench {
     * StreamDrift's scaladoc, gated by snapshot equality against the
     * batch KL law over the independently reconstructed corpus. */
   private val driftServeProbe: Boolean = queries.contains("d_drift_serve")
+
+  /** `d_dsir_buckets` measures the BUCKET-CAPACITY remedy the r18 storm
+    * probe surfaced (SCALING.md "Known limit"): with B = 512 hash
+    * buckets, a 100×-replica corpus's 100 disjoint prefixed
+    * vocabularies saturate every bucket and wash the smoothed
+    * log-ratios toward 0 (the reason a fixed-amplification storm that
+    * displaces 81 docs at x1 displaces none at x100). The remedy is
+    * raising B into the DSIR paper's 10⁴–10⁶ range — dataflow
+    * unchanged. This probe computes the log-ratio model at
+    * B ∈ {512, 8192, 65536} over x1 and xK and reports mean/max |lr_u|
+    * (micro-nats) plus the count of informative buckets
+    * (|lr_u| ≥ 10⁵ = 0.1 nat): the datum is that xK magnitudes recover
+    * toward the x1 level as B grows, i.e. lr_u no longer collapses. */
+  private val dsirBucketsProbe: Boolean = queries.contains("d_dsir_buckets")
+
+  /** `d_dedup_bucketed_guard` asserts, per factor, the ONE invariant the
+    * bucketed dedup layout exists for: the recurring band pair join over
+    * the persisted bucketed band table plans with ZERO Exchange no
+    * matter how large the corpus grew (ScaleToolsSpec pins this at gate
+    * scale; this probe re-asserts it against the xK replica, where AQE
+    * has the most reason to re-plan). Records the Exchange count (must
+    * be 0) and whether the join is the bucketed SortMergeJoin. */
+  private val dedupBucketedGuardProbe: Boolean =
+    queries.contains("d_dedup_bucketed_guard")
+
   private val probeQueries: Seq[String] =
     queries.filterNot(q => q == "e_ann_serve" || q == "d_dedup_serve" ||
       q == "d_dedup_serve_pruned" || q == "d_mix_serve" ||
       q == "d_dedup_serve_full" || q == "d_mix_tokens_serve" ||
-      q == "e_ann_add" || q == "d_dsir_serve" || q == "d_drift_serve")
+      q == "e_ann_add" || q == "d_dsir_serve" || q == "d_drift_serve" ||
+      q == "d_dsir_buckets" || q == "d_dedup_bucketed_guard")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -885,6 +911,45 @@ object ScaleUpBench {
     }
     lazy val driftX1 = driftServe(s"$out/x1", "scup_dr_x1")
 
+    /** Per-B log-ratio magnitude stats for [[dsirBucketsProbe]]:
+      * (B, mean |lr_u| micro-nats, max |lr_u|, buckets with
+      * |lr_u| >= 1e5). One bounded-key aggregate pass per B — the same
+      * dataflow the weight family runs, just wider spines. */
+    def dsirBucketStats(dir: String): Seq[(Int, Double, Long, Long)] = {
+      import graft.ext.TextAnalysis
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      Seq(512, 8192, 65536).map { b =>
+        val lr = TextAnalysis.dsirLogRatios(
+          TextAnalysis.dsirGrams(docs, b), b)
+        val r = lr.agg(
+          avg(abs(col("lr_u"))), max(abs(col("lr_u"))),
+          sum(when(abs(col("lr_u")) >= 100000L, 1L).otherwise(0L))).head()
+        System.err.println(f"[scaleup] dsir-buckets $dir B=$b " +
+          f"mean|lr_u|=${r.getDouble(0)}%.1f max=${r.getLong(1)} " +
+          f"informative=${r.getLong(2)}")
+        (b, r.getDouble(0), r.getLong(1), r.getLong(2))
+      }
+    }
+    lazy val dsirBucketsX1 = dsirBucketStats(s"$out/x1")
+
+    /** (exchange count in the bucketed pair-join plan, SMJ present) for
+      * [[dedupBucketedGuardProbe]] — store build untimed, plan asserted. */
+    def dedupBucketedGuard(dir: String, table: String): (Int, Boolean) = {
+      import graft.ext.Dedup
+      val docs = Tables.table(spark, dir, "documents")
+      val pairs = Dedup.bandPairsBucketed(spark, docs, table = table)
+      pairs.queryExecution.toRdd.count(): Unit
+      val plan = pairs.queryExecution.executedPlan.treeString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      val smj = plan.contains("SortMergeJoin")
+      require(exchanges == 0,
+        s"bucketed band pair join gained $exchanges Exchange(s) at $dir:\n" +
+          plan.linesIterator.take(30).mkString("\n"))
+      (exchanges, smj)
+    }
+    lazy val dedupGuardX1 = dedupBucketedGuard(s"$out/x1", "scup_bg_x1_bands")
+
     val x1 = sweep(s"$out/x1")
     val x1Shapes = shapes(s"$out/x1")
     def j(pairs: Seq[(String, Double)]): String =
@@ -995,7 +1060,26 @@ object ScaleUpBench {
         val (bk, sk, rk) = driftServe(s"$out/x$k", s"scup_dr_x$k")
         f""","drift_serve":{"x1_build_sec":$b1%.4f,"x${k}_build_sec":$bk%.4f,"x1_serve_sec":$s1%.4f,"x${k}_serve_sec":$sk%.4f,"build_ratio":${if (b1 > 0) bk / b1 else -1.0}%.4f,"serve_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_rows":$r1,"x${k}_rows":$rk}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson$driftJson}"""
+      val dedupGuardJson = if (!dedupBucketedGuardProbe) "" else {
+        val (e1, s1) = dedupGuardX1
+        val (ek, sk) = dedupBucketedGuard(s"$out/x$k", s"scup_bg_x${k}_bands")
+        s""","dedup_bucketed_guard":{"x1_exchanges":$e1,"x${k}_exchanges":$ek,"x1_smj":$s1,"x${k}_smj":$sk}"""
+      }
+      val dsirBJson = if (!dsirBucketsProbe) "" else {
+        val xkStats = dsirBucketStats(s"$out/x$k")
+        def sect(stats: Seq[(Int, Double, Long, Long)]): String =
+          stats.map { case (b, mean, mx, inf) =>
+            f""""b$b":{"mean_abs_lr_u":$mean%.1f,"max_abs_lr_u":$mx,"informative_buckets":$inf}"""
+          }.mkString("{", ",", "}")
+        // recovery = xK mean|lr_u| at the widest B over the x1 mean at
+        // the registry's B=512 — 1.0 means the remedy fully restores
+        // the x1 signal level against a Kx-grown disjoint vocabulary
+        val x1At512 = dsirBucketsX1.head._2
+        val xkWidest = xkStats.last._2
+        val recovery = if (x1At512 > 0) xkWidest / x1At512 else -1.0
+        f""","dsir_buckets":{"x1":${sect(dsirBucketsX1)},"x$k":${sect(xkStats)},"recovery_vs_x1_b512":$recovery%.4f}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson$driftJson$dedupGuardJson$dsirBJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -1028,6 +1112,8 @@ object ScaleUpBench {
       if (dsirServeProbe)
         Seq("model", "scores", "thr", "ledger").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_ds_${fx}_$t"): Unit)
+      if (dedupBucketedGuardProbe)
+        spark.sql(s"DROP TABLE IF EXISTS scup_bg_${fx}_bands"): Unit
     }
     spark.stop()
   }

@@ -2123,7 +2123,13 @@ object TextAnalysis {
     * one tiny broadcast aggregate + one rank window, and a daily job
     * would run ONE re-quota over the accumulated corpus (the four here
     * replay a whole arrival history for the oracle); the final
-    * per-doc_id assembly joins are co-partitioned on doc_id. */
+    * per-doc_id assembly joins are co-partitioned on doc_id.
+    *
+    * Wave-law precondition (here and in every `(doc_id // 20) % 4`
+    * twin below, plus StreamDsir/StreamDrift): doc_id >= 0. Spark's
+    * `pmod(doc_id DIV 20, 4)` truncates-then-wraps while DuckDB's
+    * `//`/`%` floor-then-sign-follow, so the two laws agree only on
+    * non-negative ids; generated doc_ids are sequential naturals. */
   def corpusMixIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("wave",
@@ -2442,7 +2448,21 @@ object TextAnalysis {
   // TakeOrderedAndProject top-k — no global window, no all-pairs, no
   // driver state beyond two scalar totals.
 
-  private[graft] val DsirBuckets = 512
+  /** Hashed-feature bucket count B. 512 suits the gate-scale corpora;
+    * real 100 TB deployments raise B into the 10⁴–10⁶ range of the DSIR
+    * paper (Xie et al. 2023) as distinct-gram vocabulary grows — the
+    * dataflow is unchanged (bounded-key aggregates, a B-row broadcast
+    * model, the same integer log), only the broadcast model and the KL
+    * spine grow linearly in B. Env-overridable so a deployment retunes
+    * the WHOLE family in one place: every oracle CTE interpolates this
+    * same val, so retuning cannot desynchronize the twins; the scale
+    * probe (`d_dsir_buckets` in [[graft.ScaleUpBench]]) instead passes
+    * explicit `buckets` arguments to compare several B in one JVM. */
+  private[graft] val DsirBuckets: Int =
+    sys.env.get("SPARK_GRAFT_DSIR_BUCKETS").map(_.toInt).getOrElse(512)
+  /** The scale-remedy bucket count `d_dsir_weights_wide` runs (and
+    * oracles) the weight law at — low end of the paper's range. */
+  private[graft] val DsirWideBuckets = 8192
   private[graft] val DsirK = 100
   private[graft] val DsirTargetSources = Seq("src0", "src1")
   // interpolated into the oracle CTEs like DsirBuckets/DsirK, so
@@ -2463,7 +2483,8 @@ object TextAnalysis {
     * exclude them from the pool while `otherwise`-counting them into
     * the raw model q — silently diverging from the oracle twins, whose
     * `IN`/`NOT IN` predicates both drop NULL. */
-  private[graft] def dsirGrams(documents: DataFrame): DataFrame = {
+  private[graft] def dsirGrams(documents: DataFrame,
+      buckets: Int = DsirBuckets): DataFrame = {
     graft.functions.Md5Prefix60.register(documents.sparkSession)
     documents
       .filter(col("source").isNotNull)
@@ -2476,7 +2497,7 @@ object TextAnalysis {
           |       ELSE CAST(array() AS array<string>) END)""".stripMargin)).as("g"))
       .filter(length(col("g")) > 0)
       .select(col("doc_id"), col("source"),
-        expr(s"md5_prefix60(g) % $DsirBuckets").as("f"))
+        expr(s"md5_prefix60(g) % $buckets").as("f"))
   }
 
   /** The one logarithm of the family — [[graft.functions.IlogMicro]]
@@ -2489,7 +2510,8 @@ object TextAnalysis {
     * with [[graft.functions.IlogMicro]]'s integer recurrence, so the
     * law never touches libm. B rows — pinned and broadcast to the
     * per-doc join. */
-  private def dsirLogRatios(grams: DataFrame): DataFrame = {
+  private[graft] def dsirLogRatios(grams: DataFrame,
+      buckets: Int = DsirBuckets): DataFrame = {
     val spark = grams.sparkSession
     graft.functions.IlogMicro.register(spark)
     val isTgt = col("source").isin(DsirTargetSources: _*)
@@ -2497,8 +2519,8 @@ object TextAnalysis {
       sum(when(isTgt, 1L).otherwise(0L)).as("c_t"),
       sum(when(isTgt, 0L).otherwise(1L)).as("c_r"))
     val tot = byF.agg(sum(col("c_t")).as("ct_tot"), sum(col("c_r")).as("cr_tot"))
-    val b = lit(DsirBuckets.toLong)
-    spark.range(DsirBuckets).toDF("f")
+    val b = lit(buckets.toLong)
+    spark.range(buckets).toDF("f")
       .join(byF, Seq("f"), "left")
       .na.fill(0L, Seq("c_t", "c_r"))
       .crossJoin(broadcast(tot))
@@ -2510,9 +2532,10 @@ object TextAnalysis {
 
   /** Raw-pool doc weights in micro-nats (exact BIGINT): (doc_id,
     * w_micro). Target-domain docs are the model, not candidates. */
-  private def dsirWeightFrame(documents: DataFrame): DataFrame = {
-    val grams = dsirGrams(documents)
-    val lr = dsirLogRatios(grams)
+  private def dsirWeightFrame(documents: DataFrame,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val grams = dsirGrams(documents, buckets)
+    val lr = dsirLogRatios(grams, buckets)
     dsirWeightsAgainst(
       grams.filter(!col("source").isin(DsirTargetSources: _*)), lr)
   }
@@ -2577,14 +2600,27 @@ object TextAnalysis {
     * and the final join both read the materialized frame instead of
     * re-running the dominant subtree twice (the r17 doubled-plan
     * finding). */
-  def dsirWeightsOn(documents: DataFrame): DataFrame = {
-    val w = dsirWeightFrame(documents).localCheckpoint(true)
+  def dsirWeightsOn(documents: DataFrame,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val w = dsirWeightFrame(documents, buckets).localCheckpoint(true)
     val topk = w.orderBy(col("w_micro").desc, col("doc_id"))
       .limit(DsirK).select(col("doc_id"), lit(true).as("selected"))
     w.join(broadcast(topk), Seq("doc_id"), "left")
       .select(col("doc_id"), col("w_micro"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** `d_dsir_weights_wide`: the SAME weight law at the 100 TB bucket
+    * count — B = [[DsirWideBuckets]] instead of the gate-scale 512 —
+    * proving the capacity remedy SCALING.md documents (wider B stops
+    * lr_u washing out as vocabulary grows) stays twin-synchronized: the
+    * oracle interpolates the identical B into the identical CTEs, so
+    * the driver hash pins the parameterized dataflow, not just the
+    * default constant. Plan shape is unchanged (bounded-key aggregates,
+    * a B-row broadcast, TakeOrderedAndProject); only the broadcast
+    * model and the bucket spine grow with B. */
+  def dsirWeightsWide(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsOn(Tables.documents(spark, sfDir), DsirWideBuckets)
 
   def dsirResample(spark: SparkSession, sfDir: String): DataFrame =
     dsirResampleOn(Tables.documents(spark, sfDir), "dsir42")
@@ -2612,8 +2648,8 @@ object TextAnalysis {
   /** Hashed-gram oracle CTEs (`grams`: doc_id, source, f) — the DuckDB
     * replay of [[dsirGrams]]: md5 60-bit idiom, NULL sources and empty
     * grams filtered like the Spark side. Shared by the weight CTEs and
-    * the KL diagnostic. */
-  private val dsirGramCtes: String =
+    * the KL diagnostic. `b` mirrors [[dsirGrams]]'s `buckets`. */
+  private def dsirGramCtes(b: Int = DsirBuckets): String =
     s"""tl AS (SELECT doc_id, source, string_split(text, ' ') AS tokens
        |       FROM documents WHERE source IS NOT NULL),
        |uni AS (SELECT doc_id, source, unnest(tokens) AS g FROM tl),
@@ -2627,7 +2663,7 @@ object TextAnalysis {
        |    list_reduce(list_transform(range(0, 15),
        |      p -> CAST(strpos('0123456789abcdef',
        |             substr(md5(g), CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)),
-       |      (a, b) -> a * 16 + b) % $DsirBuckets AS f
+       |      (a, b) -> a * 16 + b) % $b AS f
        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
        |  WHERE len(g) > 0)""".stripMargin
 
@@ -2635,26 +2671,26 @@ object TextAnalysis {
     * via the [[graft.functions.IlogMicro]] integer recurrence (the
     * oracle evaluates only integer ops — no libm anywhere in the law),
     * exact per-doc BIGINT weights. */
-  private val dsirWeightCtes: String = {
+  private def dsirWeightCtes(b: Int = DsirBuckets): String = {
     import graft.functions.IlogMicro.duckDbSql
-    s"""$dsirGramCtes,
+    s"""${dsirGramCtes(b)},
        |tgt AS (SELECT * FROM grams WHERE source IN ($dsirTargetsSql)),
        |raw AS (SELECT * FROM grams WHERE source NOT IN ($dsirTargetsSql)),
        |ct AS (SELECT f, count(*) AS c_t FROM tgt GROUP BY 1),
        |cr AS (SELECT f, count(*) AS c_r FROM raw GROUP BY 1),
        |tot AS (SELECT (SELECT count(*) FROM tgt) AS ct_tot,
        |               (SELECT count(*) FROM raw) AS cr_tot),
-       |spine AS (SELECT CAST(range AS BIGINT) AS f FROM range(0, $DsirBuckets)),
+       |spine AS (SELECT CAST(range AS BIGINT) AS f FROM range(0, $b)),
        |lr AS (
        |  SELECT spine.f,
        |    ${duckDbSql("COALESCE(c_t, 0) + 1")}
-       |    - ${duckDbSql(s"ct_tot + $DsirBuckets")}
+       |    - ${duckDbSql(s"ct_tot + $b")}
        |    - ${duckDbSql("COALESCE(c_r, 0) + 1")}
-       |    + ${duckDbSql(s"cr_tot + $DsirBuckets")} AS lr_u
+       |    + ${duckDbSql(s"cr_tot + $b")} AS lr_u
        |  FROM spine LEFT JOIN ct ON spine.f = ct.f
        |             LEFT JOIN cr ON spine.f = cr.f, tot),
        |docf AS (SELECT doc_id, f, count(*) AS c FROM raw GROUP BY 1, 2),
-       |w AS (SELECT doc_id, sum(c * lr_u) AS w_micro
+       |w AS (SELECT doc_id, CAST(sum(c * lr_u) AS BIGINT) AS w_micro
        |      FROM docf JOIN lr ON docf.f = lr.f GROUP BY 1)""".stripMargin
   }
 
@@ -2676,18 +2712,24 @@ object TextAnalysis {
        |                  ${I.Ilog2Pow61} - ${I.duckDbSql("2 * h + 1")}) AS a_u
        |       FROM gh),
        |gk AS (SELECT doc_id, w_micro,
-       |         w_micro + (${I.Ilog1e6} - ${I.duckDbSql("a_u")}) AS gkey
+       |         CAST(w_micro + (${I.Ilog1e6} - ${I.duckDbSql("a_u")})
+       |              AS BIGINT) AS gkey
        |       FROM ga)""".stripMargin
   }
 
-  val dsirWeightsSql: String =
-    s"""WITH $dsirWeightCtes,
+  /** Weight-law oracle at bucket count `b` — `d_dsir_weights` uses the
+    * default, `d_dsir_weights_wide` the [[DsirWideBuckets]] remedy. */
+  def dsirWeightsSqlAt(b: Int): String =
+    s"""WITH ${dsirWeightCtes(b)},
        |sel AS (SELECT doc_id FROM w
        |        ORDER BY w_micro DESC, doc_id LIMIT $DsirK)
        |SELECT w.doc_id, w_micro,
        |       (sel.doc_id IS NOT NULL) AS selected
        |FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
        |ORDER BY w.doc_id""".stripMargin
+
+  val dsirWeightsSql: String = dsirWeightsSqlAt(DsirBuckets)
+  val dsirWeightsWideSql: String = dsirWeightsSqlAt(DsirWideBuckets)
 
   /** Oracle for the streaming selector's 4-wave replay twin
     * (`graft.streaming.StreamDsir.dsirStreamed`): the running
@@ -2703,7 +2745,7 @@ object TextAnalysis {
       s"""s$j AS (SELECT doc_id FROM gw WHERE wave <= $j
          |        ORDER BY gkey DESC, doc_id LIMIT $DsirK)""".stripMargin)
       .mkString(",\n")
-    s"""WITH $dsirWeightCtes,
+    s"""WITH ${dsirWeightCtes()},
        |${dsirGumbelCtes("dsir42")},
        |gw AS (SELECT doc_id, gkey,
        |         CAST((doc_id // 20) % 4 AS INT) AS wave FROM gk),
@@ -2719,7 +2761,7 @@ object TextAnalysis {
   }
 
   val dsirResampleSql: String =
-    s"""WITH $dsirWeightCtes,
+    s"""WITH ${dsirWeightCtes()},
        |${dsirGumbelCtes("dsir42")},
        |sel AS (SELECT doc_id FROM gk
        |        ORDER BY gkey DESC, doc_id LIMIT $DsirK)
@@ -2811,10 +2853,11 @@ object TextAnalysis {
     * `d_dsir_kl_streamed`): each wave's running KL re-derived from
     * CUMULATIVE wave-prefix counts against the frozen full-corpus
     * pool q — pins the streaming count accumulation to the batch law
-    * wave for wave. */
+    * wave for wave. Wave law assumes doc_id >= 0 (see
+    * [[corpusMixIncr]]'s precondition note). */
   val dsirKlStreamedSql: String = {
     import graft.functions.IlogMicro.duckDbSql
-    s"""WITH $dsirGramCtes,
+    s"""WITH ${dsirGramCtes()},
        |gw AS (SELECT source, f, CAST((doc_id // 20) % 4 AS INT) AS wave
        |       FROM grams),
        |q AS (SELECT f, count(*) AS c_q FROM grams
@@ -2852,7 +2895,7 @@ object TextAnalysis {
     * sums (exact, like the Spark side's DECIMAL(38,0)). */
   val dsirKlSql: String = {
     import graft.functions.IlogMicro.duckDbSql
-    s"""WITH $dsirGramCtes,
+    s"""WITH ${dsirGramCtes()},
        |q AS (SELECT f, count(*) AS c_q FROM grams
        |      WHERE source NOT IN ($dsirTargetsSql) GROUP BY 1),
        |qt AS (SELECT count(*) AS cq_tot FROM grams

@@ -42,7 +42,16 @@ object TableOps {
     * the catalog does not know the table but its managed location
     * exists on disk, delete the location BEFORE creating. No-op when
     * the table is cataloged (same-JVM reuse, or a persistent metastore
-    * that legitimately remembers the data). */
+    * that legitimately remembers the data).
+    *
+    * SCOPE: managed-location stores only — the callers are the
+    * streaming store prefixes, whose tables are always created managed
+    * at `warehouse/<name>`. An EXTERNAL (custom-location) table escapes
+    * this guard (its residue is not at the probed path and would be
+    * adopted by a later CREATE … LOCATION), and conversely an unrelated
+    * directory squatting at `warehouse/<name>` while the name is
+    * uncataloged is deleted. Do not route external tables through
+    * here; [[registerExternal]] is their reset path. */
   private[graft] def ensureFreshLocation(spark: SparkSession, name: String): Unit = {
     if (!spark.catalog.tableExists(name)) {
       val path = warehousePath(spark, name)

@@ -56,6 +56,8 @@ object StreamDrift {
   private[graft] def appliedT(prefix: String) = s"${prefix}_applied"
 
   private def stageT(prefix: String) = s"${countsT(prefix)}_compact_stage"
+  // TableOps.compactTable's default staging name for the applied ledger
+  private def appliedStageT(prefix: String) = s"${appliedT(prefix)}_compacting"
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
     // half-swap recovery FIRST (the TableOps.compactTable drop+RENAME
@@ -67,6 +69,16 @@ object StreamDrift {
     if (!spark.catalog.tableExists(countsT(prefix)) &&
         spark.catalog.tableExists(stageT(prefix)))
       spark.sql(s"ALTER TABLE ${stageT(prefix)} RENAME TO ${countsT(prefix)}")
+    // same window for the APPLIED ledger (compactStore compacts it via
+    // TableOps.compactTable): a death between ITS drop and rename would
+    // otherwise recreate the ledger empty below, and every historical
+    // counts row would be silently semi-joined out of all future
+    // snapshots — those batches are checkpoint-committed and never
+    // replay, so the baseline would be wrong without being loud
+    if (!spark.catalog.tableExists(appliedT(prefix)) &&
+        spark.catalog.tableExists(appliedStageT(prefix)))
+      spark.sql(
+        s"ALTER TABLE ${appliedStageT(prefix)} RENAME TO ${appliedT(prefix)}")
     // residue-proof across JVMs (TableOps.ensureFreshLocation contract)
     Seq(countsT(prefix), appliedT(prefix))
       .foreach(graft.sources.TableOps.ensureFreshLocation(spark, _))

@@ -1686,6 +1686,20 @@ class ExtensionsSpec extends SparkSpec {
     val gum2 = TextAnalysis.dsirResampleOn(docs, "dsir43").collect()
       .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
     assert(gum2 != gum, "seed must move the resample")
+    // the wide-B remedy (d_dsir_weights_wide) obeys the same laws:
+    // same pool, same k, top-k selection by its OWN weights — and the
+    // sparser buckets genuinely change the hash law (weights differ)
+    val ww = TextAnalysis.dsirWeightsOn(docs,
+        TextAnalysis.DsirWideBuckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(ww.map(_._1).toSet == w.map(_._1).toSet,
+      "wide-B changed the candidate pool — B must only move weights")
+    assert(ww.count(_._3) == math.min(100, ww.length))
+    val wideLaw = ww.sortBy(t => (-t._2, t._1)).take(100).map(_._1).toSet
+    assert(ww.forall(t => t._3 == wideLaw(t._1)),
+      "wide-B selected set != its own top-k law")
+    assert(ww.exists(t => again(t._1) != t._2),
+      "B=8192 produced identical weights to B=512 — parameter inert")
   }
 
   test("dsir KL diagnostic: non-negative, drift-ordered, bit-stable") {

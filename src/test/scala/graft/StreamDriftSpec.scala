@@ -169,6 +169,27 @@ class StreamDriftSpec extends SparkSpec {
     dropStore("drf_hs")
   }
 
+  test("a half-swapped APPLIED-ledger compaction recovers on ensureStore") {
+    dropStore("drf_ha")
+    StreamDrift.modelWrite(spark, "drf_ha", Tables.documents(spark, sf001))
+    val w0 = wavedDocs.filter(col("wave") === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    rowsOf(StreamDrift.processBatch(spark, "drf_ha", w0, 0L)): Unit
+    val before = rowsOf(StreamDrift.currentDrift(spark, "drf_ha"))
+    assert(before.nonEmpty, "fixture inert: empty snapshot")
+    // simulate a death between TableOps.compactTable's drop and rename
+    // on the applied ledger: the staged copy is the ONLY copy
+    spark.table("drf_ha_applied").write.saveAsTable("drf_ha_applied_compacting")
+    graft.sources.TableOps.dropWithLocation(spark, "drf_ha_applied")
+    StreamDrift.ensureStore(spark, "drf_ha")
+    assert(rowsOf(StreamDrift.currentDrift(spark, "drf_ha")) == before,
+      "applied-ledger half-swap recovery lost the ledger — historical " +
+        "counts were semi-joined out of the snapshot")
+    assert(!spark.catalog.tableExists("drf_ha_applied_compacting"))
+    dropStore("drf_ha")
+    graft.sources.TableOps.dropWithLocation(spark, "drf_ha_applied_compacting")
+  }
+
   test("refusals: missing model, ledger ahead of the batch; zero-gram batches are no-ops") {
     dropStore("drf_rf")
     import spark.implicits._

@@ -30,6 +30,28 @@ def main():
         with open(rows_only_path) as f:
             rows_only = set(json.load(f))
     n_pass = n_fail = 0
+    # Result-TYPE gate (r18 judge finding): the driver's hasher is
+    # type-sensitive (INT64 vs INT128 physical encoding) while the
+    # pandas value-compare below is type-erasing, so a DuckDB HUGEINT
+    # output column — e.g. an uncast sum(BIGINT) — passes every local
+    # value sweep yet hash-mismatches at the driver. Probe every
+    # oracle's OUTPUT types (relation plan only, no execution) and fail
+    # loudly. Internal CTE HUGEINTs are fine; only the final projection
+    # reaches the hasher.
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        try:
+            rel = con.sql(oracle[name])
+            bad = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                   if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        except Exception:
+            bad = []  # SQL errors surface as FAIL-sql in the main loop
+        if bad:
+            print(f"[FAIL-type] {name}: oracle output not driver-hashable "
+                  f"({', '.join(bad)}) — CAST the aggregate "
+                  f"(DuckDB sum(BIGINT) returns HUGEINT)")
+            n_fail += 1
     seen = set()
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
