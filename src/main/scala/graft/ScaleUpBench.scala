@@ -191,6 +191,22 @@ object ScaleUpBench {
     * toward the x1 level as B grows, i.e. lr_u no longer collapses. */
   private val dsirBucketsProbe: Boolean = queries.contains("d_dsir_buckets")
 
+  /** `d_dsir_storm_cal` runs the r18 eviction storm AT CORPUS-MATCHED B
+    * (round-20): SCALING.md §8b scopes the storm harness to
+    * corpus-matched B — wide B at gate scale flips every weight's sign
+    * and the adaptive amplification loop diverges — so until now the
+    * wide-B regime had no storm datum: the xK storm ran at the
+    * saturated registry B where the model itself is washed out and
+    * needed 512× amplification to displace anything. This probe picks
+    * B with [[graft.ext.TextAnalysis.dsirCalibratedBuckets]] (512 at
+    * x1, 65536 at the x100 replica), rebuilds the selector store at
+    * that B, and runs the identical adaptive storm. The datum: at
+    * matched B the storm's repeat factor stays at the x1 level (the
+    * model keeps its discrimination against the grown vocabulary) and
+    * displacing the standing top-k stays O(batch + k) flat. */
+  private val dsirStormCalProbe: Boolean =
+    queries.contains("d_dsir_storm_cal")
+
   /** `d_dedup_bucketed_guard` asserts, per factor, the ONE invariant the
     * bucketed dedup layout exists for: the recurring band pair join over
     * the persisted bucketed band table plans with ZERO Exchange no
@@ -206,7 +222,8 @@ object ScaleUpBench {
       q == "d_dedup_serve_pruned" || q == "d_mix_serve" ||
       q == "d_dedup_serve_full" || q == "d_mix_tokens_serve" ||
       q == "e_ann_add" || q == "d_dsir_serve" || q == "d_drift_serve" ||
-      q == "d_dsir_buckets" || q == "d_dedup_bucketed_guard")
+      q == "d_dsir_buckets" || q == "d_dedup_bucketed_guard" ||
+      q == "d_dsir_storm_cal")
 
   /** Operator-name sequence of the FINAL (post-AQE) physical plan of an
     * executed DataFrame: one token per tree line, tree-drawing and
@@ -933,6 +950,90 @@ object ScaleUpBench {
     }
     lazy val dsirBucketsX1 = dsirBucketStats(s"$out/x1")
 
+    /** [[dsirStormCalProbe]]: (calibrated B, storm repeat factor,
+      * storm seconds, evictions, store build seconds). Same store +
+      * adaptive-storm machinery as `dsirServe`, with B calibrated from
+      * the corpus and threaded through model fit, scoring, and the
+      * storm's own weight ranking. */
+    def dsirStormCal(dir: String, pfx: String)
+        : (Int, Int, Double, Long, Double) = {
+      import graft.streaming.StreamDsir
+      import graft.ext.TextAnalysis
+      Seq("model", "scores", "thr", "ledger").foreach(t =>
+        graft.sources.TableOps.dropWithLocation(spark, s"${pfx}_$t"))
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val calB = TextAnalysis.dsirCalibratedBuckets(docs)
+      System.err.println(s"[scaleup] dsir-storm-cal $dir: calibrated B=$calB")
+      val t0 = System.nanoTime()
+      StreamDsir.modelWrite(spark, pfx, docs, calB)
+      StreamDsir.processBatch(spark, pfx, docs, 0L, "dsrv42",
+        buckets = calB).count(): Unit
+      StreamDsir.compactStore(spark, pfx)
+      val build = (System.nanoTime() - t0) / 1e9
+      val tKey = spark.table(s"${pfx}_thr")
+        .orderBy(col("batch_id").desc).limit(1)
+        .select(col("t_key")).head().getLong(0)
+      val model = spark.table(s"${pfx}_model")
+      // identical adaptive amplification law to dsirServe's storm —
+      // double the repeat factor until the 2k-th ranked amplified
+      // weight clears the standing threshold under the worst Gumbel
+      // draw. At corpus-matched B the loop should terminate at the x1
+      // level instead of the saturated-model 512 cap.
+      def stormAt(rep: Int): (DataFrame, Long) = {
+        val t = docs
+          .filter(col("source").isin(TextAnalysis.DsirTargetSources: _*))
+          .select(col("doc_id"), lit("src999997").as("source"),
+            array_join(array_repeat(col("text"), rep), " ").as("text"))
+          .localCheckpoint(true)
+        val top = TextAnalysis.dsirWeightsAgainst(
+            TextAnalysis.dsirGrams(t, calB), model)
+          .orderBy(col("w_micro").desc, col("doc_id"))
+          .limit(2 * TextAnalysis.DsirK).localCheckpoint(true)
+        val mnW = top.agg(min(col("w_micro"))).head().getLong(0)
+        (t.join(broadcast(top.select(col("doc_id"))), Seq("doc_id")), mnW)
+      }
+      var rep = 4
+      var (stormSel, stormMinW) = stormAt(rep)
+      while (stormMinW <= tKey + 4000000L && rep < 512) {
+        rep *= 2
+        val r = stormAt(rep); stormSel = r._1; stormMinW = r._2
+      }
+      System.err.println(
+        s"[scaleup] dsir-storm-cal: B=$calB repeat=$rep " +
+          s"minW=$stormMinW tKey=$tKey")
+      val storm = stormSel
+        .select((col("doc_id") + lit(3000000000000L)).as("doc_id"),
+          col("source"), col("text"))
+        .localCheckpoint(true)
+      val st0 = System.nanoTime()
+      val sd = StreamDsir.processBatch(spark, pfx, storm, 1L, "dsrv42",
+        buckets = calB)
+      val stormTotal = sd.count()
+      val stormSec = (System.nanoTime() - st0) / 1e9
+      val stormEvict =
+        stormTotal - sd.filter(col("doc_id") >= 3000000000000L).count()
+      require(stormEvict >= TextAnalysis.DsirK / 2,
+        s"dsir calibrated-B eviction storm displaced only $stormEvict " +
+          s"of the ${TextAnalysis.DsirK} standing docs at B=$calB")
+      // selection law after the storm, same gate as dsirServe: the
+      // collapsed selection equals an independent top-k re-rank
+      val stored = spark.table(s"${pfx}_scores")
+        .select(col("doc_id"), col("gkey"))
+      val expect = stored
+        .orderBy(col("gkey").desc, col("doc_id"))
+        .limit(TextAnalysis.DsirK)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val got = StreamDsir.currentSelected(spark, pfx)
+        .filter(col("selected")).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      require(got == expect,
+        s"dsir-storm-cal: selected set (${got.size}) diverges from an " +
+          s"independent top-k re-rank after the storm at B=$calB")
+      (calB, rep, stormSec, stormEvict, build)
+    }
+    lazy val stormCalX1 = dsirStormCal(s"$out/x1", "scup_dsc_x1")
+
     /** (exchange count in the bucketed pair-join plan, SMJ present) for
       * [[dedupBucketedGuardProbe]] — store build untimed, plan asserted. */
     def dedupBucketedGuard(dir: String, table: String): (Int, Boolean) = {
@@ -1072,14 +1173,30 @@ object ScaleUpBench {
             f""""b$b":{"mean_abs_lr_u":$mean%.1f,"max_abs_lr_u":$mx,"informative_buckets":$inf}"""
           }.mkString("{", ",", "}")
         // recovery = xK mean|lr_u| at the widest B over the x1 mean at
-        // the registry's B=512 — 1.0 means the remedy fully restores
-        // the x1 signal level against a Kx-grown disjoint vocabulary
+        // the registry's B=512 — 1.0 means the remedy restores the
+        // signal past the x1-AT-512 level against a Kx-grown disjoint
+        // vocabulary. That baseline is deliberately the registry's
+        // pinned B, but the x1 signal itself RISES with B, so the
+        // same-B ratios (xK/x1 at MATCHED B, r19 advice) are reported
+        // alongside — they answer "how much of the like-for-like
+        // signal survives the Kx growth" rather than "is the remedy
+        // past the gate-scale operating point".
         val x1At512 = dsirBucketsX1.head._2
         val xkWidest = xkStats.last._2
         val recovery = if (x1At512 > 0) xkWidest / x1At512 else -1.0
-        f""","dsir_buckets":{"x1":${sect(dsirBucketsX1)},"x$k":${sect(xkStats)},"recovery_vs_x1_b512":$recovery%.4f}"""
+        val sameB = dsirBucketsX1.zip(xkStats).map {
+          case ((b, m1, _, _), (bk2, mk, _, _)) =>
+            require(b == bk2, s"dsir-buckets stats misaligned: $b vs $bk2")
+            f""""b$b":${if (m1 > 0) mk / m1 else -1.0}%.4f"""
+        }.mkString("{", ",", "}")
+        f""","dsir_buckets":{"x1":${sect(dsirBucketsX1)},"x$k":${sect(xkStats)},"recovery_vs_x1_b512":$recovery%.4f,"same_b_ratio":$sameB}"""
       }
-      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson$driftJson$dedupGuardJson$dsirBJson}"""
+      val stormCalJson = if (!dsirStormCalProbe) "" else {
+        val (b1, r1, s1, e1, bu1) = stormCalX1
+        val (bk, rk, sk, ek, buk) = dsirStormCal(s"$out/x$k", s"scup_dsc_x$k")
+        f""","dsir_storm_cal":{"x1_b":$b1,"x${k}_b":$bk,"x1_rep":$r1,"x${k}_rep":$rk,"x1_storm_sec":$s1%.4f,"x${k}_storm_sec":$sk%.4f,"storm_ratio":${if (s1 > 0) sk / s1 else -1.0}%.4f,"x1_evictions":$e1,"x${k}_evictions":$ek,"x1_build_sec":$bu1%.4f,"x${k}_build_sec":$buk%.4f}"""
+      }
+      f"""{"sf":"$sfDir","factor":$k,"runs":$runs,"x1":${j(x1)},"x$k":${j(xk)},"ratio":${j(ratio)},"plan_same":$planSame$probeJson$annJson$dedupJson$dedupPrunedJson$mixJson$dedupFullJson$mixTokJson$annAddJson$dsirJson$driftJson$dedupGuardJson$dsirBJson$stormCalJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
@@ -1112,6 +1229,9 @@ object ScaleUpBench {
       if (dsirServeProbe)
         Seq("model", "scores", "thr", "ledger").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS scup_ds_${fx}_$t"): Unit)
+      if (dsirStormCalProbe)
+        Seq("model", "scores", "thr", "ledger").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS scup_dsc_${fx}_$t"): Unit)
       if (dedupBucketedGuardProbe)
         spark.sql(s"DROP TABLE IF EXISTS scup_bg_${fx}_bands"): Unit
     }

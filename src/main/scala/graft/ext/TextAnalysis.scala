@@ -2459,9 +2459,23 @@ object TextAnalysis {
     * probe (`d_dsir_buckets` in [[graft.ScaleUpBench]]) instead passes
     * explicit `buckets` arguments to compare several B in one JVM. */
   private[graft] val DsirBuckets: Int =
-    sys.env.get("SPARK_GRAFT_DSIR_BUCKETS").map(_.toInt).getOrElse(512)
+    sys.env.get("SPARK_GRAFT_DSIR_BUCKETS").map { v =>
+      // validated here, not a bare toInt: a malformed value at object
+      // init would otherwise surface as an opaque
+      // ExceptionInInitializerError with the NumberFormatException
+      // buried as its cause
+      val b = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_DSIR_BUCKETS must be a positive integer, got '$v'"))
+      require(b > 0,
+        s"SPARK_GRAFT_DSIR_BUCKETS must be a positive integer, got '$v'")
+      b
+    }.getOrElse(512)
   /** The scale-remedy bucket count `d_dsir_weights_wide` runs (and
-    * oracles) the weight law at — low end of the paper's range. */
+    * oracles) the weight law at — just below the paper's 10⁴–10⁶
+    * range: the largest B that stays sign-sane at gate scale (see the
+    * SCALING.md §8b calibration caveat — at sf0.1, B=8192 already
+    * leaves zero positive weights; rank selection is unaffected).
+    * Deployments pick B with [[dsirCalibratedBuckets]] instead. */
   private[graft] val DsirWideBuckets = 8192
   private[graft] val DsirK = 100
   private[graft] val DsirTargetSources = Seq("src0", "src1")
@@ -2483,9 +2497,12 @@ object TextAnalysis {
     * exclude them from the pool while `otherwise`-counting them into
     * the raw model q — silently diverging from the oracle twins, whose
     * `IN`/`NOT IN` predicates both drop NULL. */
-  private[graft] def dsirGrams(documents: DataFrame,
-      buckets: Int = DsirBuckets): DataFrame = {
-    graft.functions.Md5Prefix60.register(documents.sparkSession)
+  /** The PRE-HASH gram stream (doc_id, source, g): unigrams ∪ bigrams
+    * with multiplicity, NULL sources and empty grams dropped — the
+    * one gram law every DSIR consumer shares. Split out of
+    * [[dsirGrams]] so [[dsirCalibratedBuckets]] can size B from the
+    * raw vocabulary before any mod-B hashing erases it. */
+  private[graft] def dsirRawGrams(documents: DataFrame): DataFrame =
     documents
       .filter(col("source").isNotNull)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tokens"))
@@ -2496,8 +2513,41 @@ object TextAnalysis {
           |                      i -> concat(tokens[i], ' ', tokens[i + 1]))
           |       ELSE CAST(array() AS array<string>) END)""".stripMargin)).as("g"))
       .filter(length(col("g")) > 0)
+
+  private[graft] def dsirGrams(documents: DataFrame,
+      buckets: Int = DsirBuckets): DataFrame = {
+    graft.functions.Md5Prefix60.register(documents.sparkSession)
+    dsirRawGrams(documents)
       .select(col("doc_id"), col("source"),
         expr(s"md5_prefix60(g) % $buckets").as("f"))
+  }
+
+  /** Corpus-matched bucket-count calibration — closes SCALING.md §8b's
+    * hand-tuning gap: B is corpus-COUPLED (512 suits the gate corpora,
+    * 10⁴–10⁶ suits 100 TB vocabularies), and both failure directions
+    * are real — B far below the distinct-gram vocabulary saturates
+    * every bucket and washes lr_u toward 0 (the measured x100 collapse,
+    * BENCH_SCALEUP `dsir_buckets`), while B far above it buys nothing
+    * and, near the TARGET gram total, depresses every weight through
+    * the Laplace ln((cr_tot+B)/(ct_tot+B)) term (the measured gate-
+    * scale sign flip at B=8192). The rule is the store-bucket-count
+    * pattern the repo already uses (`StreamDedup.bucketsFor`): one
+    * `approx_count_distinct` over the RAW grams, rounded DOWN to a
+    * power of two (floor keeps B ≤ vocabulary, on the sign-sane side),
+    * clamped to [512, 65536] — 512 is the gate floor, 65536 the
+    * largest model the probe measured (a 65536×16 B broadcast is still
+    * trivial). Picks 512 at both gate SFs (≈960 distinct grams) and
+    * 65536 at the x100 replica (≈96k) — exactly the Bs the lr_u probe
+    * validated. One bounded aggregate over the gram explode; HLL++ is
+    * deterministic, so the pick is stable across runs. Registered
+    * queries keep PINNED constants ([[DsirBuckets]]/[[DsirWideBuckets]])
+    * so their oracles stay byte-deterministic; this helper is for
+    * deployments and the scale probes. */
+  def dsirCalibratedBuckets(documents: DataFrame): Int = {
+    val distinct = dsirRawGrams(documents)
+      .agg(approx_count_distinct(col("g")).as("d")).head().getLong(0)
+    val p = java.lang.Long.highestOneBit(math.max(distinct, 1L))
+    math.min(math.max(p, 512L), 65536L).toInt
   }
 
   /** The one logarithm of the family — [[graft.functions.IlogMicro]]
@@ -2580,14 +2630,27 @@ object TextAnalysis {
     * selector: (doc_id, gkey) for every doc in `pool` that carries at
     * least one gram. */
   private[graft] def dsirScore(pool: DataFrame, model: DataFrame,
-      seed: String): DataFrame =
-    dsirGumbelKey(dsirWeightsAgainst(dsirGrams(pool), model), seed)
+      seed: String, buckets: Int = DsirBuckets): DataFrame = {
+    // Loud B-consistency guard: the model is a DENSE B-row spine, so a
+    // frozen store scored by a JVM with a different B (an env flip, a
+    // retuned deployment) would hash grams mod the NEW B against the
+    // OLD model and compute silently wrong keys. The model's own row
+    // count carries its B; refuse the mismatch instead.
+    val modelB = model.count()
+    require(modelB == buckets,
+      s"dsirScore: frozen model has $modelB bucket rows but scoring at " +
+        s"B=$buckets — the store was fit under a different " +
+        "DsirBuckets (SPARK_GRAFT_DSIR_BUCKETS changed?); refit the " +
+        "model or restore the original B")
+    dsirGumbelKey(dsirWeightsAgainst(dsirGrams(pool, buckets), model), seed)
       .select(col("doc_id"), col("gkey"))
+  }
 
-  /** The frozen 512-row model over an arbitrary reference corpus —
+  /** The frozen dense B-row model over an arbitrary reference corpus —
     * what [[graft.streaming.StreamDsir.modelWrite]] persists. */
-  private[graft] def dsirModel(documents: DataFrame): DataFrame =
-    dsirLogRatios(dsirGrams(documents))
+  private[graft] def dsirModel(documents: DataFrame,
+      buckets: Int = DsirBuckets): DataFrame =
+    dsirLogRatios(dsirGrams(documents, buckets), buckets)
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
     dsirWeightsOn(Tables.documents(spark, sfDir))

@@ -134,6 +134,15 @@ object TableOps {
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
         .location)
 
+  /** The DEFAULT staging-table name a [[compactTable]] of `name` swaps
+    * through. Shared so half-swap recovery code (and its specs) probe
+    * the same name the compactor actually uses — a hardcoded copy of
+    * the suffix would silently reopen the recovery window if this
+    * default ever changed (`StreamDrift.ensureStore` re-points the
+    * orphaned staging table after a death between drop and rename). */
+  private[graft] def stagingNameFor(name: String): String =
+    s"${name}_compacting"
+
   /** Stage phase of [[compactTable]]: build the full compacted rewrite
     * as a SEPARATE staging table, touching nothing the live table owns.
     * Exposed (package-)separately so the crash-consistency spec can
@@ -189,7 +198,7 @@ object TableOps {
     val before = dataFiles(spark, loc)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val staging = Option(stagingName).getOrElse(s"${name}_compacting")
+    val staging = Option(stagingName).getOrElse(stagingNameFor(name))
     val src = where.foldLeft(spark.table(name))(
       (d, cond) => d.filter(org.apache.spark.sql.functions.expr(cond)))
     val laid =

@@ -57,7 +57,10 @@ object StreamDrift {
 
   private def stageT(prefix: String) = s"${countsT(prefix)}_compact_stage"
   // TableOps.compactTable's default staging name for the applied ledger
-  private def appliedStageT(prefix: String) = s"${appliedT(prefix)}_compacting"
+  // — read from the compactor itself, not a hardcoded suffix copy, so
+  // a change to the default can never silently desync this recovery
+  private def appliedStageT(prefix: String) =
+    graft.sources.TableOps.stagingNameFor(appliedT(prefix))
 
   def ensureStore(spark: SparkSession, prefix: String): Unit = {
     // half-swap recovery FIRST (the TableOps.compactTable drop+RENAME
@@ -74,7 +77,15 @@ object StreamDrift {
     // otherwise recreate the ledger empty below, and every historical
     // counts row would be silently semi-joined out of all future
     // snapshots — those batches are checkpoint-committed and never
-    // replay, so the baseline would be wrong without being loud
+    // replay, so the baseline would be wrong without being loud.
+    // PRECONDITION (both re-points): a PERSISTENT metastore — the
+    // recovery pivots on the catalog still knowing the staging table.
+    // A non-persistent catalog that dies mid-swap loses the entry, the
+    // residue is orphaned at the staging name's warehouse path (which
+    // the ensureFreshLocation sweeps below never probe — they sweep the
+    // LIVE names), and the store comes back empty; that deployment
+    // shape needs the metastore-atomic rename / table-format commit
+    // SCALING.md's compaction section prescribes, not this code path.
     if (!spark.catalog.tableExists(appliedT(prefix)) &&
         spark.catalog.tableExists(appliedStageT(prefix)))
       spark.sql(
@@ -111,6 +122,17 @@ object StreamDrift {
   private def frozenQ(spark: SparkSession, prefix: String)
       : (DataFrame, DataFrame) = {
     val m = spark.table(modelT(prefix))
+    // Loud B-consistency guard (same contract as TextAnalysis.dsirScore):
+    // the frozen model is a dense DsirBuckets-row spine, so a later JVM
+    // with a different SPARK_GRAFT_DSIR_BUCKETS would hash batch grams
+    // mod the NEW B against the OLD-B model and compute silently wrong
+    // KL. The model's own row count carries its fit-time B; refuse.
+    val modelB = m.count()
+    require(modelB == TextAnalysis.DsirBuckets,
+      s"driftMonitor($prefix): frozen model has $modelB bucket rows but " +
+        s"this JVM runs DsirBuckets=${TextAnalysis.DsirBuckets} " +
+        "(SPARK_GRAFT_DSIR_BUCKETS changed?); refit under a new prefix " +
+        "or restore the original B")
     (m.select(col("f"), col("c_q")),
       m.agg(coalesce(sum(col("c_q")), lit(0L)).as("cq_tot")))
   }
@@ -146,6 +168,12 @@ object StreamDrift {
     require(spark.catalog.tableExists(modelT(prefix)),
       s"streamingDrift($prefix): no frozen model at ${modelT(prefix)} — " +
         "fit it once with StreamDrift.modelWrite before streaming")
+    // B-consistency BEFORE any write (frozenQ re-checks on the serve
+    // path): without this, a JVM whose SPARK_GRAFT_DSIR_BUCKETS differs
+    // from the store's fit-time B would append mod-new-B deltas first
+    // and only fail at the snapshot — loud either way, but the early
+    // refusal keeps the counts table clean of mixed-B rows.
+    frozenQ(spark, prefix): Unit
 
     val applied = spark.table(appliedT(prefix))
     val ahead = applied.filter(col("batch_id") > batchId).limit(1).count()

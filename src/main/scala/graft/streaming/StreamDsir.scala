@@ -101,8 +101,9 @@ object StreamDsir {
     * invalidate every stored key — stop the stream and start a new
     * prefix, the [[StreamAnnIndex]] rebuild contract. */
   def modelWrite(spark: SparkSession, prefix: String,
-      documents: DataFrame): Unit = {
-    TextAnalysis.dsirModel(documents)
+      documents: DataFrame,
+      buckets: Int = TextAnalysis.DsirBuckets): Unit = {
+    TextAnalysis.dsirModel(documents, buckets)
       .coalesce(1).sortWithinPartitions("f")
       .write.mode("overwrite").saveAsTable(modelT(prefix))
   }
@@ -130,7 +131,8 @@ object StreamDsir {
   private[graft] def processBatch(spark: SparkSession, prefix: String,
       batch: DataFrame, batchId: Long, seed: String = "dsir42",
       k: Int = TextAnalysis.DsirK,
-      targetSources: Seq[String] = TextAnalysis.DsirTargetSources)
+      targetSources: Seq[String] = TextAnalysis.DsirTargetSources,
+      buckets: Int = TextAnalysis.DsirBuckets)
       : DataFrame = {
     ensureStore(spark, prefix)
     graft.functions.Md5Prefix60.register(spark)
@@ -150,7 +152,8 @@ object StreamDsir {
       .withColumn("rn", row_number().over(bw))
       .filter(col("rn") === 1).drop("rn")
       .filter(!col("source").isin(targetSources: _*))
-    val batchD = TextAnalysis.dsirScore(pool, spark.table(modelT(prefix)), seed)
+    val batchD = TextAnalysis.dsirScore(pool, spark.table(modelT(prefix)),
+        seed, buckets)
       .localCheckpoint(true)
     if (batchD.isEmpty) return emptyEmission
 

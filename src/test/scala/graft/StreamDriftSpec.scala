@@ -178,16 +178,21 @@ class StreamDriftSpec extends SparkSpec {
     val before = rowsOf(StreamDrift.currentDrift(spark, "drf_ha"))
     assert(before.nonEmpty, "fixture inert: empty snapshot")
     // simulate a death between TableOps.compactTable's drop and rename
-    // on the applied ledger: the staged copy is the ONLY copy
-    spark.table("drf_ha_applied").write.saveAsTable("drf_ha_applied_compacting")
+    // on the applied ledger: the staged copy is the ONLY copy. The
+    // staging name comes from the compactor's own default (not a
+    // hardcoded suffix copy), so this spec keeps guarding the real
+    // window if the default ever changes.
+    val appliedStage =
+      graft.sources.TableOps.stagingNameFor("drf_ha_applied")
+    spark.table("drf_ha_applied").write.saveAsTable(appliedStage)
     graft.sources.TableOps.dropWithLocation(spark, "drf_ha_applied")
     StreamDrift.ensureStore(spark, "drf_ha")
     assert(rowsOf(StreamDrift.currentDrift(spark, "drf_ha")) == before,
       "applied-ledger half-swap recovery lost the ledger — historical " +
         "counts were semi-joined out of the snapshot")
-    assert(!spark.catalog.tableExists("drf_ha_applied_compacting"))
+    assert(!spark.catalog.tableExists(appliedStage))
     dropStore("drf_ha")
-    graft.sources.TableOps.dropWithLocation(spark, "drf_ha_applied_compacting")
+    graft.sources.TableOps.dropWithLocation(spark, appliedStage)
   }
 
   test("refusals: missing model, ledger ahead of the batch; zero-gram batches are no-ops") {
