@@ -54,6 +54,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * go out flagged `sentinel_flat: false` (an honest flagged record beats
   * no record). Round 13's committed bench was a contended pass that read
   * as a 46 % headline regression; this closes that class of artifact.
+  *
+  * PER-QUERY outliers self-adjudicate too (round 20): a headline query
+  * whose ci95 exceeds 25 % of its mean — the signature of a mid-run
+  * contention burst the pass-level sentinels bracket but cannot pin to
+  * one query — is re-measured once under the same protocol; the read
+  * with the tighter relative CI is kept, and a query still wide after
+  * that goes out `contended:true` (stats carry `remeasured`/`contended`
+  * in BENCH_DETAIL; the lean line adds `contended` only when true, to
+  * stay inside the ~1 KB budget). Three straight rounds spent a verdict
+  * item adjudicating exactly this by hand (r18 d_dedup_exact, r19
+  * q_agg_pricing/q_join_multiway — all reversed on a quiet box).
   */
 object Bench {
   /** Headline set: the reference's four queries plus one representative
