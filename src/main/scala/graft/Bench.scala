@@ -385,7 +385,16 @@ object Bench {
           "re-measuring once")
         val s1 =
           try timeQuery(SparkEntry.queries(name), spark, sfDir, runs)
-          catch { case _: Throwable => s0 }
+          catch {
+            // NonFatal only (round 21, VERDICT r20 item 3): a fatal error
+            // (OOM, thread death) in the re-measure must propagate, not be
+            // silently absorbed into a kept-wide read.
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] re-measure of $name failed (${e.getMessage}) — " +
+                  "keeping the original read")
+              s0
+          }
         val keep =
           if (s1.mean > 0 && s1.ci95 / s1.mean < s0.ci95 / s0.mean) s1 else s0
         (name, keep, true)

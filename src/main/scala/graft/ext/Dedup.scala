@@ -119,7 +119,9 @@ object Dedup {
     * signature string, not a pairwise join. Fully oracle-checked since the
     * md5 slot hashes replay bit-for-bit in DuckDB. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSlots(Tables.documents(spark, sfDir))
+    // widen: one md5 per shingle is the dominant cost and a single-split
+    // scan would hash every shingle on one core (guide §2.5)
+    minhashSlots(Tables.widen(Tables.documents(spark, sfDir)))
       .select(col("doc_id"),
         bandCol(0).as("band0"), bandCol(1).as("band1"),
         bandCol(2).as("band2"), bandCol(3).as("band3"),
@@ -192,7 +194,9 @@ object Dedup {
     * token ONCE instead of once per hex digit (named-subexpression trick —
     * HOF lambdas have no `let`). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // widen: one md5 + 64 bit-votes per distinct token, all in interpreted
+    // higher-order lambdas — the heaviest per-row projection in the file
+    Tables.widen(Tables.documents(spark, sfDir))
       .withColumn("toks", array_distinct(split(col("text"), " ")))
       .withColumn("tokdigits", expr(
         """transform(toks, t -> transform(array(md5(t)), h ->
@@ -289,6 +293,10 @@ object Dedup {
     val sub = postings.join(docFreq, "t").crossJoin(nDocs)
       .filter(col("df") <= col("n_docs") * maxDfFrac)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    // NOT pinned before the self-join: although the plan duplicates the
+    // prefix subtree per join side, AQE's shuffle-stage cache dedups the
+    // identical sides at runtime (measured round 21: an eager
+    // localCheckpoint here only added its materialization job).
     val prefix = sub
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
@@ -791,14 +799,21 @@ object Dedup {
     // BUILDING the plan string). Checkpointing truncates the logical plan
     // to a scan of the materialized blocks; the ContextCleaner reclaims
     // each round's blocks once the next round drops the reference.
+    // LAZY checkpoints (round 21): eager=true ran one extra materializing
+    // job per frame; eager=false still truncates lineage and caches the
+    // blocks, but lets the round's OWN count() action be the materializer
+    // — one job per round instead of two, same blocks, same reclamation.
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // Carry each round's count forward instead of re-counting the
+    // (checkpointed) previous edge set — one fewer job per round.
+    var edgeCount = edges.count()
     var rounds = 0
-    var done = edges.isEmpty
+    var done = edgeCount == 0
     while (!done) {
       require(rounds < maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
@@ -822,9 +837,11 @@ object Dedup {
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
-      done = next.count() == edges.count() && next.except(edges).isEmpty
+        .localCheckpoint(false)
+      val nextCount = next.count()
+      done = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     // Converged: edges form a star forest with each component's min as the
@@ -834,7 +851,7 @@ object Dedup {
       .join(edges.select(col("u").as("doc_id"), col("v").as("label")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sizes = labels.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
     (labels.join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size")), rounds)
@@ -904,6 +921,9 @@ object Dedup {
     * Σ_buckets n_b²/2, never n²/2, and needs no token-frequency
     * heuristics. This is the generator a 100 TB dedup actually runs. */
   def bandCandidates(documents: DataFrame): DataFrame = {
+    // no pin: the signature pipeline ends in the groupBy(doc_id)
+    // exchange, and AQE's stage cache serves both self-join sides from
+    // one computation of it (a pin only added a job — measured r21)
     val bands = minhashBands(documents)
     bands.as("a")
       .join(bands.as("b"),
@@ -952,7 +972,9 @@ object Dedup {
     * replays the identical md5 signature math, banding, verification, and
     * a recursive-CTE closure. */
   def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // widen: the pipeline re-reads documents for signatures AND for the
+    // verify join's token sets; both are shingle/md5-heavy per-row work
+    val docs = Tables.widen(Tables.documents(spark, sfDir))
     val pairs = jaccardVerify(docs, bandCandidates(docs))
       .select(col("doc_a"), col("doc_b"))
     dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)
@@ -964,7 +986,7 @@ object Dedup {
     * result is REQUIRED to be identical to [[dedupPipeline]] (same
     * oracle — physical layout must never leak into answers). */
   def dedupPipelineBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.widen(Tables.documents(spark, sfDir))
     val pairs = jaccardVerify(docs, bandCandidatesBucketed(spark, docs))
       .select(col("doc_a"), col("doc_b"))
     dedupGroupsFromPairs(docs.select(col("doc_id")), pairs)

@@ -65,7 +65,9 @@ object TextAnalysis {
       |ORDER BY source, lang""".stripMargin
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // widen: the regex/array work below is ~100× the scan cost per byte,
+    // and a single-split scan would run it all on one core (guide §2.5)
+    Tables.widen(Tables.documents(spark, sfDir))
       .withColumn("tokens", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -615,7 +617,11 @@ object TextAnalysis {
             .as("r"))
     }
     ranks.select(col("node").as("token"), round(col("r") + lit(1e-9), 6).as("rank"))
-      .orderBy(desc("rank"), asc("token"))
+      // single-partition presentation sort, not orderBy: the range
+      // exchange's sampling pass would re-run all three iteration joins
+      // (same rationale as SparkEntry.srt, round 21); output is one row
+      // per node — bounded by the vocabulary
+      .repartition(1).sortWithinPartitions(desc("rank"), asc("token"))
   }
 
   val tokenPagerankSql: String = {
@@ -1591,7 +1597,10 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         concat_ws(" ", expr("regexp_extract_all(word, '.', 0)")).as("seg"))
-      .localCheckpoint()
+      // lazy (round 21): each round's top-pair collect is the
+      // materializing action — eager ran a second job per round for the
+      // same blocks, doubling the (job-latency-bound) training wall time
+      .localCheckpoint(false)
     val learned = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -1619,7 +1628,7 @@ object TextAnalysis {
               concat(lit(" "), replace(col("seg"), lit(" "), lit("  ")), lit(" ")),
               lit(search), lit(repl)),
             " +", " ")).as("seg"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         r += 1
       }
     }
