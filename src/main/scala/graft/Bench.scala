@@ -543,6 +543,11 @@ object Bench {
     // Full-detail artifact: everything, full precision, one place. Written
     // to the working directory (the repo root under sbt) so the judge can
     // diff it round-over-round even though the driver only keeps stdout.
+    // ALSO written to a core-count-tagged sibling (BENCH_DETAIL_c<cpus>.json,
+    // round 22 — VERDICT r21 item 2b): the driver benches a second time at
+    // a lower core count, and its pass OVERWRITES BENCH_DETAIL.json, which
+    // in r21 destroyed the only same-core (32c) extended-operator record.
+    // The tagged copies keep every core count's record diffable.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     val statsFull = results.map { case (k, s) =>
       "\"" + k +
@@ -566,14 +571,20 @@ object Bench {
     val sectionsJson =
       s"""{"sweep":${secJson(sweepSec)},"fractions":${secJson(fracSec)},""" +
         s""""pipeline":${secJson(pipeSec)}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(detailPath),
-      (f"""{"total":$total%.4f,"unit":"sec","stats":$statsFull,""" +
+    val detailJson =
+      (f"""{"total":$total%.4f,"unit":"sec","cpus":$cpus,"stats":$statsFull,""" +
         f""""extended":$extJson,"extended_sf":"$extSfDir",""" +
         s""""sentinel":${sentinels.map(s => f"$s%.4f").mkString("[", ",", "]")},"sentinel_flat":$sentinelFlat,"bench_attempts":$benchAttempts,""" +
         s""""sentinel_sections":$sectionsJson,""" +
         f""""pipeline":$pipeJson,"fractions":$fracJson,"sweep":$sweepJson,""" +
-        f""""sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+        f""""sf":"$sfDir"}""" + "\n").getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detailJson)
+    // core-tagged sibling (same content), e.g. BENCH_DETAIL_c32.json
+    val taggedPath =
+      if (detailPath.endsWith(".json"))
+        detailPath.stripSuffix(".json") + s"_c$cpus.json"
+      else s"${detailPath}_c$cpus"
+    java.nio.file.Files.write(java.nio.file.Paths.get(taggedPath), detailJson)
 
     // Compact driver line — LAST line printed, budgeted ~1 KB so the
     // driver's captured tail always contains the whole JSON object.

@@ -25,24 +25,99 @@ object SparkEntry {
     Relational.joinMultiway(spark, "/root/testdata/sf0.001")
 
   private type Q = (SparkSession, String) => DataFrame
-  /** Protocol adapter: append the deterministic presentation sort the
-    * driver's row-order-sensitive hash needs.
+
+  /** Does the plan contain a distribution-REQUIRED shuffle (an exchange
+    * EnsureRequirements inserted for an aggregate / join / window /
+    * distinct), as opposed to an author-injected round-robin repartition
+    * ([[Tables.widen]], shuffleOrigin REPARTITION_BY_NUM)?
     *
-    * Implemented as repartition(1) + sortWithinPartitions, NOT orderBy
-    * (round 21, guide §2.4/§1.4): a global orderBy plans a
-    * RangePartitioning exchange whose bound-sampling pass RE-EXECUTES the
-    * whole child plan once before the real pass — for compute-heavy
-    * operators (regex stats, md5 shingles) the presentation sort was
-    * silently doubling the operator's cost (d_text_stats measured
-    * 0.543 s → 0.302 s from this change alone at sf0.1). A single-partition
-    * shuffle sort produces the identical total row order with one exchange
-    * and no sampling pass. Scale posture: this sort exists ONLY for the
-    * driver's hash protocol, whose outputs are driver-collectable by
-    * contract (the driver hashes them row-by-row), so a one-partition sort
-    * is bounded by the same contract; library operators stay unsorted and
-    * a 100 TB presentation sort would use orderBy's range sort. */
-  private def srt(fn: Q, keys: Column*): Q =
-    (s, d) => fn(s, d).repartition(1).sortWithinPartitions(keys: _*)
+    * The distinction decides the protocol-sort form (see [[srt]]): a
+    * RangePartitioning sort's bound-sampling pass re-executes exactly the
+    * child's LAST stage — everything above its topmost exchange (stages
+    * below an existing shuffle boundary are computed once and their
+    * shuffle files reused). When the child ends in its own
+    * ENSURE_REQUIREMENTS exchange, that re-executed segment is the trivial
+    * post-shuffle tail (a final HashAggregate over partial rows), so
+    * sampling is a cheap shuffle re-read. An author-injected round-robin
+    * exchange is the opposite case by construction: widen exists precisely
+    * to parallelize EXPENSIVE compute above it (regex stats, md5
+    * shingles), so sampling re-runs that whole compute. AQE note: a plan
+    * with any exchange is wrapped in AdaptiveSparkPlanExec, whose children
+    * are not reachable via TreeNode traversal — recurse through its
+    * (pre-execution) executedPlan explicitly. Subqueries are NOT
+    * traversed: within one execution a subquery result is computed once
+    * and shared by the sampling and real passes. */
+  private def hasRequiredShuffle(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeLike}
+    plan match {
+      case a: AdaptiveSparkPlanExec => hasRequiredShuffle(a.executedPlan)
+      case e: ShuffleExchangeLike =>
+        e.shuffleOrigin == ENSURE_REQUIREMENTS || e.children.exists(hasRequiredShuffle)
+      case p => p.children.exists(hasRequiredShuffle)
+    }
+  }
+
+  /** Protocol adapter: append the deterministic presentation sort the
+    * driver's row-order-sensitive hash needs. Library operators return
+    * UNSORTED frames; only this registry pays the sort.
+    *
+    * CHILD-AWARE form (round 22, VERDICT r21 item 1; guide §2.4/§1.4).
+    * Round 21 swapped every query to repartition(1)+sortWithinPartitions
+    * unconditionally; the driver's 32-core bench split the outcome exactly
+    * on the child's plan shape:
+    *
+    *   - child with NO required exchange (filtered scan q1 1.38×, widened
+    *     regex projection d_text_stats 2.08× — driver-measured wins): a
+    *     global orderBy's RangePartitioning bound-sampling pass re-executes
+    *     the child's full compute before the real pass, silently doubling
+    *     the operator. The single-partition shuffle sort produces the
+    *     identical total row order with one exchange and no sampling.
+    *     KEEP repartition(1)+sortWithinPartitions here.
+    *
+    *   - child ending in its own ENSURE_REQUIREMENTS exchange (aggregate /
+    *     join / window tops: q2 4.4× SLOWER, q4 1.6×, q_agg_pricing 1.23×,
+    *     q_count_distinct 1.22× — driver-measured regressions, CI-tight):
+    *     there the sampling pass only re-reads shuffle output plus a
+    *     trivial final-aggregate tail, so the swap bought nothing and paid
+    *     a single-reducer round-robin funnel that was pathological at 32
+    *     threads on the driver's box. RESTORE orderBy here (the r20 shape,
+    *     whose driver numbers are the verdict's acceptance targets).
+    *     Round-22 mechanism A/B at local[32] sf0.1 (plans/r22/
+    *     protocol_sort_ab.txt): coalesce(1)+sortWithinPartitions is
+    *     slightly faster still on tiny agg outputs (q2 0.179 vs 0.313
+    *     orderBy) but serializes the whole post-shuffle stage — measured
+    *     2× WORSE where that stage carries compute (d_text_stats 0.435 vs
+    *     0.228) — and has no driver-side ground truth, so orderBy is the
+    *     evidence-backed choice.
+    *
+    * Scale posture (VERDICT r21 item 2): with this rule the claim "a real
+    * 100 TB presentation sort uses orderBy's range sort" is now CODE, not
+    * a comment, for every shuffle-reduced output; the single-partition
+    * form survives only on exchange-free children, whose protocol outputs
+    * the driver collects and hashes row-by-row by contract. For corpora
+    * where even those outputs are too big for one partition,
+    * `spark.graft.protocolSort=range` forces the scalable range sort on
+    * every path (`single` forces the r21 shape; default `auto` = the
+    * child-aware rule). The decision is memoized per (session, data dir) —
+    * it is a plan-shape probe, never data — so repeated bench runs do not
+    * pay the extra physical planning pass. */
+  private def srt(fn: Q, keys: Column*): Q = {
+    val shape = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]
+    (s, d) => {
+      val df = fn(s, d)
+      val mode = s.conf.get("spark.graft.protocolSort", "auto")
+      val range = mode match {
+        case "range"  => true
+        case "single" => false
+        case _ =>
+          shape.computeIfAbsent((s, d),
+            _ => hasRequiredShuffle(df.queryExecution.executedPlan)).booleanValue()
+      }
+      if (range) df.orderBy(keys: _*)
+      else df.repartition(1).sortWithinPartitions(keys: _*)
+    }
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

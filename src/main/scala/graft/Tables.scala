@@ -143,7 +143,18 @@ object Tables {
     * work: for cheap projections/aggregations the extra stage costs more
     * than the parallelism buys (measured: sha256 dedup slowed 0.22 s →
     * 0.41 s at sf0.1, while regex text-stats sped 0.30 s → 0.19 s and
-    * md5-shingle MinHash 1.06 s → 0.55 s). */
+    * md5-shingle MinHash 1.06 s → 0.55 s).
+    *
+    * PRECONDITION (ADVICE r21): the round-robin exchange ties
+    * row-to-partition layout to defaultParallelism, so a widened
+    * operator's OUTPUT must be order-insensitive or carry total
+    * tie-breaking sort keys — otherwise partition-local tie order makes
+    * the result machine-dependent. Every current caller is
+    * oracle-verified with total keys (ProtocolSortSpec documents the
+    * invariant); do not add widen in front of a ties-sensitive operator.
+    * Cost note: the `df.rdd.getNumPartitions` probe constructs a second
+    * physical plan for the child per call — acceptable for the handful of
+    * compute-heavy callers, not free; don't sprinkle widen defensively. */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df

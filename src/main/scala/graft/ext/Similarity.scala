@@ -1135,15 +1135,31 @@ object Similarity {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.AdcSum.register(spark)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration.DurationInt
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Each arm pins the active session explicitly (ADVICE r21): the
+    // global ExecutionContext's ForkJoin workers inherit thread-locals
+    // from whichever thread SPAWNED them, so a worker created by another
+    // worker is not guaranteed this session as its active one — and
+    // functions.expr inside the arm builders would then parse against a
+    // default SparkSqlParser without this session's conf. The Await bound
+    // is a liveness backstop (a wedged arm must fail the operator, not
+    // hang the caller forever); generous enough to be inert on any sane
+    // box. Known limitation, accepted: if one arm fails, the sibling
+    // arms' already-submitted Spark jobs run to completion as orphans —
+    // bounded by the arms' own size, and the operator still fails fast.
+    def arm(name: String)(mk: => DataFrame): Future[DataFrame] =
+      Future {
+        SparkSession.setActiveSession(spark)
+        recallOf(mk, name)
+      }
     val arms = Seq(
-      Future(recallOf(hammingAnn(spark, sfDir), "hamming")),
-      Future(recallOf(rabitqAnn(spark, sfDir), "rabitq")),
-      Future(recallOf(annSq8(spark, sfDir), "sq8")),
-      Future(recallOf(annIndexLookup(spark, sfDir), "ivfpq")),
-      Future(recallOf(annOpq(spark, sfDir), "opq")))
-      .map(Await.result(_, Duration.Inf))
+      arm("hamming")(hammingAnn(spark, sfDir)),
+      arm("rabitq")(rabitqAnn(spark, sfDir)),
+      arm("sq8")(annSq8(spark, sfDir)),
+      arm("ivfpq")(annIndexLookup(spark, sfDir)),
+      arm("opq")(annOpq(spark, sfDir)))
+      .map(Await.result(_, 15.minutes))
     arms.reduce(_.unionAll(_))
   }
 
@@ -1660,7 +1676,13 @@ object Similarity {
     val resid = assigned.select(col("vec_id"), col("cell"),
       zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
         (x, c) => x.cast("double") - c).as("rv"))
-      // lazy (round 21): the PQ trainer's seed collect materializes it
+      // lazy (round 21): the PQ trainer's seed collect materializes it.
+      // DETERMINISM PRECONDITION (ADVICE r21): resid fans out into the
+      // trainer AND the codesWithCell join below — a lazy checkpoint may
+      // compute partitions more than once concurrently before the cache
+      // fills, so the lineage above must stay deterministic (it is:
+      // frozen centroid literals over the embeddings scan). A future
+      // nondeterministic upstream requires eager=true.
       .localCheckpoint(false)
     val (codes, cb) = pqQuantize(resid, "rv")
     val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))

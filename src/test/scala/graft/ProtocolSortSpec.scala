@@ -2,38 +2,80 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-21 optimization invariants.
+/** Optimization invariants for the registry's protocol sort and the
+  * widen helper (rounds 21–22).
   *
-  *  1. The registry's presentation sort (`SparkEntry.srt`) must plan as a
-  *     SinglePartition exchange + in-partition sort, NOT a global orderBy:
-  *     a RangePartitioning exchange runs a bound-SAMPLING pass that
-  *     re-executes the whole child plan, silently doubling every timed
-  *     operator (measured: d_text_stats 0.54 → 0.30 s at sf0.1 from this
-  *     alone). The sort exists only for the driver's row-order-sensitive
-  *     hash, whose results are driver-collectable by contract, so the
-  *     single partition is bounded.
+  *  1. `SparkEntry.srt` is CHILD-AWARE (round 22, VERDICT r21 item 1):
+  *     - a query whose child plan has NO distribution-required exchange
+  *       (filtered scan q1, widened regex projection d_text_stats) plans
+  *       a SinglePartition exchange + in-partition sort — a global
+  *       orderBy's RangePartitioning bound-sampling pass would re-execute
+  *       the child's full compute (driver-measured: q1 1.38×,
+  *       d_text_stats 2.08× from avoiding it);
+  *     - a query whose child ends in its own ENSURE_REQUIREMENTS exchange
+  *       (aggregate/join/window tops: q2, q_agg_pricing, d_dedup_minhash)
+  *       plans orderBy's range sort — there sampling only re-reads
+  *       shuffle output, and the unconditional single-partition funnel
+  *       was a driver-measured 4.4× regression on q2 at 32 cores (r21).
+  *     - `spark.graft.protocolSort=range` forces the scalable range sort
+  *       on every path (the 100 TB presentation-sort posture);
+  *       default `auto` applies the child-aware rule.
   *
   *  2. `Tables.widen` must widen a fewer-splits-than-cores scan to
   *     defaultParallelism, preserve the rows exactly, and no-op (same
   *     plan, no added exchange) once the input already has enough
   *     partitions — the guard that keeps it inert at scale.
+  *     PRECONDITION (ADVICE r21): widen's round-robin exchange ties
+  *     row-to-partition layout to defaultParallelism, so a widened
+  *     operator's OUTPUT must be order-insensitive or carry total
+  *     tie-breaking sort keys — every current caller is oracle-verified
+  *     with total keys; a future caller on a ties-sensitive operator
+  *     would produce machine-dependent output.
   */
 class ProtocolSortSpec extends SparkSpec {
 
-  test("presentation sort plans SinglePartition, never a range-sampling exchange") {
-    // String-level check: under AQE the executedPlan is an
-    // AdaptiveSparkPlanExec wrapper whose children are not reachable via
-    // TreeNode.collect, so the explain text is the reliable surface.
-    Seq("q1_time_filter", "d_text_stats", "d_dedup_minhash").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf001)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+  private def planOf(name: String, dir: String = sf001): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("exchange-free children keep the SinglePartition protocol sort") {
+    Seq("q1_time_filter", "d_text_stats").foreach { name =>
+      val plan = planOf(name)
       assert(plan.contains("SinglePartition"),
         s"$name: protocol sort lost its SinglePartition exchange")
       assert(!plan.contains("rangepartitioning"),
-        s"$name: RangePartitioning exchange reintroduced — its sampling " +
-          "pass re-executes the operator before the real pass")
+        s"$name: RangePartitioning exchange reintroduced on an " +
+          "exchange-free child — its sampling pass re-executes the " +
+          "operator before the real pass")
     }
+  }
+
+  test("shuffle-reduced children get orderBy's range sort, not the single-partition funnel") {
+    Seq("q2_hourly_avg", "q_agg_pricing", "d_dedup_minhash").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("rangepartitioning"),
+        s"$name: protocol sort lost its range exchange — the " +
+          "unconditional single-partition form regressed q2 4.4× at 32 " +
+          "cores (VERDICT r21)")
+      // widen's round-robin exchange (d_dedup_minhash) is also
+      // REPARTITION_BY_NUM — only the SinglePartition form is forbidden
+      assert(!plan.contains("SinglePartition, REPARTITION_BY_NUM"),
+        s"$name: single-partition repartition reintroduced on a " +
+          "shuffle-reduced child")
+    }
+  }
+
+  test("spark.graft.protocolSort=range forces the scalable range sort everywhere") {
+    spark.conf.set("spark.graft.protocolSort", "range")
+    try {
+      val plan = planOf("q1_time_filter")
+      assert(plan.contains("rangepartitioning"),
+        "protocolSort=range must plan orderBy's range sort even on an " +
+          "exchange-free child (the 100 TB presentation-sort posture)")
+      assert(!plan.contains("SinglePartition, REPARTITION_BY_NUM"))
+    } finally spark.conf.unset("spark.graft.protocolSort")
   }
 
   test("widen parallelizes a single-split scan and preserves rows") {
