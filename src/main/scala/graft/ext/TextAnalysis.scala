@@ -617,11 +617,18 @@ object TextAnalysis {
             .as("r"))
     }
     ranks.select(col("node").as("token"), round(col("r") + lit(1e-9), 6).as("rank"))
-      // single-partition presentation sort, not orderBy: the range
-      // exchange's sampling pass would re-run all three iteration joins
-      // (same rationale as SparkEntry.srt, round 21); output is one row
-      // per node — bounded by the vocabulary
-      .repartition(1).sortWithinPartitions(desc("rank"), asc("token"))
+      // orderBy, NOT the single-partition form (round 22, reverting the
+      // round-21 swap): this child ends in distribution-required
+      // exchanges (the per-iteration contribution aggregates), so the
+      // range sampling pass does NOT "re-run all three iteration joins"
+      // as the r21 comment claimed — shuffle stages below the boundary
+      // are reused and broadcasts materialize once per execution; it
+      // re-executes only the cheap last stage (final 31-row rank join).
+      // Same-box same-core A/B (plans/r22/extended_same_core.txt):
+      // orderBy (r20 form) 0.666 s vs single-partition (r21 form)
+      // 0.816/1.036 s at local[32] sf0.01. Matches SparkEntry.srt's
+      // child-aware rule for shuffle-reduced children.
+      .orderBy(desc("rank"), asc("token"))
   }
 
   val tokenPagerankSql: String = {
